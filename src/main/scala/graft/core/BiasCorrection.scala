@@ -1,0 +1,89 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import scala.io.Source
+
+/** HLL++ empirical bias correction (Heule et al., EDBT'13 appendix).
+  *
+  * Algorithm parity with the reference's 6-nearest-neighbour mean
+  * (`/root/reference/SOURCES/src/hll-criteo/bias_corrected_estimate.cpp:19-82`):
+  * binary lower-bound into the per-precision rawEstimateData row, gather up
+  * to 6 neighbours on each side, pick the 6 closest by absolute distance
+  * (stable on ties, matching libstdc++ insertion-sort behaviour for these
+  * small ranges), average the matching biasData entries, subtract
+  * (truncating, not rounding — C++ double→uint64 cast), clamp at 0.
+  *
+  * The two data tables are the published HLL++ appendix data
+  * (https://docs.google.com/document/d/1gyjfMHy43U9OWBXxfaeG-3MjGzejW1dlpyMwEYAAWEI/),
+  * shipped as TSV resources (one row per precision 4..18).
+  */
+object BiasCorrection {
+
+  private def loadTable(name: String): Array[Array[Double]] = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    require(in != null, s"missing resource graft/$name")
+    try Source.fromInputStream(in, StandardCharsets.UTF_8.name())
+      .getLines().filter(_.nonEmpty)
+      .map(_.split('\t').map(_.toDouble)).toArray
+    finally in.close()
+  }
+
+  private lazy val rawEstimateData: Array[Array[Double]] = loadTable("rawEstimateData.tsv")
+  private lazy val biasData: Array[Array[Double]] = loadTable("biasData.tsv")
+
+  /** Mean bias of the 6 nearest anchor points. */
+  def interpolatedBias(rawEstimate: Long, p: Int): Double = {
+    val estimates = rawEstimateData(p - 4)
+    val biases = biasData(p - 4)
+    val n = estimates.length
+    val est = rawEstimate.toDouble
+
+    // lower_bound: first index whose value is not smaller than the estimate
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (estimates(mid) < est) lo = mid + 1 else hi = mid
+    }
+    val lowerBoundIdx = if (lo == n) n - 1 else lo
+
+    // candidates in the reference's insertion order: right side ascending
+    // (inclusive of lowerBoundIdx), then left side descending
+    val idxs = new Array[Int](12)
+    val dist = new Array[Double](12)
+    var cnt = 0
+    var i = lowerBoundIdx
+    while (i < n && i < lowerBoundIdx + 6) {
+      idxs(cnt) = i; dist(cnt) = math.abs(estimates(i) - est); cnt += 1; i += 1
+    }
+    i = lowerBoundIdx - 1
+    while (i >= 0 && i >= lowerBoundIdx - 6) {
+      idxs(cnt) = i; dist(cnt) = math.abs(estimates(i) - est); cnt += 1; i -= 1
+    }
+
+    // stable insertion sort by distance over ≤12 elements
+    var j = 1
+    while (j < cnt) {
+      val dj = dist(j); val ij = idxs(j)
+      var k = j - 1
+      while (k >= 0 && dist(k) > dj) {
+        dist(k + 1) = dist(k); idxs(k + 1) = idxs(k); k -= 1
+      }
+      dist(k + 1) = dj; idxs(k + 1) = ij
+      j += 1
+    }
+
+    var sum = 0.0
+    var t = 0
+    while (t < 6) { sum += biases(idxs(t)); t += 1 }
+    sum / 6.0
+  }
+
+  /** Bias-corrected estimate; truncates the corrected double and clamps at 0
+    * (bias_corrected_estimate.cpp:73-82).
+    */
+  def estimate(rawEstimate: Long, p: Int): Long = {
+    val bias = interpolatedBias(rawEstimate, p)
+    if (rawEstimate.toDouble > bias) (rawEstimate.toDouble - bias).toLong else 0L
+  }
+}

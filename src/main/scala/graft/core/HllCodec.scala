@@ -1,0 +1,267 @@
+package graft.core
+
+/** Wire formats for HLL synopses — byte-compatible with the reference.
+  *
+  * Layout (`/root/reference/SOURCES/include/hll-criteo/hll.hpp:10-16,27-36`):
+  * 8-byte packed little-endian header
+  * `{ 'H','L', format, bucketBase, uint16 sparseCount, pad, pad }`
+  * followed by the payload in one of five encodings
+  * (hll_raw.hpp:350-563). All multi-byte integers little-endian.
+  */
+sealed abstract class HllFormat(val code: Int, val bitsPerBucket: Int)
+object HllFormat {
+  case object Normal extends HllFormat(0x01, 8)
+  case object Dense6 extends HllFormat(0x02, 6)
+  case object Dense5 extends HllFormat(0x04, 5)
+  case object Dense4 extends HllFormat(0x08, 4)
+  case object Sparse extends HllFormat(0x10, 8)
+
+  val all: Seq[HllFormat] = Seq(Normal, Dense6, Dense5, Dense4, Sparse)
+
+  def fromCode(code: Int): HllFormat = code match {
+    case 0x01 => Normal
+    case 0x02 => Dense6
+    case 0x04 => Dense5
+    case 0x08 => Dense4
+    case 0x10 => Sparse
+    case _ => throw new IllegalArgumentException("Unknown format parameter in fold().")
+  }
+
+  /** SQL-facing bits-per-bucket parameter, as in the reference's
+    * `bitsPerBucket` UDAF parameter (hll_vertica.cpp:33-55).
+    */
+  def fromBitsPerBucket(bits: Int): HllFormat = bits match {
+    case 8 => Normal
+    case 6 => Dense6
+    case 5 => Dense5
+    case 4 => Dense4
+    case _ => throw new IllegalArgumentException(
+      s"bitsPerBucket has to be one of 4, 5, 6, 8; got $bits")
+  }
+}
+
+object HllCodec {
+  final val HeaderSize = 8
+
+  def serializedSize(format: HllFormat, p: Int, setBuckets: Int): Int = {
+    val m = 1 << p
+    val payload = format match {
+      case HllFormat.Normal => m
+      case HllFormat.Dense6 => m * 6 / 8
+      case HllFormat.Dense5 => m * 5 / 8
+      case HllFormat.Dense4 => m / 2
+      case HllFormat.Sparse => setBuckets * 3
+    }
+    HeaderSize + payload
+  }
+
+  /** Terminate-time policy (hll.hpp:148-150): sparse iff <256 set registers. */
+  def sparseIsBetter(sketch: HllSketch): Boolean = sketch.setBuckets < 256
+
+  /** Serialize with the reference's terminate policy: sparse if better,
+    * otherwise the requested dense format.
+    */
+  def serializeAuto(sketch: HllSketch, dense: HllFormat): Array[Byte] =
+    if (sparseIsBetter(sketch)) serialize(sketch, HllFormat.Sparse)
+    else serialize(sketch, dense)
+
+  def serialize(sketch: HllSketch, format: HllFormat): Array[Byte] = {
+    val regs = sketch.registers
+    val m = regs.length
+    val out = new Array[Byte](serializedSize(format, sketch.p,
+      if (format == HllFormat.Sparse) sketch.setBuckets else 0))
+    var base = 0
+    var sparseCount = 0
+    format match {
+      case HllFormat.Sparse =>
+        // ascending (uint16-LE id, uint8 value) triples (hll_raw.hpp:365-379)
+        var i = 0
+        var o = HeaderSize
+        while (i < m) {
+          if (regs(i) != 0) {
+            out(o) = (i & 0xff).toByte
+            out(o + 1) = ((i >>> 8) & 0xff).toByte
+            out(o + 2) = regs(i)
+            o += 3
+            sparseCount += 1
+          }
+          i += 1
+        }
+      case HllFormat.Normal =>
+        System.arraycopy(regs, 0, out, HeaderSize, m)
+      case HllFormat.Dense6 =>
+        // 4 registers → 3 bytes: 00000011 11112222 22333333 (hll_raw.hpp:447-458)
+        var g = 0
+        val groups = m / 4
+        while (g < groups) {
+          val b0 = regs(g * 4) & 0xff
+          val b1 = regs(g * 4 + 1) & 0xff
+          val b2 = regs(g * 4 + 2) & 0xff
+          val b3 = regs(g * 4 + 3) & 0xff
+          out(HeaderSize + g * 3) = ((b0 << 2) | (b1 >>> 4)).toByte
+          out(HeaderSize + g * 3 + 1) = ((b1 << 4) | (b2 >>> 2)).toByte
+          out(HeaderSize + g * 3 + 2) = ((b2 << 6) | b3).toByte
+          g += 1
+        }
+      case HllFormat.Dense5 =>
+        // offset-encoded: subtract min register, clip at 31; 8 regs → 5 bytes
+        // 00000111 11222223 33334444 45555566 66677777 (hll_raw.hpp:494-518)
+        base = minRegister(regs)
+        val bk = new Array[Int](8)
+        var g = 0
+        val groups = m / 8
+        while (g < groups) {
+          var j = 0
+          while (j < 8) {
+            val norm = (regs(g * 8 + j) & 0xff) - base
+            bk(j) = if (norm > 31) 31 else norm
+            j += 1
+          }
+          val o = HeaderSize + g * 5
+          out(o) = ((bk(0) << 3) | (bk(1) >>> 2)).toByte
+          out(o + 1) = ((bk(1) << 6) | (bk(2) << 1) | (bk(3) >>> 4)).toByte
+          out(o + 2) = ((bk(3) << 4) | (bk(4) >>> 1)).toByte
+          out(o + 3) = ((bk(4) << 7) | (bk(5) << 2) | (bk(6) >>> 3)).toByte
+          out(o + 4) = ((bk(6) << 5) | bk(7)).toByte
+          g += 1
+        }
+      case HllFormat.Dense4 =>
+        // offset-encoded, clip at 15; 2 regs → 1 byte: 00001111 (hll_raw.hpp:543-563)
+        base = minRegister(regs)
+        var g = 0
+        val groups = m / 2
+        while (g < groups) {
+          var n1 = (regs(g * 2) & 0xff) - base
+          if (n1 > 15) n1 = 15
+          var n2 = (regs(g * 2 + 1) & 0xff) - base
+          if (n2 > 15) n2 = 15
+          out(HeaderSize + g) = ((n1 << 4) | n2).toByte
+          g += 1
+        }
+    }
+    // header (hll.hpp:81-108)
+    out(0) = 'H'
+    out(1) = 'L'
+    out(2) = format.code.toByte
+    out(3) = base.toByte
+    out(4) = (sparseCount & 0xff).toByte
+    out(5) = ((sparseCount >>> 8) & 0xff).toByte
+    // bytes 6,7 already zero padding
+    out
+  }
+
+  /** Deserialize + max-merge in one pass ("fold", hll.hpp:58-79). Keeps the
+    * reference's validation conditions and error messages.
+    */
+  def foldInto(sketch: HllSketch, bytes: Array[Byte]): Unit = {
+    if (bytes.length < HeaderSize)
+      throw new IllegalArgumentException("payload is not big enough to contain header")
+    require(bytes(0) == 'H' && bytes(1) == 'L', "bad synopsis magic")
+    val format = HllFormat.fromCode(bytes(2) & 0xff)
+    val base = bytes(3) & 0xff
+    val sparseCount = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8)
+    val length = bytes.length - HeaderSize
+    val regs = sketch.registers
+    val m = regs.length
+
+    @inline def tooSmall(maxExpected: Int): Unit =
+      if (length < maxExpected) throw new IllegalArgumentException(
+        s"Payload is not big enough for all advertised buckets [$length - $maxExpected]")
+
+    format match {
+      case HllFormat.Sparse =>
+        if (length < sparseCount * 3)
+          throw new IllegalArgumentException(
+            "Payload is not big enough for all advertised buckets")
+        var k = sparseCount - 1
+        while (k >= 0) {
+          val o = HeaderSize + 3 * k
+          val id = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+          if (id >= m)
+            throw new IllegalArgumentException("Bucket id is not valid when decoding sparse")
+          val v = bytes(o + 2) & 0xff
+          if ((regs(id) & 0xff) < v) regs(id) = bytes(o + 2)
+          k -= 1
+        }
+      case HllFormat.Normal =>
+        tooSmall(m)
+        var i = 0
+        while (i < m) {
+          val v = bytes(HeaderSize + i) & 0xff
+          if ((regs(i) & 0xff) < v) regs(i) = bytes(HeaderSize + i)
+          i += 1
+        }
+      case HllFormat.Dense6 =>
+        tooSmall((m / 4 - 1) * 3 + 2)
+        var g = 0
+        val groups = m / 4
+        while (g < groups) {
+          val o = HeaderSize + g * 3
+          val y0 = bytes(o) & 0xff
+          val y1 = bytes(o + 1) & 0xff
+          val y2 = bytes(o + 2) & 0xff
+          maxSet(regs, g * 4, y0 >>> 2)
+          maxSet(regs, g * 4 + 1, ((y0 & 0x3) << 4) | (y1 >>> 4))
+          maxSet(regs, g * 4 + 2, ((y1 & 0xf) << 2) | (y2 >>> 6))
+          maxSet(regs, g * 4 + 3, y2 & 0x3f)
+          g += 1
+        }
+      case HllFormat.Dense5 =>
+        tooSmall((m / 8 - 1) * 5 + 4)
+        var g = 0
+        val groups = m / 8
+        while (g < groups) {
+          val o = HeaderSize + g * 5
+          val y0 = bytes(o) & 0xff
+          val y1 = bytes(o + 1) & 0xff
+          val y2 = bytes(o + 2) & 0xff
+          val y3 = bytes(o + 3) & 0xff
+          val y4 = bytes(o + 4) & 0xff
+          maxSet(regs, g * 8, base + (y0 >>> 3))
+          maxSet(regs, g * 8 + 1, base + (((y0 & 0x07) << 2) | (y1 >>> 6)))
+          maxSet(regs, g * 8 + 2, base + ((y1 & 0x3e) >>> 1))
+          maxSet(regs, g * 8 + 3, base + (((y1 & 0x01) << 4) | (y2 >>> 4)))
+          maxSet(regs, g * 8 + 4, base + (((y2 & 0x0f) << 1) | (y3 >>> 7)))
+          maxSet(regs, g * 8 + 5, base + ((y3 & 0x7c) >>> 2))
+          maxSet(regs, g * 8 + 6, base + (((y3 & 0x03) << 3) | (y4 >>> 5)))
+          maxSet(regs, g * 8 + 7, base + (y4 & 0x1f))
+          g += 1
+        }
+      case HllFormat.Dense4 =>
+        tooSmall(m / 2)
+        var g = 0
+        val groups = m / 2
+        while (g < groups) {
+          val y = bytes(HeaderSize + g) & 0xff
+          maxSet(regs, g * 2, base + (y >>> 4))
+          maxSet(regs, g * 2 + 1, base + (y & 0x0f))
+          g += 1
+        }
+    }
+  }
+
+  /** Deserialize into a fresh sketch of precision p. */
+  def deserialize(p: Int, bytes: Array[Byte],
+      hashSeed: Int = Murmur64A.DefaultSeed): HllSketch = {
+    val s = HllSketch.empty(p, hashSeed)
+    foldInto(s, bytes)
+    s
+  }
+
+  @inline private def maxSet(regs: Array[Byte], idx: Int, value: Int): Unit = {
+    // (uint8_t)(base + x) wraps modulo 256 in the reference — replicate
+    val v = value & 0xff
+    if ((regs(idx) & 0xff) < v) regs(idx) = v.toByte
+  }
+
+  private def minRegister(regs: Array[Byte]): Int = {
+    var mn = 255
+    var i = 0
+    while (i < regs.length) {
+      val v = regs(i) & 0xff
+      if (v < mn) mn = v
+      i += 1
+    }
+    mn
+  }
+}

@@ -1,0 +1,207 @@
+package graft.core
+
+/** Mutable dense HyperLogLog register array — the in-memory sketch state.
+  *
+  * Semantics mirror the reference's `HllRaw` + `Hll` pair
+  * (`/root/reference/SOURCES/include/hll-criteo/hll_raw.hpp:30-347`,
+  * `hll.hpp:20-191`) re-expressed as one idiomatic Scala class: `2^p`
+  * registers, each holding max(rho) of the hashes routed to it; merge is
+  * elementwise max (associative, commutative, idempotent — any Spark
+  * shuffle/AQE re-ordering is safe, see SURVEY.md §4).
+  *
+  * In-memory state is ALWAYS dense 8-bit (the reference has no in-memory
+  * sparse mode either, hll.hpp:148-150); sparse is purely a wire format
+  * chosen at serialization time (HllCodec).
+  */
+final class HllSketch private (
+    val p: Int,
+    val registers: Array[Byte],
+    val hashSeed: Int) extends Serializable {
+
+  import HllSketch._
+
+  @inline def m: Int = 1 << p
+  private[this] val valueBits: Int = 64 - p
+
+  /** Route a hash to its register: top p bits (hll_raw.hpp:128-138). */
+  @inline def bucket(hash: Long): Int = (hash >>> valueBits).toInt
+
+  /** rho = position of leftmost set bit among the low 64-p bits
+    * (hll_raw.hpp:92-107). hash==0 → 0; value-bits all zero → 65-p
+    * (numberOfLeadingZeros(0)==64 gives the reference's gcc/lzcnt behavior
+    * for free — SURVEY.md K3).
+    */
+  @inline def rho(hash: Long): Byte =
+    if (hash == 0L) 0
+    else {
+      val valueMask = (1L << valueBits) - 1L
+      (java.lang.Long.numberOfLeadingZeros(hash & valueMask) + 1 - p).toByte
+    }
+
+  /** Hash + update one value (hll_raw.hpp:150-158). Returns the hash. */
+  def addLong(value: Long): Long = {
+    val h = Murmur64A.hash(value, hashSeed)
+    addHash(h)
+    h
+  }
+
+  /** Update from a pre-computed 64-bit hash (string/bytes path). */
+  @inline def addHash(h: Long): Unit = {
+    val b = bucket(h)
+    val r = rho(h)
+    // registers are unsigned in the reference; values ≤ 61 so signed
+    // byte compare is safe for locally-produced rhos, but folded wire
+    // payloads may carry up to 255 — compare unsigned throughout.
+    if ((registers(b) & 0xff) < (r & 0xff)) registers(b) = r
+  }
+
+  def addString(s: String): Unit = addHash(Murmur64A.hashString(s, hashSeed))
+  def addBytes(b: Array[Byte]): Unit = addHash(Murmur64A.hashBytes(b, hashSeed))
+
+  /** Elementwise max-merge (hll_raw.hpp:160-175). Precision mismatch throws
+    * with the reference's message (hll_raw.hpp:172).
+    */
+  def merge(other: HllSketch): this.type = {
+    if (other.p != p)
+      throw new IllegalArgumentException("Synopsis are in different format")
+    mergeRegisters(other.registers)
+    this
+  }
+
+  private[core] def mergeRegisters(other: Array[Byte]): Unit = {
+    val n = m
+    val self = registers
+    var i = 0
+    while (i < n) { // simple branch-free-ish loop, C2 auto-vectorizes byte max
+      val a = self(i) & 0xff
+      val b = other(i) & 0xff
+      if (b > a) self(i) = other(i)
+      i += 1
+    }
+  }
+
+  def reset(): Unit = java.util.Arrays.fill(registers, 0.toByte)
+
+  def emptyBuckets: Int = {
+    var c = 0; var i = 0; val n = m
+    while (i < n) { if (registers(i) == 0) c += 1; i += 1 }
+    c
+  }
+
+  def setBuckets: Int = m - emptyBuckets
+
+  def copy(): HllSketch = new HllSketch(p, registers.clone(), hashSeed)
+
+  // ---------------------------------------------------------------------
+  // Estimators (hll_raw.hpp:278-347, hll.hpp:156-191)
+  // ---------------------------------------------------------------------
+
+  private def alpha: Double = p match {
+    case 4 => 0.673
+    case 5 => 0.697
+    case 6 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m.toDouble)
+  }
+
+  /** 1/2^pow via exponent-bit decrement — exact port of `fast_inv_pow2`
+    * (`/root/reference/SOURCES/include/hll_utils.hpp:17-21`); exact for
+    * any register value 0..255 including denormal range.
+    */
+  @inline private def invPow2(pow: Int): Double =
+    java.lang.Double.longBitsToDouble(0x3ff0000000000000L - (pow.toLong << 52))
+
+  /** Raw Flajolet estimate, llround'd (hll_raw.hpp:278-290). */
+  def rawEstimate: Long = {
+    var harmonic = 0.0
+    var i = 0; val n = m
+    while (i < n) { harmonic += invPow2(registers(i) & 0xff); i += 1 }
+    Math.round(alpha * (n.toDouble / harmonic) * n.toDouble)
+  }
+
+  /** LogLog-Beta estimate (hll_raw.hpp:330-347, arXiv:1612.02284). */
+  def betaEstimate: Long = {
+    var harmonic = 0.0
+    var zeroes = 0L
+    var i = 0; val n = m
+    while (i < n) {
+      val r = registers(i) & 0xff
+      if (r == 0) zeroes += 1
+      harmonic += invPow2(r)
+      i += 1
+    }
+    val hm = n.toDouble / (harmonic + beta(zeroes))
+    Math.round(alpha * hm * (n.toDouble - zeroes))
+  }
+
+  /** β(z) polynomial in ln(z+1) (hll_raw.hpp:311-323). */
+  private def beta(z: Long): Double = {
+    if (z == 0L) return 0.0
+    val c = BetaConstants(p - 4)
+    var result = c(0) * z.toDouble
+    val zl = math.log(z.toDouble + 1)
+    var i = 1
+    while (i < 8) { result += math.pow(zl, i.toDouble) * c(i); i += 1 }
+    result
+  }
+
+  /** Composed HLL++ estimator (hll.hpp:165-191): bias correction below 5m,
+    * linear counting over the registers' own zero count below the
+    * per-precision threshold. The LC branch TRUNCATES (C++ double→uint64
+    * cast), it does not round — SURVEY.md §7.3 item 1.
+    */
+  def estimate: Long = {
+    val e = rawEstimate
+    val ee = if (e <= 5L * m) BiasCorrection.estimate(e, p) else e
+    val empty = emptyBuckets
+    val h =
+      if (empty != 0) (m.toDouble * math.log(m.toDouble / empty.toDouble)).toLong
+      else ee
+    if (h <= LinearCountingThreshold(p - 4)) h else ee
+  }
+}
+
+object HllSketch {
+  final val MinPrecision = 4
+  final val MaxPrecision = 18
+
+  /** Empirical LC-vs-bias-corrected switch thresholds for p=4..18, from the
+    * HLL++ paper appendix (reference copy:
+    * `/root/reference/SOURCES/src/hll-criteo/linear_counting.cpp:118-119`).
+    */
+  final val LinearCountingThreshold: Array[Long] = Array(
+    10L, 20L, 40L, 80L, 220L, 400L, 900L, 1800L, 3100L, 6500L, 11500L,
+    20000L, 50000L, 120000L, 350000L)
+
+  /** LogLog-Beta polynomial coefficients per precision 4..18, published in
+    * the LogLog-Beta paper appendix (arXiv:1612.02284); same values the
+    * reference embeds (hll_raw.hpp:55-86).
+    */
+  final val BetaConstants: Array[Array[Double]] = Array(
+    Array(129.811426122, -127.758849345, -144.856462515, 185.084979526, -13.2281686587, 43.5841078986, -383.603665383, 154.492845304),
+    Array(-13.0055889181, 8.58672362771, 9.72695761533, 16.5156287003, -17.0875475369, -4.31703226621, 10.912981826, -3.12448718477),
+    Array(1733.13875391, -1699.65637955, -1001.35164911, -79.5001457157, -232.449115309, 48.0467680133, -13.4033856565, 0.0432949807375),
+    Array(-683.172241152, 699.316157869, 275.507508944, 219.266866262, -57.9057954518, 44.5955453694, -8.46896092799, 1.1725158865),
+    Array(-19.2122824148, 16.5377254144, 12.9159210689, 5.15486460551, -3.55567694845, 2.41367059785, -0.485452949344, 0.0512917786702),
+    Array(-4.85617520421, 3.35826651543, 2.90853842731, 2.93901916626, -2.37054651785, 1.1737214086, -0.22118210602, 0.0191092511669),
+    Array(-3.11898253134, 9.25125002906, -17.8005229174, 21.5341553715, -10.8362087112, 3.00000412385, -0.408463351115, 0.0245033071993),
+    Array(-0.172965890626, -8.81246455315, 21.0409860425, -16.7375649792, 6.44544077588, -1.30921425783, 0.136002575029, -0.0058234826948),
+    Array(-0.356378277813, 3.24074126277, -5.90931639379, 4.23324241571, -1.3182929368, 0.208792006071, -0.0152184183956, 0.000471786845185),
+    Array(-0.382200101569, 1.80366843702, -2.96538207991, 2.36112694627, -0.822043918775, 0.158042001067, -0.0150086424267, 0.000708114274487),
+    Array(-3.70393914146161e-01, 7.04718232678681e-02, 1.73936855679645e-01, 1.63398393221669e-01, -9.23774466279541e-02, 3.73802699931568e-02, -5.38415897770915e-03, 4.24187633936774e-04),
+    Array(-0.560387006169, 59.8108631214, -120.370073477, 86.0699330472, -28.9537963009, 5.03900955483, -0.439967193352, 0.0157440364892),
+    Array(-0.391416234743, 1.85229689725, -8.882746972, 7.48086624254, -2.80472962045, 0.568918604145, -0.0583909163033, 0.00261029795878),
+    Array(-0.339120524001, -72.1994426957, 113.185471625, -62.8282169476, 16.6562758098, -2.26144354617, 0.150939847827, -0.0036642817302),
+    Array(-0.372494978401, 39.9302213478, -69.8219564407, 43.7971215279, -13.1312309526, 2.0820456299, -0.1696126329, 0.00591592212173))
+
+  def empty(p: Int, hashSeed: Int = Murmur64A.DefaultSeed): HllSketch = {
+    require(p >= MinPrecision && p <= MaxPrecision,
+      "precision has to be between 4 and 18")
+    new HllSketch(p, new Array[Byte](1 << p), hashSeed)
+  }
+
+  /** Wrap an existing register array (no copy) — codec internal. */
+  private[core] def wrap(p: Int, regs: Array[Byte], hashSeed: Int): HllSketch = {
+    require(regs.length == (1 << p))
+    new HllSketch(p, regs, hashSeed)
+  }
+}

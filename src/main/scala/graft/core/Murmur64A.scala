@@ -1,0 +1,98 @@
+package graft.core
+
+/** 64-bit Murmur64A *variant* used by the reference for all HLL hashing.
+  *
+  * Semantics match `/root/reference/SOURCES/include/hll-criteo/murmur_hash.hpp:16-34`:
+  * single 8-byte key, and — unlike standard MurmurHash64A — the finalizer
+  * multiplies `h *= m` TWICE after mixing in the key block
+  * (murmur_hash.hpp:27-28). Golden vectors in FIXTURES.md §1 pin this down
+  * (e.g. hash(42, defaultSeed) == 0x586582f1acbda58dL).
+  *
+  * JVM Long arithmetic is two's-complement wrap-around, which is exactly
+  * C++ unsigned 64-bit modular arithmetic; `>>>` replaces the unsigned shift.
+  */
+object Murmur64A {
+  final val DefaultSeed: Int = 27072015
+  private final val M = 0xc6a4a7935bd1e995L
+  private final val R = 47
+
+  /** Hash one 64-bit value. Int inputs widen (zero semantics match the
+    * reference's uint32 overload, murmur_hash.hpp:36-42).
+    */
+  def hash(value: Long, seed: Int = DefaultSeed): Long = {
+    var h = (seed.toLong & 0xffffffffL) ^ (8L * M)
+    var k = value
+    k *= M
+    k ^= k >>> R
+    k *= M
+    h ^= k
+    h *= M
+    h *= M // intentional doubled multiply — reference quirk, see Scaladoc
+    h ^= h >>> R
+    h *= M
+    h ^= h >>> R
+    h
+  }
+
+  /** String/bytes hashing extension point (SURVEY.md §7.5): the reference
+    * only hashes integers; for string columns we hash UTF-8 bytes with the
+    * x64 variant of MurmurHash3's first 64 bits — implemented from the
+    * published algorithm (Appleby, public domain), same default seed.
+    */
+  def hashBytes(data: Array[Byte], seed: Int = DefaultSeed): Long = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    val len = data.length
+    var h1 = seed.toLong & 0xffffffffL
+    var h2 = h1
+    val nblocks = len / 16
+    var i = 0
+    while (i < nblocks) {
+      var k1 = getLongLE(data, i * 16)
+      var k2 = getLongLE(data, i * 16 + 8)
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = java.lang.Long.rotateLeft(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = java.lang.Long.rotateLeft(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      i += 1
+    }
+    val tail = nblocks * 16
+    var k1 = 0L
+    var k2 = 0L
+    val rem = len & 15
+    if (rem >= 9) {
+      var j = rem - 1
+      while (j >= 8) { k2 ^= (data(tail + j) & 0xffL) << ((j - 8) * 8); j -= 1 }
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+    }
+    if (rem >= 1) {
+      var j = math.min(rem, 8) - 1
+      while (j >= 0) { k1 ^= (data(tail + j) & 0xffL) << (j * 8); j -= 1 }
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= len.toLong; h2 ^= len.toLong
+    h1 += h2; h2 += h1
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 += h2
+    h1
+  }
+
+  def hashString(s: String, seed: Int = DefaultSeed): Long =
+    hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+
+  private def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33
+    k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33
+    k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33
+    k
+  }
+
+  private def getLongLE(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) | ((b(off + 2) & 0xffL) << 16) |
+      ((b(off + 3) & 0xffL) << 24) | ((b(off + 4) & 0xffL) << 32) |
+      ((b(off + 5) & 0xffL) << 40) | ((b(off + 6) & 0xffL) << 48) |
+      ((b(off + 7) & 0xffL) << 56)
+}
