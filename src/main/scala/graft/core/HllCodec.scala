@@ -152,6 +152,13 @@ object HllCodec {
 
   /** Deserialize + max-merge in one pass ("fold", hll.hpp:58-79). Keeps the
     * reference's validation conditions and error messages.
+    *
+    * Note (reference-exact): the wire header carries no precision field and
+    * the length checks are lower bounds only, so folding a LARGER-precision
+    * dense payload into a smaller sketch is silently accepted (and
+    * meaningless), in the reference as here; sparse payloads do reject
+    * out-of-range bucket ids. Callers must track precision out-of-band,
+    * as the reference's UDAF parameters do.
     */
   def foldInto(sketch: HllSketch, bytes: Array[Byte]): Unit = {
     if (bytes.length < HeaderSize)

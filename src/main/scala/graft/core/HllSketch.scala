@@ -68,6 +68,12 @@ final class HllSketch private (
     this
   }
 
+  /** Max-merge a bare register array of the same precision (no header). */
+  def mergeRegistersPublic(other: Array[Byte]): Unit = {
+    require(other.length == m, "Synopsis are in different format")
+    mergeRegisters(other)
+  }
+
   private[core] def mergeRegisters(other: Array[Byte]): Unit = {
     val n = m
     val self = registers
@@ -199,8 +205,8 @@ object HllSketch {
     new HllSketch(p, new Array[Byte](1 << p), hashSeed)
   }
 
-  /** Wrap an existing register array (no copy) — codec internal. */
-  private[core] def wrap(p: Int, regs: Array[Byte], hashSeed: Int): HllSketch = {
+  /** Wrap an existing register array (no copy — mutations are shared). */
+  def wrap(p: Int, regs: Array[Byte], hashSeed: Int = Murmur64A.DefaultSeed): HllSketch = {
     require(regs.length == (1 << p))
     new HllSketch(p, regs, hashSeed)
   }

@@ -1,0 +1,84 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Common-Crawl-style web-pages table
+  * (`url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING` —
+  * BASELINE.json input_hint), synthesized as a pure columnar function of
+  * row id + seed so every executor regenerates identical data with zero I/O
+  * and the generation itself is whole-stage-codegen'd and scales linearly
+  * with parallelism.
+  *
+  * Design properties (FIXTURES.md §5):
+  *   - exactly `distinctUrls` distinct urls when rows ≥ distinctUrls
+  *     (url id = rowId % distinctUrls) → cheap exact oracles;
+  *   - host drawn Zipf-like over `hosts` hosts via rank = floor(H^u)
+  *     (P(rank=k) ∝ 1/k) → deliberate skew for salting tests;
+  *   - `text` and `html` byte-identical deterministic functions of the url
+  *     (per-row invariant required by input_hint), with a skewed text-length
+  *     distribution for quantile-sketch tests;
+  *   - `lang` categorical over 40 codes, "en"-heavy Zipf-like;
+  *   - `warc_ts` spread over `days` days for range partitioning.
+  */
+object WebPages {
+
+  val Langs: Seq[String] = Seq(
+    "en", "zh", "es", "de", "fr", "ja", "ru", "pt", "it", "nl",
+    "pl", "tr", "vi", "id", "ko", "ar", "fa", "cs", "sv", "el",
+    "ro", "hu", "da", "fi", "th", "uk", "no", "he", "hi", "sk",
+    "bg", "lt", "hr", "sr", "sl", "et", "lv", "ms", "bn", "ta")
+
+  /** Base epoch for warc_ts: 2024-01-01T00:00:00Z. */
+  val BaseEpoch: Long = 1704067200L
+
+  def generate(
+      spark: SparkSession,
+      rows: Long,
+      distinctUrls: Long,
+      hosts: Int = 1000,
+      days: Int = 30,
+      seed: Long = 42L): DataFrame = {
+    val langArray = array(Langs.map(lit): _*)
+    spark.range(0L, rows, 1L)
+      .withColumn("url_id", col("id") % distinctUrls)
+      // deterministic 64-bit mix of (url_id, seed) — xxhash64 is a Spark
+      // built-in, codegen'd, stable across versions
+      .withColumn("h", xxhash64(col("url_id"), lit(seed)))
+      // uniform(0,1) from the hash
+      .withColumn("u", (pmod(col("h"), lit(1000000L))).cast("double") / 1000000.0)
+      // Zipf-ish host rank in [1, hosts]: P(rank=k) ∝ 1/k
+      .withColumn("host_rank",
+        least(floor(pow(lit(hosts.toDouble), col("u"))).cast("long") + 1, lit(hosts.toLong)))
+      .withColumn("url",
+        concat(lit("https://host"), col("host_rank"), lit(".example.com/p/"), col("url_id")))
+      // lang: Zipf-ish over 40 codes from an independent hash of the url id
+      .withColumn("h2", xxhash64(col("url_id"), lit(seed + 1)))
+      .withColumn("u2", (pmod(col("h2"), lit(1000000L))).cast("double") / 1000000.0)
+      .withColumn("lang_rank",
+        least(floor(pow(lit(Langs.size.toDouble), col("u2"))).cast("int") + 1, lit(Langs.size)))
+      .withColumn("lang", element_at(langArray, col("lang_rank")))
+      // text: byte-identical function of url; length skewed 65..2080 chars
+      .withColumn("text_reps", (pmod(xxhash64(col("url")), lit(32L)) + 1).cast("int"))
+      .withColumn("text",
+        repeat(concat(substring(sha2(col("url"), 256), 1, 64), lit(" ")), col("text_reps")))
+      .withColumn("html",
+        encode(concat(lit("<html><body>"), col("text"), lit("</body></html>")), "UTF-8"))
+      // warc_ts: day from url hash, second-of-day from the row id (a url can
+      // be crawled repeatedly; the day bucket is stable per url)
+      .withColumn("warc_ts",
+        timestamp_seconds(lit(BaseEpoch)
+          + pmod(col("h"), lit(days.toLong)) * 86400L + pmod(col("id"), lit(86400L))))
+      .select("url", "warc_ts", "html", "text", "lang")
+  }
+
+  /** Iceberg-style physical layout on plain Parquet (SURVEY.md §7.6):
+    * date-range partition dirs + url-hash bucket column.
+    */
+  def writePartitioned(df: DataFrame, path: String, buckets: Int = 16): Unit =
+    df.withColumn("warc_date", to_date(col("warc_ts")))
+      .withColumn("url_bucket", pmod(xxhash64(col("url")), lit(buckets.toLong)).cast("int"))
+      .write.mode("overwrite")
+      .partitionBy("warc_date", "url_bucket")
+      .parquet(path)
+}

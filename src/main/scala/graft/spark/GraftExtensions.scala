@@ -1,0 +1,85 @@
+package graft.spark
+
+import graft.core.{HllFormat, Murmur64A}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL-name registration for the sketch functions — the Spark analog of the
+  * reference's `CREATE AGGREGATE FUNCTION … NAME '…Factory'` DDL
+  * (`/root/reference/SOURCES/install.sql:1-26`).
+  *
+  * Use either:
+  *   - `spark.sql.extensions=graft.spark.GraftExtensions` (spark-submit), or
+  *   - `GraftExtensions.register(spark)` on an existing session.
+  *
+  * SQL shapes (optional trailing int args, defaults p=12, bitsPerBucket=6,
+  * matching hll_vertica.hpp:7-13):
+  *   hll_create_synopsis(x[, p[, bitsPerBucket]])
+  *   hll_distinct_count(synopsis[, p])
+  *   hll_combine(synopsis[, p[, bitsPerBucket]])
+  *   loglogbeta_distinct_count(synopsis[, p])
+  *   hll_approx_count_distinct(x[, p])
+  *   hll_estimate(synopsis[, p]) / loglogbeta_estimate(synopsis[, p])
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  // The reference's Vertica wrapper validates p in [1,16] (values 1..3 then
+  // fail in core's constructor — hll_vertica.hpp:9-10); we reproduce that
+  // boundary behavior at the SQL layer.
+  private def intArg(args: Seq[Expression], idx: Int, default: Int, name: String): Int =
+    if (args.length > idx) args(idx) match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$name must be an integer literal, got $other")
+    } else default
+
+  private def precision(args: Seq[Expression], idx: Int): Int = {
+    val p = intArg(args, idx, 12, "hllLeadingBits")
+    if (p < 1 || p > 16) throw new IllegalArgumentException(
+      "The value of hllLeadingBits must be in range [1, 16]")
+    p // 1..3 subsequently rejected by core, like the reference
+  }
+
+  private def fmt(args: Seq[Expression], idx: Int): HllFormat =
+    HllFormat.fromBitsPerBucket(intArg(args, idx, 6, "bitsPerBucket"))
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def agg(mode: HllAggMode, withFormat: Boolean): Builder = { args =>
+    require(args.nonEmpty, s"${mode.sqlName} requires an input column")
+    HllSketchAgg(args.head, precision(args, 1),
+      if (withFormat) fmt(args, 2) else HllFormat.Dense6, mode,
+      Murmur64A.DefaultSeed)
+  }
+
+  private[graft] val builders: Seq[(String, Builder)] = Seq(
+    "hll_create_synopsis" -> agg(HllAggMode.CreateSynopsis, withFormat = true),
+    "hll_distinct_count" -> agg(HllAggMode.DistinctCount, withFormat = false),
+    "hll_combine" -> agg(HllAggMode.Combine, withFormat = true),
+    "loglogbeta_distinct_count" -> agg(HllAggMode.BetaDistinctCount, withFormat = false),
+    "hll_approx_count_distinct" -> agg(HllAggMode.DistinctCountFromValues, withFormat = false),
+    "hll_estimate" -> { args =>
+      HllEstimateExpr(args.head, precision(args, 1), beta = false) },
+    "loglogbeta_estimate" -> { args =>
+      HllEstimateExpr(args.head, precision(args, 1), beta = true) })
+
+  private def descriptions = builders.map { case (name, builder) =>
+    (FunctionIdentifier(name),
+      new ExpressionInfo("graft.spark.HllSketchAgg", name),
+      builder)
+  }
+
+  /** Imperative registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -1,0 +1,176 @@
+package graft.spark
+
+import graft.core._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The four reference UDAFs as eval modes of one aggregate
+  * (`/root/reference/SOURCES/src/hll-criteo/{HllCreateSynopsis,
+  * HllDistinctCount,HllCombine,LogLogBetaDistinctCount}.cpp` share the same
+  * init/aggregate/combine skeleton and differ only at terminate).
+  */
+sealed abstract class HllAggMode(val sqlName: String, val hashesRawInput: Boolean)
+object HllAggMode {
+  /** raw values in → serialized synopsis out (A1) */
+  case object CreateSynopsis extends HllAggMode("hll_create_synopsis", true)
+  /** synopses in → HLL++ estimate out (A2) */
+  case object DistinctCount extends HllAggMode("hll_distinct_count", false)
+  /** synopses in → merged synopsis out (A3) */
+  case object Combine extends HllAggMode("hll_combine", false)
+  /** synopses in → LogLog-Beta estimate out (A4) */
+  case object BetaDistinctCount extends HllAggMode("loglogbeta_distinct_count", false)
+  /** convenience fusion: raw values in → estimate out (reference achieves
+    * this with a nested call, tests/integration/04_nested_call.sql)
+    */
+  case object DistinctCountFromValues extends HllAggMode("hll_approx_count_distinct", true)
+}
+
+/** Mergeable HyperLogLog aggregate.
+  *
+  * Partial/final planning, map-side combine, and shuffle of the serialized
+  * buffer are all supplied by Catalyst (`ObjectHashAggregateExec` pairs
+  * around the exchange) — exactly the two-phase structure the reference
+  * implements by hand for Vertica (SURVEY.md §3.1). The shuffle
+  * representation is the reference wire format itself with the
+  * sparse-if-smaller policy, which (unlike the reference's fixed dense
+  * intermediate) keeps low-cardinality groups at ≤773 bytes on the wire —
+  * a deliberate at-scale improvement, legal because fold() is header-driven.
+  *
+  * Merge is associative/commutative/idempotent max, so AQE re-planning,
+  * skew salting, and arbitrary partitioning are all semantics-preserving;
+  * final serialized sketches are byte-identical across merge orders
+  * (reference-verified, FIXTURES.md §3).
+  */
+case class HllSketchAgg(
+    child: Expression,
+    p: Int = 12,
+    denseFormat: HllFormat = HllFormat.Dense6,
+    mode: HllAggMode = HllAggMode.CreateSynopsis,
+    hashSeed: Int = Murmur64A.DefaultSeed,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllSketch] with UnaryLike[Expression] {
+
+  // The reference's SQL wrapper caps p at 16 (hll_vertica.hpp:9-10) while
+  // core supports 18; we expose core's range and validate here.
+  require(p >= HllSketch.MinPrecision && p <= HllSketch.MaxPrecision,
+    "precision has to be between 4 and 18")
+
+  override def prettyName: String = mode.sqlName
+
+  override def dataType: DataType = mode match {
+    case HllAggMode.CreateSynopsis | HllAggMode.Combine => BinaryType
+    case _ => LongType
+  }
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok =
+      if (mode.hashesRawInput)
+        child.dataType match {
+          case LongType | IntegerType | ShortType | ByteType | StringType | BinaryType => true
+          case _ => false
+        }
+      else child.dataType == BinaryType
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${mode.sqlName} does not support input of type ${child.dataType.catalogString}")
+  }
+
+  override def createAggregationBuffer(): HllSketch = HllSketch.empty(p, hashSeed)
+
+  override def update(buffer: HllSketch, input: InternalRow): HllSketch = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (mode.hashesRawInput) {
+        child.dataType match {
+          case LongType => buffer.addLong(v.asInstanceOf[Long])
+          // integral types widen with ZERO-extension, matching the
+          // reference's uint32→uint64 overload (murmur_hash.hpp:36-42)
+          case IntegerType => buffer.addLong(v.asInstanceOf[Int].toLong & 0xffffffffL)
+          case ShortType => buffer.addLong(v.asInstanceOf[Short].toLong & 0xffffL)
+          case ByteType => buffer.addLong(v.asInstanceOf[Byte].toLong & 0xffL)
+          case StringType => buffer.addBytes(v.asInstanceOf[UTF8String].getBytes)
+          case BinaryType => buffer.addBytes(v.asInstanceOf[Array[Byte]])
+          case other => throw new IllegalStateException(s"unsupported type $other")
+        }
+      } else {
+        HllCodec.foldInto(buffer, v.asInstanceOf[Array[Byte]])
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: HllSketch, input: HllSketch): HllSketch =
+    buffer.merge(input)
+
+  override def eval(buffer: HllSketch): Any = mode match {
+    case HllAggMode.CreateSynopsis | HllAggMode.Combine =>
+      HllCodec.serializeAuto(buffer, denseFormat)
+    case HllAggMode.DistinctCount | HllAggMode.DistinctCountFromValues =>
+      buffer.estimate
+    case HllAggMode.BetaDistinctCount =>
+      buffer.betaEstimate
+  }
+
+  /** Shuffle codec: the reference wire format, sparse-if-smaller. */
+  override def serialize(buffer: HllSketch): Array[Byte] =
+    HllCodec.serializeAuto(buffer, HllFormat.Normal)
+
+  override def deserialize(bytes: Array[Byte]): HllSketch =
+    HllCodec.deserialize(p, bytes, hashSeed)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+}
+
+/** Column-API facade mirroring the reference's four SQL functions plus the
+  * fused estimate (SURVEY.md §2.1). Default p=12 and 6-bit dense format
+  * match the reference defaults (hll_vertica.hpp:7-13).
+  */
+object functions {
+  private def agg(e: Expression, p: Int, fmt: HllFormat, mode: HllAggMode): Column =
+    Bridge.column(
+      HllSketchAgg(e, p, fmt, mode).toAggregateExpression(isDistinct = false))
+
+  private def expr(c: Column): Expression = Bridge.expression(c)
+
+  /** A1: values → serialized synopsis (VARBINARY equivalent). */
+  def hll_create_synopsis(col: Column, p: Int = 12, bitsPerBucket: Int = 6): Column =
+    agg(expr(col), p, HllFormat.fromBitsPerBucket(bitsPerBucket), HllAggMode.CreateSynopsis)
+
+  /** A2: synopses → HLL++ distinct estimate. */
+  def hll_distinct_count(col: Column, p: Int = 12): Column =
+    agg(expr(col), p, HllFormat.Dense6, HllAggMode.DistinctCount)
+
+  /** A3: synopses → merged synopsis. */
+  def hll_combine(col: Column, p: Int = 12, bitsPerBucket: Int = 6): Column =
+    agg(expr(col), p, HllFormat.fromBitsPerBucket(bitsPerBucket), HllAggMode.Combine)
+
+  /** A4: synopses → LogLog-Beta distinct estimate. */
+  def loglogbeta_distinct_count(col: Column, p: Int = 12): Column =
+    agg(expr(col), p, HllFormat.Dense6, HllAggMode.BetaDistinctCount)
+
+  /** Fused A1+A2 (reference nested-call shape, 04_nested_call.sql). */
+  def hll_approx_count_distinct(col: Column, p: Int = 12): Column =
+    agg(expr(col), p, HllFormat.Dense6, HllAggMode.DistinctCountFromValues)
+
+  /** Scalar: estimate a single stored synopsis without aggregation. */
+  def hll_estimate(col: Column, p: Int = 12): Column =
+    Bridge.column(HllEstimateExpr(expr(col), p, beta = false))
+
+  def loglogbeta_estimate(col: Column, p: Int = 12): Column =
+    Bridge.column(HllEstimateExpr(expr(col), p, beta = true))
+}

@@ -1,0 +1,64 @@
+package graft.spark
+
+import graft.core.{HllCodec, HllFormat, HllSketch, Murmur64A}
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed `Dataset` facade over the sketch (SURVEY.md §7.1 item 5).
+  *
+  * The buffer is the raw dense register array (`2^p` bytes) with the
+  * standard binary encoder, so Tungsten stores it unboxed; merge is the
+  * same elementwise max as the Catalyst aggregate. Use with
+  * `ds.groupByKey(...).agg(HllAggregators.distinctCount[T](_.key).toColumn)`.
+  */
+abstract class HllAggregatorBase[IN, OUT](p: Int, hashSeed: Int)
+  extends Aggregator[IN, Array[Byte], OUT] {
+
+  protected def hashOf(in: IN): Long
+
+  final override def zero: Array[Byte] = new Array[Byte](1 << p)
+
+  final override def reduce(buf: Array[Byte], in: IN): Array[Byte] = {
+    HllSketch.wrap(p, buf, hashSeed).addHash(hashOf(in))
+    buf
+  }
+
+  final override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    HllSketch.wrap(p, a, hashSeed).mergeRegistersPublic(b)
+    a
+  }
+
+  final override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}
+
+object HllAggregators {
+
+  /** Typed distinct-count: extract a Long key per element. */
+  def distinctCountLong[IN](f: IN => Long, p: Int = 12,
+      hashSeed: Int = Murmur64A.DefaultSeed): Aggregator[IN, Array[Byte], Long] =
+    new HllAggregatorBase[IN, Long](p, hashSeed) {
+      protected def hashOf(in: IN): Long = Murmur64A.hash(f(in), hashSeed)
+      override def finish(buf: Array[Byte]): Long = HllSketch.wrap(p, buf, hashSeed).estimate
+      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+
+  /** Typed distinct-count over a String key. */
+  def distinctCountString[IN](f: IN => String, p: Int = 12,
+      hashSeed: Int = Murmur64A.DefaultSeed): Aggregator[IN, Array[Byte], Long] =
+    new HllAggregatorBase[IN, Long](p, hashSeed) {
+      protected def hashOf(in: IN): Long = Murmur64A.hashString(f(in), hashSeed)
+      override def finish(buf: Array[Byte]): Long = HllSketch.wrap(p, buf, hashSeed).estimate
+      override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+
+  /** Typed synopsis builder: emits reference wire bytes. */
+  def synopsisLong[IN](f: IN => Long, p: Int = 12,
+      dense: HllFormat = HllFormat.Dense6,
+      hashSeed: Int = Murmur64A.DefaultSeed): Aggregator[IN, Array[Byte], Array[Byte]] =
+    new HllAggregatorBase[IN, Array[Byte]](p, hashSeed) {
+      protected def hashOf(in: IN): Long = Murmur64A.hash(f(in), hashSeed)
+      override def finish(buf: Array[Byte]): Array[Byte] =
+        HllCodec.serializeAuto(HllSketch.wrap(p, buf, hashSeed), dense)
+      override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+    }
+}

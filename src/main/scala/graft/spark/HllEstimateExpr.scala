@@ -1,0 +1,46 @@
+package graft.spark
+
+import graft.core.{HllCodec, HllSketch}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+
+/** Scalar estimate of one stored synopsis — lets users query pre-aggregated
+  * sketch tables row-by-row without a re-aggregation (the reference exposes
+  * this only through a 1-row aggregate; a native codegen'd scalar is the
+  * Spark-idiomatic shape).
+  */
+case class HllEstimateExpr(child: Expression, p: Int, beta: Boolean)
+  extends UnaryExpression {
+
+  require(p >= HllSketch.MinPrecision && p <= HllSketch.MaxPrecision,
+    "precision has to be between 4 and 18")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary synopsis column, got ${child.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = if (beta) "loglogbeta_estimate" else "hll_estimate"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HllEstimateExpr.estimate(input.asInstanceOf[Array[Byte]], p, beta)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, bytes =>
+      s"graft.spark.HllEstimateExpr.estimate($bytes, $p, $beta)")
+
+  override protected def withNewChildInternal(newChild: Expression): HllEstimateExpr =
+    copy(child = newChild)
+}
+
+object HllEstimateExpr {
+  /** Codegen entry point — must stay public + static-shaped. */
+  def estimate(bytes: Array[Byte], p: Int, beta: Boolean): Long = {
+    val s = HllCodec.deserialize(p, bytes)
+    if (beta) s.betaEstimate else s.estimate
+  }
+}

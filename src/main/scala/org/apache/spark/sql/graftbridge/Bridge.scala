@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Access shim for Spark's `private[sql]` Column↔Expression converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`) — the supported way for
+  * external Catalyst expressions to surface as `Column`s in Spark 4.x.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,27 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.{BeforeAndAfterAll, Suite}
+
+trait SparkTestBase extends BeforeAndAfterAll { self: Suite =>
+
+  lazy val spark: SparkSession = SparkTestBase.session
+
+  override def afterAll(): Unit = super.afterAll()
+}
+
+object SparkTestBase {
+  // one session for the whole forked test JVM
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
