@@ -1,13 +1,196 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.spark.{functions => gf}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a same-column-name oracle in `oracleSql`
+  * (ANSI SQL for DuckDB) unless the operator is not SQL-expressible, in
+  * which case the driver records a rows-only check.
+  *
+  * Sketch estimates are deterministic but not DuckDB-computable, so sketch
+  * queries emit the EXACT value (computed with Spark's exact aggregate)
+  * alongside booleans asserting the sketch agrees within the published
+  * bound — the oracle then checks the exact value and `TRUE` literals.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** err(approx, exact) <= bound, null-safe for exact=0. */
+  private def withinBound(approx: Column, exact: Column, bound: Double): Column =
+    when(exact === 0L, approx === 0L)
+      .otherwise(abs(approx.cast("double") - exact.cast("double")) / exact.cast("double") <= bound)
+
+  // 1.04/sqrt(2^p) — the north-rule error bound at each precision
+  private val boundP14 = 1.04 / math.sqrt((1 << 14).toDouble)
+  private val boundP16 = 1.04 / math.sqrt((1 << 16).toDouble)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_hll_orders")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- host-engine surface (SURVEY.md §2.3) — exact oracles ----
+    "q_agg_pricing" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt_all"),
+          sum("l_quantity").cast("long").as("sum_qty"),
+          countDistinct("l_orderkey").as("dc_orders"))),
+
+    "q_filter_project" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") > 45 && col("l_returnflag") === "A")
+        .select("l_orderkey", "l_linenumber", "l_quantity")),
+
+    "q_join_region" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("cnt_cust"), countDistinct("c_custkey").as("dc_cust"))),
+
+    "q_scalar_datetime" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("cnt_ev"), countDistinct("user_id").as("dc_users"))),
+
+    "q_union" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      ev.filter(col("event_type") === "click")
+        .unionAll(ev.filter(col("value") > 90.0))
+        .groupBy("event_type").agg(count(lit(1)).as("cnt_ev"))
+    }),
+
+    "q_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)),
+
+    "q_window_rank" -> ((s, d) =>
+      t(s, d, "customer")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("c_nationkey")
+            .orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+        .filter(col("rn") <= 3)
+        .select("c_nationkey", "rn", "c_custkey")),
+
+    "q_exact_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("dc_parts"))),
+
+    // ---- the reference library itself (SURVEY.md §2.1) ----
+    // per-group estimate vs exact, within the published bound
+    "q_hll_orders" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_orderkey").as("exact_dc"),
+          gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("est_dc"))
+        .select(col("l_returnflag"), col("exact_dc"),
+          withinBound(col("est_dc"), col("exact_dc"), boundP16).as("within_bound"))),
+
+    "q_hll_users" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_dc"),
+          gf.hll_approx_count_distinct(col("user_id"), p = 14).as("est_dc"),
+          gf.hll_create_synopsis(col("user_id"), p = 14).as("syn"))
+        .select(col("event_type"), col("exact_dc"),
+          withinBound(col("est_dc"), col("exact_dc"), boundP14).as("within_bound"),
+          withinBound(gf.loglogbeta_estimate(col("syn"), p = 14), col("exact_dc"),
+            boundP14).as("beta_within_bound"))),
+
+    // build synopses per (flag, status), roll up per flag (the reference's
+    // README.md:284-292 re-aggregation pattern), assert: rollup == direct
+    // fused estimate (merge associativity) AND within bound of exact
+    "q_hll_rollup" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val perStatus = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("syn"))
+      val rolled = perStatus.groupBy("l_returnflag")
+        .agg(gf.hll_distinct_count(col("syn"), p = 16).as("rolled_dc"))
+      val direct = li.groupBy("l_returnflag")
+        .agg(gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("direct_dc"),
+          countDistinct("l_orderkey").as("exact_dc"))
+      rolled.join(direct, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_dc"),
+          (col("rolled_dc") === col("direct_dc")).as("merge_consistent"),
+          withinBound(col("rolled_dc"), col("exact_dc"), boundP16).as("within_bound"))
+    }),
+
+    // ---- training-data pipeline ops over documents ----
+    "q_dedup_exact" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt_docs"),
+          countDistinct(md5(col("text"))).as("dc_texts"),
+          countDistinct("source").as("dc_sources"))),
+
+    "q_token_count" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(sum(size(split(trim(col("text")), "\\s+"))).as("sum_tokens"),
+          max("n_chars").as("max_chars"),
+          count(lit(1)).as("cnt_docs"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt_all,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | count(DISTINCT l_orderkey) AS dc_orders
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'A'""".stripMargin,
+    "q_join_region" ->
+      """SELECT r_name, count(*) AS cnt_cust, count(DISTINCT c_custkey) AS dc_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey GROUP BY 1""".stripMargin,
+    "q_scalar_datetime" ->
+      """SELECT CAST(hour(ts) AS INT) AS h, count(*) AS cnt_ev,
+        | count(DISTINCT user_id) AS dc_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_union" ->
+      """SELECT event_type, count(*) AS cnt_ev FROM (
+        | SELECT * FROM events WHERE event_type = 'click'
+        | UNION ALL SELECT * FROM events WHERE value > 90.0
+        |) GROUP BY 1""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_nationkey, rn, c_custkey FROM (
+        | SELECT c_nationkey, c_custkey, CAST(row_number() OVER (
+        |   PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
+        | FROM customer) WHERE rn <= 3""".stripMargin,
+    "q_exact_distinct" ->
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS dc_parts FROM lineitem GROUP BY 1",
+    "q_hll_orders" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_dc,
+        | TRUE AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_hll_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_dc,
+        | TRUE AS within_bound, TRUE AS beta_within_bound
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_hll_rollup" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_dc,
+        | TRUE AS merge_consistent, TRUE AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT lang, count(*) AS cnt_docs, count(DISTINCT md5(text)) AS dc_texts,
+        | count(DISTINCT source) AS dc_sources
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_token_count" ->
+      """SELECT lang,
+        | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+        | max(n_chars) AS max_chars, count(*) AS cnt_docs
+        |FROM documents GROUP BY 1""".stripMargin)
 }

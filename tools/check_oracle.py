@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB over the same sf dir, compare against the parquet that graft.Verify
+wrote (schema by sorted column names, values by sorted-row hash)."""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{out_dir}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"MISSING {name}: no spark output"); fails += 1; continue
+    try:
+        odf = con.execute(sql).fetchdf()
+    except Exception as e:
+        print(f"ORACLE-ERR {name}: {e}"); fails += 1; continue
+    sdf = pq.read_table(glob.glob(f"{spark_dir}/*.parquet")[0]).to_pandas()
+    ocols, scols = sorted(odf.columns), sorted(sdf.columns)
+    if ocols != scols:
+        print(f"SCHEMA-MISMATCH {name}: oracle={ocols} spark={scols}"); fails += 1; continue
+    def norm(df):
+        d = df[sorted(df.columns)].copy()
+        rows = sorted(tuple(str(v) for v in r) for r in d.itertuples(index=False))
+        return rows
+    orows, srows = norm(odf), norm(sdf)
+    if orows != srows:
+        print(f"VALUE-MISMATCH {name}: {len(orows)} oracle rows vs {len(srows)} spark rows")
+        for a, b in list(zip(orows, srows))[:5]:
+            if a != b: print(f"  oracle={a}\n  spark ={b}")
+        fails += 1
+    else:
+        print(f"OK {name} ({len(orows)} rows)")
+sys.exit(1 if fails else 0)
