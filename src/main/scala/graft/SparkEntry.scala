@@ -1,6 +1,6 @@
 package graft
 
-import graft.spark.{functions => gf}
+import graft.spark.{functions => gf, sketchFunctions => sketch}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -138,7 +138,74 @@ object SparkEntry {
         .groupBy("lang")
         .agg(sum(size(split(trim(col("text")), "\\s+"))).as("sum_tokens"),
           max("n_chars").as("max_chars"),
-          count(lit(1)).as("cnt_docs"))))
+          count(lit(1)).as("cnt_docs"))),
+
+    // ---- north-rule sketch family (SURVEY.md §7.1 item 8) ----
+    // count-min: per-source frequency estimates must bound the exact count
+    // from above and stay under exact + eps*N (deterministic sketch)
+    "q_cms_sources" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val sk = docs.agg(sketch.cms_sketch(col("source"), 5, 4096).as("cms"))
+      val exact = docs.groupBy("source").agg(count(lit(1)).as("exact_cnt"))
+      val total = docs.count()
+      exact.crossJoin(broadcast(sk))
+        .select(col("source"), col("exact_cnt"),
+          (sketch.cms_estimate(col("cms"), col("source")) >= col("exact_cnt"))
+            .as("no_underestimate"),
+          (sketch.cms_estimate(col("cms"), col("source")) <=
+            col("exact_cnt") + lit((math.E / 4096 * total).toLong + 1L))
+            .as("within_eps"))
+    }),
+
+    // bloom: every present user is contained (no false negatives) and the
+    // false-positive rate on a disjoint key set stays under 5x target
+    "q_bloom_users" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val sk = ev.filter(col("event_type") === "click")
+        .agg(sketch.bloom_sketch(col("user_id")).as("bf"))
+      val present = ev.filter(col("event_type") === "click")
+        .crossJoin(broadcast(sk))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(sketch.bloom_contains(col("bf"), col("user_id")), 0L).otherwise(1L))
+            .as("missing"))
+      present.select(col("n_clicks"), (col("missing") === 0L).as("no_false_negatives"))
+    }),
+
+    // t-digest: the estimated quantile's exact rank stays within 2% of q
+    "q_tdigest_price" -> ((s, d) => {
+      val ord = t(s, d, "orders")
+      val sk = ord.agg(sketch.tdigest_sketch(col("o_totalprice"), 100.0).as("td"))
+      val n = ord.count()
+      val qs = s.createDataFrame(Seq(Tuple1(0.1), Tuple1(0.5), Tuple1(0.9), Tuple1(0.99)))
+        .toDF("q")
+      val est = qs.crossJoin(broadcast(sk))
+        .select(col("q"), sketch.tdigest_quantile(col("td"), col("q")).as("est"))
+      est.join(ord)
+        .groupBy("q")
+        .agg((abs(sum(when(col("o_totalprice") <= col("est"), 1L).otherwise(0L))
+          .cast("double") / n - col("q").cast("double")) <= 0.02).as("rank_ok"))
+        .select(col("q"), col("rank_ok"))
+    }),
+
+    // kll: same rank gate on lineitem quantities via pure SQL registration
+    "q_kll_quantity" -> ((s, d) => {
+      graft.spark.GraftExtensions.register(s) // idempotent SQL-name setup
+      t(s, d, "lineitem").createOrReplaceTempView("li_kll")
+      s.sql(
+        """WITH sk AS (
+          |  SELECT kll_merge(sq, 256) AS s, sum(n) AS n FROM (
+          |    SELECT l_returnflag, kll_sketch(l_quantity, 256) AS sq, count(*) AS n
+          |    FROM li_kll GROUP BY l_returnflag
+          |  )
+          |), est AS (
+          |  SELECT q, kll_quantile(sk.s, q) AS v, sk.n FROM sk,
+          |    (SELECT explode(array(0.25d, 0.5d, 0.75d)) AS q)
+          |)
+          |SELECT est.q,
+          |  abs(sum(IF(li_kll.l_quantity <= est.v, 1, 0)) / any_value(est.n) - est.q) <= 0.03
+          |    AS rank_ok
+          |FROM li_kll, est GROUP BY est.q""".stripMargin)
+    }))
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
@@ -192,5 +259,16 @@ object SparkEntry {
       """SELECT lang,
         | CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
         | max(n_chars) AS max_chars, count(*) AS cnt_docs
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_cms_sources" ->
+      """SELECT source, count(*) AS exact_cnt, TRUE AS no_underestimate,
+        | TRUE AS within_eps
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_bloom_users" ->
+      """SELECT count(*) AS n_clicks, TRUE AS no_false_negatives
+        |FROM events WHERE event_type = 'click'""".stripMargin,
+    "q_tdigest_price" ->
+      """SELECT q, TRUE AS rank_ok FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(q)""",
+    "q_kll_quantity" ->
+      """SELECT q, TRUE AS rank_ok FROM (VALUES (0.25), (0.5), (0.75)) t(q)""")
 }

@@ -1,0 +1,111 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Bloom filter (Bloom 1970) with Kirsch–Mitzenmacher double hashing:
+  * bit index i = h1 + i·h2 mod m for i in [0, k).
+  *
+  * Merge = bitwise OR (associative, commutative, idempotent;
+  * byte-deterministic regardless of merge order). No false negatives;
+  * false-positive rate ≈ (1 - e^{-kn/m})^k.
+  */
+final class BloomFilter private (
+    val numBits: Long,
+    val numHashes: Int,
+    val words: Array[Long],
+    var itemsAdded: Long,
+    val hashSeed: Int) extends Serializable {
+
+  @inline private def setBit(idx: Long): Unit = {
+    words((idx >>> 6).toInt) |= (1L << (idx & 63))
+  }
+
+  @inline private def getBit(idx: Long): Boolean =
+    (words((idx >>> 6).toInt) & (1L << (idx & 63))) != 0L
+
+  private def putHash(h64: Long): Unit = {
+    val h1 = h64
+    val h2 = Murmur64A.hash(h64, hashSeed + 0x5bd1e995)
+    var i = 0
+    while (i < numHashes) {
+      val combined = h1 + i.toLong * h2
+      setBit(((combined % numBits) + numBits) % numBits)
+      i += 1
+    }
+    itemsAdded += 1
+  }
+
+  private def checkHash(h64: Long): Boolean = {
+    val h1 = h64
+    val h2 = Murmur64A.hash(h64, hashSeed + 0x5bd1e995)
+    var i = 0
+    while (i < numHashes) {
+      val combined = h1 + i.toLong * h2
+      if (!getBit(((combined % numBits) + numBits) % numBits)) return false
+      i += 1
+    }
+    true
+  }
+
+  def addLong(v: Long): Unit = putHash(Murmur64A.hash(v, hashSeed))
+  def addString(s: String): Unit = putHash(Murmur64A.hashString(s, hashSeed))
+  def mightContainLong(v: Long): Boolean = checkHash(Murmur64A.hash(v, hashSeed))
+  def mightContainString(s: String): Boolean = checkHash(Murmur64A.hashString(s, hashSeed))
+
+  def merge(other: BloomFilter): this.type = {
+    require(other.numBits == numBits && other.numHashes == numHashes
+      && other.hashSeed == hashSeed, "Bloom filters are in different format")
+    var i = 0
+    while (i < words.length) { words(i) |= other.words(i); i += 1 }
+    itemsAdded += other.itemsAdded
+    this
+  }
+
+  def bitsSet: Long = words.map(java.lang.Long.bitCount(_).toLong).sum
+
+  /** Expected FPR at the current fill. */
+  def expectedFpr: Double =
+    math.pow(bitsSet.toDouble / numBits.toDouble, numHashes.toDouble)
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 8 + 4 + 4 + 8 + words.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(BloomFilter.Magic).putLong(numBits).putInt(numHashes).putInt(hashSeed)
+    buf.putLong(itemsAdded)
+    words.foreach(buf.putLong)
+    buf.array()
+  }
+}
+
+object BloomFilter {
+  val Magic: Int = 0x424c4d01 // "BLM\1"
+
+  /** Size for a target FPR at expected insertions:
+    * m = -n·ln(p)/ln(2)^2, k = m/n·ln(2).
+    */
+  def forExpected(n: Long, fpr: Double = 0.03,
+      hashSeed: Int = Murmur64A.DefaultSeed): BloomFilter = {
+    val m = math.max(64L, math.ceil(-n.toDouble * math.log(fpr) / (math.log(2) * math.log(2))).toLong)
+    val k = math.max(1, math.round(m.toDouble / n.toDouble * math.log(2)).toInt)
+    empty(m, k, hashSeed)
+  }
+
+  def empty(numBits: Long, numHashes: Int,
+      hashSeed: Int = Murmur64A.DefaultSeed): BloomFilter = {
+    require(numBits >= 64 && numBits <= (1L << 36), "numBits must be in [64, 2^36]")
+    require(numHashes >= 1 && numHashes <= 32, "numHashes must be in [1,32]")
+    val nWords = ((numBits + 63) >>> 6).toInt
+    new BloomFilter(numBits, numHashes, new Array[Long](nWords), 0L, hashSeed)
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomFilter = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt() == Magic, "bad Bloom magic")
+    val bits = buf.getLong(); val k = buf.getInt(); val seed = buf.getInt()
+    val items = buf.getLong()
+    val words = new Array[Long](((bits + 63) >>> 6).toInt)
+    var i = 0
+    while (i < words.length) { words(i) = buf.getLong(); i += 1 }
+    new BloomFilter(bits, k, words, items, seed)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005) — heavy-hitter /
+  * point-frequency estimation with mergeable state.
+  *
+  * depth×width Long counters; item routed by depth independent hashes
+  * (Murmur64A with per-row derived seeds); estimate = min over rows.
+  * Guarantees: estimate ≥ true count, and ≤ true + ε·N with prob 1-δ where
+  * ε = e/width, δ = e^-depth. Merge = elementwise sum (associative,
+  * commutative; byte-deterministic regardless of merge order).
+  *
+  * From-scratch per the published paper; no counterpart in the reference
+  * repo (BASELINE.json north_rule adds it to the family).
+  */
+final class CountMinSketch private (
+    val depth: Int,
+    val width: Int,
+    val counters: Array[Long], // row-major depth×width
+    var totalCount: Long,
+    val hashSeed: Int) extends Serializable {
+
+  @inline private def rowSeed(r: Int): Int = hashSeed + 0x9e3779b1 * (r + 1)
+
+  @inline private def bucket(item: Long, r: Int): Int = {
+    val h = Murmur64A.hash(item, rowSeed(r))
+    // unsigned mod
+    ((h % width + width) % width).toInt
+  }
+
+  def addLong(item: Long, count: Long = 1L): Unit = {
+    var r = 0
+    while (r < depth) {
+      counters(r * width + bucket(item, r)) += count
+      r += 1
+    }
+    totalCount += count
+  }
+
+  def addString(s: String, count: Long = 1L): Unit =
+    addLong(Murmur64A.hashString(s, hashSeed), count)
+
+  def estimateLong(item: Long): Long = {
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val c = counters(r * width + bucket(item, r))
+      if (c < min) min = c
+      r += 1
+    }
+    min
+  }
+
+  def estimateString(s: String): Long = estimateLong(Murmur64A.hashString(s, hashSeed))
+
+  def merge(other: CountMinSketch): this.type = {
+    require(other.depth == depth && other.width == width && other.hashSeed == hashSeed,
+      "CountMin sketches are in different format")
+    var i = 0
+    while (i < counters.length) { counters(i) += other.counters(i); i += 1 }
+    totalCount += other.totalCount
+    this
+  }
+
+  /** ε such that err ≤ ε·N with prob 1-e^-depth. */
+  def epsilon: Double = math.E / width
+
+  def serialize(): Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 4 + 4 + 4 + 8 + counters.length * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(CountMinSketch.Magic).putInt(depth).putInt(width).putInt(hashSeed)
+    buf.putLong(totalCount)
+    counters.foreach(buf.putLong)
+    buf.array()
+  }
+}
+
+object CountMinSketch {
+  val Magic: Int = 0x434d5301 // "CMS\1"
+
+  def empty(depth: Int = 5, width: Int = 2048,
+      hashSeed: Int = Murmur64A.DefaultSeed): CountMinSketch = {
+    require(depth >= 1 && depth <= 16, "depth must be in [1,16]")
+    require(width >= 8, "width must be >= 8")
+    new CountMinSketch(depth, width, new Array[Long](depth * width), 0L, hashSeed)
+  }
+
+  def deserialize(bytes: Array[Byte]): CountMinSketch = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt() == Magic, "bad CountMin magic")
+    val depth = buf.getInt(); val width = buf.getInt(); val seed = buf.getInt()
+    val total = buf.getLong()
+    val counters = new Array[Long](depth * width)
+    var i = 0
+    while (i < counters.length) { counters(i) = buf.getLong(); i += 1 }
+    new CountMinSketch(depth, width, counters, total, seed)
+  }
+}

@@ -1,0 +1,169 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable.ArrayBuffer
+
+/** KLL quantile sketch over doubles (Karnin, Lang & Liberty, "Optimal
+  * Quantile Approximation in Streams", FOCS'16).
+  *
+  * A hierarchy of compactors: level h holds items each representing 2^h
+  * input items. When a level overflows its capacity k·c^(depth-1-h)
+  * (c = 2/3), it is sorted and every other item (random parity) is promoted
+  * to level h+1. Normalized rank error is O(1/k) with high probability.
+  *
+  * Merging appends the corresponding compactor levels and re-compacts.
+  * The compaction parity comes from a deterministic per-sketch PRNG, so a
+  * fixed pipeline is reproducible run-to-run; results across DIFFERENT
+  * merge orders are not byte-identical (inherent to KLL randomness) but
+  * stay within the published rank-error bound — tests assert rank error,
+  * not bytes.
+  */
+final class KllSketch private (
+    val k: Int,
+    private val compactors: ArrayBuffer[ArrayBuffer[Double]],
+    private var total: Long,
+    private var rngState: Long) extends Serializable {
+
+  import KllSketch._
+
+  def count: Long = total
+
+  private def nextBit(): Boolean = {
+    // splitmix64 step
+    rngState += 0x9e3779b97f4a7c15L
+    var z = rngState
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z & 1L) == 1L
+  }
+
+  private def capacity(level: Int): Int = {
+    val depth = compactors.length
+    math.max(2, math.ceil(k * math.pow(C, (depth - 1 - level).toDouble)).toInt)
+  }
+
+  def add(x: Double): Unit = {
+    if (x.isNaN) return
+    compactors(0) += x
+    total += 1
+    compactIfNeeded()
+  }
+
+  def merge(other: KllSketch): this.type = {
+    require(other.k == k, "KLL sketches are in different format")
+    while (compactors.length < other.compactors.length) compactors += ArrayBuffer.empty
+    var h = 0
+    while (h < other.compactors.length) {
+      compactors(h) ++= other.compactors(h)
+      h += 1
+    }
+    total += other.total
+    compactIfNeeded()
+    this
+  }
+
+  private def compactIfNeeded(): Unit = {
+    // loop to fixpoint: promoting can overflow the level above, and growing
+    // the hierarchy shrinks the capacities of all lower levels
+    var changed = true
+    while (changed) {
+      changed = false
+      var h = 0
+      while (h < compactors.length) {
+        if (compactors(h).length > capacity(h)) {
+          changed = true
+          if (h + 1 == compactors.length) compactors += ArrayBuffer.empty
+          val level = compactors(h)
+          val sorted = level.toArray
+          java.util.Arrays.sort(sorted)
+          // weight conservation: if the level is odd-sized, one item stays;
+          // each promoted item then represents exactly one compacted pair
+          val keep = sorted.length % 2
+          val offset = if (nextBit()) 1 else 0
+          val up = compactors(h + 1)
+          var i = keep + offset
+          while (i < sorted.length) { up += sorted(i); i += 2 }
+          level.clear()
+          if (keep == 1) level += sorted(0)
+        }
+        h += 1
+      }
+    }
+  }
+
+  /** All (value, weight) pairs. */
+  private def weighted: Array[(Double, Long)] = {
+    val out = ArrayBuffer.empty[(Double, Long)]
+    var h = 0
+    while (h < compactors.length) {
+      val w = 1L << h
+      compactors(h).foreach(v => out += ((v, w)))
+      h += 1
+    }
+    out.toArray
+  }
+
+  def quantile(q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    if (total == 0) return Double.NaN
+    val pairs = weighted.sortBy(_._1)
+    val target = q * total
+    var cum = 0L
+    var i = 0
+    while (i < pairs.length) {
+      cum += pairs(i)._2
+      if (cum.toDouble >= target) return pairs(i)._1
+      i += 1
+    }
+    pairs.last._1
+  }
+
+  /** Normalized rank of a value (fraction of items ≤ v). */
+  def rank(v: Double): Double = {
+    if (total == 0) return Double.NaN
+    var below = 0L
+    weighted.foreach { case (x, w) => if (x <= v) below += w }
+    below.toDouble / total.toDouble
+  }
+
+  def retainedItems: Int = compactors.map(_.length).sum
+
+  def serialize(): Array[Byte] = {
+    val sizes = compactors.map(_.length)
+    val buf = ByteBuffer.allocate(4 + 4 + 8 + 8 + 4 + sizes.length * 4 + sizes.sum * 8)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(Magic).putInt(k).putLong(total).putLong(rngState)
+    buf.putInt(compactors.length)
+    sizes.foreach(buf.putInt)
+    compactors.foreach(_.foreach(buf.putDouble))
+    buf.array()
+  }
+}
+
+object KllSketch {
+  val Magic: Int = 0x4b4c4c01 // "KLL\1"
+  val C: Double = 2.0 / 3.0
+
+  def empty(k: Int = 200, seed: Long = 42L): KllSketch = {
+    require(k >= 8 && k <= 65535, "k must be in [8, 65535]")
+    new KllSketch(k, ArrayBuffer(ArrayBuffer.empty[Double]), 0L, seed)
+  }
+
+  def deserialize(bytes: Array[Byte]): KllSketch = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt() == Magic, "bad KLL magic")
+    val k = buf.getInt(); val total = buf.getLong(); val rng = buf.getLong()
+    val levels = buf.getInt()
+    val sizes = Array.fill(levels)(buf.getInt())
+    val comps = ArrayBuffer.empty[ArrayBuffer[Double]]
+    sizes.foreach { n =>
+      val level = ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < n) { level += buf.getDouble(); i += 1 }
+      comps += level
+    }
+    if (comps.isEmpty) comps += ArrayBuffer.empty
+    new KllSketch(k, comps, total, rng)
+  }
+}

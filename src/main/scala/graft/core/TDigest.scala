@@ -1,0 +1,188 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.Arrays
+
+/** Merging t-digest (Dunning & Ertl, "Computing Extremely Accurate
+  * Quantiles Using t-Digests", arXiv:1902.04023) — streaming quantiles with
+  * constant memory and mergeable state.
+  *
+  * Centroid sizes are bounded by the k1 scale function
+  * k(q) = δ/(2π)·asin(2q−1): a centroid may absorb points while the
+  * k-distance it spans stays ≤ 1, which concentrates resolution at the
+  * tails. Merging two digests = merge their centroid lists through the same
+  * single pass. Accuracy is bounded in RANK (not value): interior rank
+  * error is O(q(1−q)/δ).
+  */
+final class TDigest private (
+    val compression: Double,
+    private var means: Array[Double],
+    private var weights: Array[Double],
+    private var nCentroids: Int,
+    private var bufMeans: Array[Double],
+    private var bufWeights: Array[Double],
+    private var nBuf: Int,
+    private var total: Double,
+    private var minV: Double,
+    private var maxV: Double) extends Serializable {
+
+  def count: Double = total
+  def centroidCount: Int = { flushBuffer(); nCentroids }
+
+  def add(x: Double, w: Double = 1.0): Unit = {
+    if (x.isNaN) return
+    if (nBuf == bufMeans.length) flushBuffer()
+    bufMeans(nBuf) = x
+    bufWeights(nBuf) = w
+    nBuf += 1
+    total += w
+    if (x < minV) minV = x
+    if (x > maxV) maxV = x
+  }
+
+  def merge(other: TDigest): this.type = {
+    require(other.compression == compression, "TDigests are in different format")
+    other.flushBuffer()
+    var i = 0
+    while (i < other.nCentroids) {
+      if (nBuf == bufMeans.length) flushBuffer()
+      bufMeans(nBuf) = other.means(i)
+      bufWeights(nBuf) = other.weights(i)
+      nBuf += 1
+      i += 1
+    }
+    total += other.total
+    if (other.minV < minV) minV = other.minV
+    if (other.maxV > maxV) maxV = other.maxV
+    this
+  }
+
+  @inline private def kScale(q: Double): Double =
+    compression / (2.0 * math.Pi) * math.asin(2.0 * math.min(1.0, math.max(0.0, q)) - 1.0)
+
+  private def flushBuffer(): Unit = {
+    if (nBuf == 0) return
+    // gather existing centroids + buffered points, sort by mean
+    val n = nCentroids + nBuf
+    val ms = new Array[Double](n)
+    val ws = new Array[Double](n)
+    System.arraycopy(means, 0, ms, 0, nCentroids)
+    System.arraycopy(weights, 0, ws, 0, nCentroids)
+    System.arraycopy(bufMeans, 0, ms, nCentroids, nBuf)
+    System.arraycopy(bufWeights, 0, ws, nCentroids, nBuf)
+    sortPairs(ms, ws, n)
+
+    // single merge pass bounded by the scale function
+    val outM = new Array[Double](n)
+    val outW = new Array[Double](n)
+    var out = 0
+    var soFar = 0.0 // weight before current output centroid
+    var curM = ms(0)
+    var curW = ws(0)
+    var kLo = kScale(0.0)
+    var i = 1
+    while (i < n) {
+      val proposed = curW + ws(i)
+      val kHi = kScale((soFar + proposed) / total)
+      if (kHi - kLo <= 1.0) {
+        // absorb into current centroid (weighted mean)
+        curM += (ms(i) - curM) * ws(i) / proposed
+        curW = proposed
+      } else {
+        outM(out) = curM; outW(out) = curW; out += 1
+        soFar += curW
+        kLo = kScale(soFar / total)
+        curM = ms(i); curW = ws(i)
+      }
+      i += 1
+    }
+    outM(out) = curM; outW(out) = curW; out += 1
+
+    means = outM; weights = outW; nCentroids = out
+    nBuf = 0
+  }
+
+  /** Quantile by piecewise-linear interpolation between centroid centers,
+    * with exact min/max at the extremes.
+    */
+  def quantile(q: Double): Double = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0,1], got $q")
+    flushBuffer()
+    if (nCentroids == 0) return Double.NaN
+    if (nCentroids == 1) return means(0)
+    val target = q * total
+    if (target <= weights(0) / 2.0) {
+      // below the first centroid's center: interpolate from the true min
+      return minV + (means(0) - minV) * (target / (weights(0) / 2.0)).min(1.0)
+    }
+    var cum = 0.0
+    var i = 0
+    while (i < nCentroids - 1) {
+      val center = cum + weights(i) / 2.0
+      val nextCenter = cum + weights(i) + weights(i + 1) / 2.0
+      if (target < nextCenter) {
+        if (target <= center) return means(i)
+        val frac = (target - center) / (nextCenter - center)
+        return means(i) + (means(i + 1) - means(i)) * frac
+      }
+      cum += weights(i)
+      i += 1
+    }
+    // beyond the last centroid's center: interpolate toward the true max
+    val lastCenter = total - weights(nCentroids - 1) / 2.0
+    if (target >= total) maxV
+    else {
+      val frac = ((target - lastCenter) / (weights(nCentroids - 1) / 2.0)).max(0.0).min(1.0)
+      means(nCentroids - 1) + (maxV - means(nCentroids - 1)) * frac
+    }
+  }
+
+  def serialize(): Array[Byte] = {
+    flushBuffer()
+    val buf = ByteBuffer.allocate(4 + 8 + 8 + 8 + 8 + 4 + nCentroids * 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(TDigest.Magic).putDouble(compression).putDouble(total)
+    buf.putDouble(minV).putDouble(maxV).putInt(nCentroids)
+    var i = 0
+    while (i < nCentroids) { buf.putDouble(means(i)); buf.putDouble(weights(i)); i += 1 }
+    buf.array()
+  }
+
+  // dual-pivot-free stable pair sort: sort indices by mean
+  private def sortPairs(ms: Array[Double], ws: Array[Double], n: Int): Unit = {
+    val idx = (0 until n).sortBy(ms(_))
+    val tm = new Array[Double](n); val tw = new Array[Double](n)
+    var i = 0
+    while (i < n) { tm(i) = ms(idx(i)); tw(i) = ws(idx(i)); i += 1 }
+    System.arraycopy(tm, 0, ms, 0, n)
+    System.arraycopy(tw, 0, ws, 0, n)
+  }
+}
+
+object TDigest {
+  val Magic: Int = 0x54444701 // "TDG\1"
+
+  def empty(compression: Double = 100.0): TDigest = {
+    require(compression >= 20 && compression <= 10000,
+      "compression must be in [20, 10000]")
+    val bufCap = math.max(32, (5 * compression).toInt)
+    new TDigest(compression, new Array[Double](0), new Array[Double](0), 0,
+      new Array[Double](bufCap), new Array[Double](bufCap), 0, 0.0,
+      Double.PositiveInfinity, Double.NegativeInfinity)
+  }
+
+  def deserialize(bytes: Array[Byte]): TDigest = {
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt() == Magic, "bad TDigest magic")
+    val compression = buf.getDouble()
+    val total = buf.getDouble()
+    val minV = buf.getDouble(); val maxV = buf.getDouble()
+    val n = buf.getInt()
+    val ms = new Array[Double](n); val ws = new Array[Double](n)
+    var i = 0
+    while (i < n) { ms(i) = buf.getDouble(); ws(i) = buf.getDouble(); i += 1 }
+    val bufCap = math.max(32, (5 * compression).toInt)
+    new TDigest(compression, ms, ws, n,
+      new Array[Double](bufCap), new Array[Double](bufCap), 0, total, minV, maxV)
+  }
+}

@@ -69,7 +69,34 @@ object GraftExtensions {
     "hll_estimate" -> { args =>
       HllEstimateExpr(args.head, precision(args, 1), beta = false) },
     "loglogbeta_estimate" -> { args =>
-      HllEstimateExpr(args.head, precision(args, 1), beta = true) })
+      HllEstimateExpr(args.head, precision(args, 1), beta = true) },
+    // ---- north-rule sketch family (no reference counterpart) ----
+    "cms_sketch" -> { args =>
+      CountMinAgg(args.head, intArg(args, 1, 5, "depth"), intArg(args, 2, 2048, "width")) },
+    "cms_merge" -> { args =>
+      CountMinAgg(args.head, intArg(args, 1, 5, "depth"), intArg(args, 2, 2048, "width"),
+        merging = true) },
+    "cms_estimate" -> { args => SketchScalarExpr(args(0), args(1), SketchScalarExpr.CmsEstimate) },
+    "cms_total" -> { args => SketchScalarExpr(args(0), args(0), SketchScalarExpr.CmsTotal) },
+    "bloom_sketch" -> { args =>
+      BloomAgg(args.head, intArg(args, 1, 1 << 20, "numBits").toLong,
+        intArg(args, 2, 5, "numHashes")) },
+    "bloom_merge" -> { args =>
+      BloomAgg(args.head, intArg(args, 1, 1 << 20, "numBits").toLong,
+        intArg(args, 2, 5, "numHashes"), merging = true) },
+    "bloom_contains" -> { args =>
+      SketchScalarExpr(args(0), args(1), SketchScalarExpr.BloomContains) },
+    "tdigest_sketch" -> { args =>
+      TDigestAgg(args.head, intArg(args, 1, 100, "compression").toDouble) },
+    "tdigest_merge" -> { args =>
+      TDigestAgg(args.head, intArg(args, 1, 100, "compression").toDouble, merging = true) },
+    "tdigest_quantile" -> { args =>
+      SketchScalarExpr(args(0), args(1), SketchScalarExpr.TDigestQuantile) },
+    "kll_sketch" -> { args => KllAgg(args.head, intArg(args, 1, 200, "k")) },
+    "kll_merge" -> { args => KllAgg(args.head, intArg(args, 1, 200, "k"), merging = true) },
+    "kll_quantile" -> { args =>
+      SketchScalarExpr(args(0), args(1), SketchScalarExpr.KllQuantile) },
+    "kll_rank" -> { args => SketchScalarExpr(args(0), args(1), SketchScalarExpr.KllRank) })
 
   private def descriptions = builders.map { case (name, builder) =>
     (FunctionIdentifier(name),

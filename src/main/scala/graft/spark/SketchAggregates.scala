@@ -1,0 +1,220 @@
+package graft.spark
+
+import graft.core._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared scaffolding for the non-HLL sketch UDAFs (count-min, Bloom,
+  * t-digest, KLL). Same Catalyst lifecycle as HllSketchAgg: partial
+  * ObjectHashAggregate → shuffle of serialized sketch → final merge.
+  * `merging=true` folds pre-serialized sketches from a binary column
+  * (re-aggregation over stored sketch tables); otherwise raw values.
+  */
+abstract class SketchAggBase[B] extends TypedImperativeAggregate[B]
+  with UnaryLike[Expression] {
+
+  def merging: Boolean
+  protected def mergeSerialized(buffer: B, bytes: Array[Byte]): Unit
+  protected def updateRaw(buffer: B, value: Any, dt: DataType): Unit
+  protected def rawTypeOk(dt: DataType): Boolean
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = if (merging) child.dataType == BinaryType else rawTypeOk(child.dataType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName does not support input of type ${child.dataType.catalogString}")
+  }
+
+  final override def update(buffer: B, input: InternalRow): B = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (merging) mergeSerialized(buffer, v.asInstanceOf[Array[Byte]])
+      else updateRaw(buffer, v, child.dataType)
+    }
+    buffer
+  }
+}
+
+/** Item hashing shared by the keyed sketches: integral types zero-extend,
+  * strings/binary hash their bytes (same conventions as HllSketchAgg).
+  */
+object SketchKeys {
+  def toHashable(value: Any, dt: DataType): Either[Long, Array[Byte]] = dt match {
+    case LongType => Left(value.asInstanceOf[Long])
+    case IntegerType => Left(value.asInstanceOf[Int].toLong & 0xffffffffL)
+    case ShortType => Left(value.asInstanceOf[Short].toLong & 0xffffL)
+    case ByteType => Left(value.asInstanceOf[Byte].toLong & 0xffL)
+    case StringType => Right(value.asInstanceOf[UTF8String].getBytes)
+    case BinaryType => Right(value.asInstanceOf[Array[Byte]])
+    case other => throw new IllegalStateException(s"unsupported key type $other")
+  }
+  def keyTypeOk(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType | BinaryType => true
+    case _ => false
+  }
+  def numericOk(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | FloatType | DoubleType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+  def toDouble(value: Any, dt: DataType): Double = dt match {
+    case DoubleType => value.asInstanceOf[Double]
+    case FloatType => value.asInstanceOf[Float].toDouble
+    case LongType => value.asInstanceOf[Long].toDouble
+    case IntegerType => value.asInstanceOf[Int].toDouble
+    case ShortType => value.asInstanceOf[Short].toDouble
+    case ByteType => value.asInstanceOf[Byte].toDouble
+    case _: DecimalType => value.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    case other => throw new IllegalStateException(s"unsupported numeric type $other")
+  }
+}
+
+case class CountMinAgg(
+    child: Expression,
+    depth: Int = 5,
+    width: Int = 2048,
+    merging: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends SketchAggBase[CountMinSketch] {
+
+  override def prettyName: String = if (merging) "cms_merge" else "cms_sketch"
+  override def createAggregationBuffer(): CountMinSketch = CountMinSketch.empty(depth, width)
+  protected def rawTypeOk(dt: DataType): Boolean = SketchKeys.keyTypeOk(dt)
+  protected def updateRaw(b: CountMinSketch, v: Any, dt: DataType): Unit =
+    SketchKeys.toHashable(v, dt) match {
+      case Left(l) => b.addLong(l)
+      case Right(bytes) => b.addLong(Murmur64A.hashBytes(bytes))
+    }
+  protected def mergeSerialized(b: CountMinSketch, bytes: Array[Byte]): Unit =
+    b.merge(CountMinSketch.deserialize(bytes))
+  override def merge(b: CountMinSketch, o: CountMinSketch): CountMinSketch = b.merge(o)
+  override def eval(b: CountMinSketch): Any = b.serialize()
+  override def serialize(b: CountMinSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): CountMinSketch = CountMinSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): CountMinAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CountMinAgg = copy(child = c)
+}
+
+case class BloomAgg(
+    child: Expression,
+    numBits: Long = 1L << 20,
+    numHashes: Int = 5,
+    merging: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends SketchAggBase[BloomFilter] {
+
+  override def prettyName: String = if (merging) "bloom_merge" else "bloom_sketch"
+  override def createAggregationBuffer(): BloomFilter = BloomFilter.empty(numBits, numHashes)
+  protected def rawTypeOk(dt: DataType): Boolean = SketchKeys.keyTypeOk(dt)
+  protected def updateRaw(b: BloomFilter, v: Any, dt: DataType): Unit =
+    SketchKeys.toHashable(v, dt) match {
+      case Left(l) => b.addLong(l)
+      case Right(bytes) => b.addLong(Murmur64A.hashBytes(bytes))
+    }
+  protected def mergeSerialized(b: BloomFilter, bytes: Array[Byte]): Unit =
+    b.merge(BloomFilter.deserialize(bytes))
+  override def merge(b: BloomFilter, o: BloomFilter): BloomFilter = b.merge(o)
+  override def eval(b: BloomFilter): Any = b.serialize()
+  override def serialize(b: BloomFilter): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): BloomFilter = BloomFilter.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): BloomAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): BloomAgg = copy(child = c)
+}
+
+case class TDigestAgg(
+    child: Expression,
+    compression: Double = 100.0,
+    merging: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends SketchAggBase[TDigest] {
+
+  override def prettyName: String = if (merging) "tdigest_merge" else "tdigest_sketch"
+  override def createAggregationBuffer(): TDigest = TDigest.empty(compression)
+  protected def rawTypeOk(dt: DataType): Boolean = SketchKeys.numericOk(dt)
+  protected def updateRaw(b: TDigest, v: Any, dt: DataType): Unit =
+    b.add(SketchKeys.toDouble(v, dt))
+  protected def mergeSerialized(b: TDigest, bytes: Array[Byte]): Unit =
+    b.merge(TDigest.deserialize(bytes))
+  override def merge(b: TDigest, o: TDigest): TDigest = b.merge(o)
+  override def eval(b: TDigest): Any = b.serialize()
+  override def serialize(b: TDigest): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): TDigestAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TDigestAgg = copy(child = c)
+}
+
+case class KllAgg(
+    child: Expression,
+    k: Int = 200,
+    merging: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends SketchAggBase[KllSketch] {
+
+  override def prettyName: String = if (merging) "kll_merge" else "kll_sketch"
+  override def createAggregationBuffer(): KllSketch = KllSketch.empty(k)
+  protected def rawTypeOk(dt: DataType): Boolean = SketchKeys.numericOk(dt)
+  protected def updateRaw(b: KllSketch, v: Any, dt: DataType): Unit =
+    b.add(SketchKeys.toDouble(v, dt))
+  protected def mergeSerialized(b: KllSketch, bytes: Array[Byte]): Unit =
+    b.merge(KllSketch.deserialize(bytes))
+  override def merge(b: KllSketch, o: KllSketch): KllSketch = b.merge(o)
+  override def eval(b: KllSketch): Any = b.serialize()
+  override def serialize(b: KllSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): KllSketch = KllSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): KllAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): KllAgg = copy(child = c)
+}
+
+/** Column API for the sketch family. */
+object sketchFunctions {
+  private def c(e: Expression): Column = Bridge.column(e)
+  private def x(col: Column): Expression = Bridge.expression(col)
+  private def agg(e: TypedImperativeAggregate[_]): Column =
+    c(e.toAggregateExpression(isDistinct = false))
+
+  def cms_sketch(col: Column, depth: Int = 5, width: Int = 2048): Column =
+    agg(CountMinAgg(x(col), depth, width))
+  def cms_merge(col: Column, depth: Int = 5, width: Int = 2048): Column =
+    agg(CountMinAgg(x(col), depth, width, merging = true))
+  def cms_estimate(sketch: Column, item: Column): Column =
+    c(SketchScalarExpr(x(sketch), x(item), SketchScalarExpr.CmsEstimate))
+  def cms_total(sketch: Column): Column =
+    c(SketchScalarExpr(x(sketch), x(sketch), SketchScalarExpr.CmsTotal))
+
+  def bloom_sketch(col: Column, numBits: Long = 1L << 20, numHashes: Int = 5): Column =
+    agg(BloomAgg(x(col), numBits, numHashes))
+  def bloom_merge(col: Column, numBits: Long = 1L << 20, numHashes: Int = 5): Column =
+    agg(BloomAgg(x(col), numBits, numHashes, merging = true))
+  def bloom_contains(sketch: Column, item: Column): Column =
+    c(SketchScalarExpr(x(sketch), x(item), SketchScalarExpr.BloomContains))
+
+  def tdigest_sketch(col: Column, compression: Double = 100.0): Column =
+    agg(TDigestAgg(x(col), compression))
+  def tdigest_merge(col: Column, compression: Double = 100.0): Column =
+    agg(TDigestAgg(x(col), compression, merging = true))
+  def tdigest_quantile(sketch: Column, q: Column): Column =
+    c(SketchScalarExpr(x(sketch), x(q), SketchScalarExpr.TDigestQuantile))
+
+  def kll_sketch(col: Column, k: Int = 200): Column =
+    agg(KllAgg(x(col), k))
+  def kll_merge(col: Column, k: Int = 200): Column =
+    agg(KllAgg(x(col), k, merging = true))
+  def kll_quantile(sketch: Column, q: Column): Column =
+    c(SketchScalarExpr(x(sketch), x(q), SketchScalarExpr.KllQuantile))
+  def kll_rank(sketch: Column, v: Column): Column =
+    c(SketchScalarExpr(x(sketch), x(v), SketchScalarExpr.KllRank))
+}

@@ -1,0 +1,113 @@
+package graft.spark
+
+import graft.core._
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar probes over stored sketch bytes: point-frequency estimate,
+  * membership, quantile, rank. Codegen'd via a static dispatch helper —
+  * these run in hot filter paths (e.g. `WHERE bloom_contains(bf, url)`) so
+  * they must stay inside whole-stage codegen.
+  */
+case class SketchScalarExpr(left: Expression, right: Expression, op: Int)
+  extends BinaryExpression {
+
+  import SketchScalarExpr._
+
+  override def prettyName: String = nameOf(op)
+
+  override def dataType: DataType = op match {
+    case CmsEstimate | CmsTotal => LongType
+    case BloomContains => BooleanType
+    case TDigestQuantile | KllQuantile | KllRank => DoubleType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (left.dataType != BinaryType)
+      return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects a binary sketch as first argument")
+    val rightOk = op match {
+      case CmsEstimate | BloomContains => right.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | StringType | BinaryType => true
+        case _ => false
+      }
+      case CmsTotal => true
+      case _ => right.dataType match {
+        case DoubleType | FloatType | LongType | IntegerType => true
+        case _ => false
+      }
+    }
+    if (rightOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName does not support second argument of type ${right.dataType.catalogString}")
+  }
+
+  protected override def nullSafeEval(sketch: Any, arg: Any): Any =
+    dispatch(sketch.asInstanceOf[Array[Byte]], arg, op)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val boxed = dataType match {
+      case LongType => "((java.lang.Long)%s).longValue()"
+      case BooleanType => "((java.lang.Boolean)%s).booleanValue()"
+      case DoubleType => "((java.lang.Double)%s).doubleValue()"
+    }
+    nullSafeCodeGen(ctx, ev, (s, a) => {
+      val tmp = ctx.freshName("sketchRes")
+      s"""Object $tmp = graft.spark.SketchScalarExpr.dispatch($s, $a, $op);
+         |${ev.value} = ${boxed.format(tmp)};""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SketchScalarExpr =
+    copy(left = l, right = r)
+}
+
+object SketchScalarExpr {
+  final val CmsEstimate = 0
+  final val CmsTotal = 1
+  final val BloomContains = 2
+  final val TDigestQuantile = 3
+  final val KllQuantile = 4
+  final val KllRank = 5
+
+  def nameOf(op: Int): String = op match {
+    case CmsEstimate => "cms_estimate"
+    case CmsTotal => "cms_total"
+    case BloomContains => "bloom_contains"
+    case TDigestQuantile => "tdigest_quantile"
+    case KllQuantile => "kll_quantile"
+    case KllRank => "kll_rank"
+  }
+
+  private def keyHash(arg: Any): Long = arg match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue() & 0xffffffffL
+    case s: java.lang.Short => s.longValue() & 0xffffL
+    case b: java.lang.Byte => b.longValue() & 0xffL
+    case u: UTF8String => Murmur64A.hashBytes(u.getBytes)
+    case b: Array[Byte] => Murmur64A.hashBytes(b)
+    case other => throw new IllegalArgumentException(s"unsupported key $other")
+  }
+
+  private def toD(arg: Any): Double = arg match {
+    case d: java.lang.Double => d.doubleValue()
+    case f: java.lang.Float => f.doubleValue()
+    case l: java.lang.Long => l.doubleValue()
+    case i: java.lang.Integer => i.doubleValue()
+    case other => throw new IllegalArgumentException(s"unsupported numeric $other")
+  }
+
+  /** Codegen + interpreted entry point. */
+  def dispatch(sketch: Array[Byte], arg: Any, op: Int): Any = op match {
+    case CmsEstimate => CountMinSketch.deserialize(sketch).estimateLong(keyHash(arg))
+    case CmsTotal => CountMinSketch.deserialize(sketch).totalCount
+    case BloomContains =>
+      BloomFilter.deserialize(sketch).mightContainLong(keyHash(arg))
+    case TDigestQuantile => TDigest.deserialize(sketch).quantile(toD(arg))
+    case KllQuantile => KllSketch.deserialize(sketch).quantile(toD(arg))
+    case KllRank => KllSketch.deserialize(sketch).rank(toD(arg))
+  }
+}

@@ -1,0 +1,147 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+
+/** Property and bound tests for the north-rule sketch family
+  * (count-min, Bloom, t-digest, KLL) — merge associativity, serde
+  * roundtrips, published error bounds.
+  */
+class SketchFamilySpec extends AnyFunSuite {
+
+  // deterministic skewed stream: Zipf-ish over 1000 keys
+  private def zipfStream(n: Int, keys: Int, seed: Int): Array[Long] = {
+    val r = new Random(seed)
+    Array.fill(n) {
+      val u = r.nextDouble()
+      math.min(keys, math.floor(math.pow(keys.toDouble, u)).toLong + 1)
+    }
+  }
+
+  test("count-min: overestimate-only within eps*N; merge == single pass; serde") {
+    val data = zipfStream(200000, 1000, 7)
+    val exact = data.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+
+    val single = CountMinSketch.empty(depth = 5, width = 4096)
+    data.foreach(single.addLong(_))
+
+    // sharded build + merge in scrambled order
+    val shards = (0 until 4).map { s =>
+      val cm = CountMinSketch.empty(depth = 5, width = 4096)
+      data.indices.filter(_ % 4 == s).foreach(i => cm.addLong(data(i)))
+      cm
+    }
+    val merged = CountMinSketch.empty(depth = 5, width = 4096)
+    Seq(2, 0, 3, 1).foreach(i => merged.merge(shards(i)))
+    assert(java.util.Arrays.equals(merged.serialize(), single.serialize()),
+      "merge must be byte-deterministic")
+
+    val epsN = single.epsilon * data.length
+    exact.foreach { case (k, cnt) =>
+      val est = single.estimateLong(k)
+      assert(est >= cnt, s"CMS must never underestimate (k=$k)")
+      assert(est <= cnt + epsN, s"CMS overshoot beyond epsN at k=$k: $est vs $cnt")
+    }
+    val back = CountMinSketch.deserialize(single.serialize())
+    assert(back.estimateLong(1L) == single.estimateLong(1L))
+    assert(back.totalCount == data.length)
+  }
+
+  test("bloom: no false negatives; FPR near target; merge-order byte equality") {
+    val n = 50000
+    val bf = BloomFilter.forExpected(n, fpr = 0.03)
+    (0L until n.toLong).foreach(bf.addLong)
+    (0L until n.toLong).foreach(v => assert(bf.mightContainLong(v), s"false negative at $v"))
+    val fp = (n.toLong until 2L * n).count(bf.mightContainLong)
+    val fpr = fp.toDouble / n
+    assert(fpr < 0.06, s"observed FPR $fpr >> target 0.03")
+
+    val a = BloomFilter.forExpected(n, 0.03)
+    val b = BloomFilter.forExpected(n, 0.03)
+    (0L until n.toLong).foreach(v => if (v % 2 == 0) a.addLong(v) else b.addLong(v))
+    val ab = BloomFilter.deserialize(a.serialize()).merge(b)
+    val ba = BloomFilter.deserialize(b.serialize()).merge(a)
+    assert(java.util.Arrays.equals(ab.serialize(), ba.serialize()))
+    (0L until n.toLong).foreach(v => assert(ab.mightContainLong(v)))
+  }
+
+  private def rankError(sorted: Array[Double], est: Double, q: Double): Double = {
+    // |normalized rank of estimate - q|
+    var lo = 0; var hi = sorted.length
+    while (lo < hi) { val m = (lo + hi) >>> 1; if (sorted(m) <= est) lo = m + 1 else hi = m }
+    math.abs(lo.toDouble / sorted.length - q)
+  }
+
+  test("t-digest: rank error under 1% at compression 100; merge within bound; serde") {
+    val r = new Random(11)
+    val data = Array.fill(300000)(math.exp(r.nextGaussian())) // log-normal
+    val sorted = data.sorted
+
+    val td = TDigest.empty(100)
+    data.foreach(td.add(_))
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val err = rankError(sorted, td.quantile(q), q)
+      assert(err <= 0.01, s"t-digest rank error $err at q=$q")
+    }
+    // extremes are exact
+    assert(td.quantile(0.0) == sorted.head)
+    assert(td.quantile(1.0) == sorted.last)
+
+    val shards = (0 until 8).map { s =>
+      val t = TDigest.empty(100)
+      data.indices.filter(_ % 8 == s).foreach(i => t.add(data(i)))
+      t
+    }
+    val merged = TDigest.empty(100)
+    Random.shuffle((0 until 8).toList).foreach(i => merged.merge(shards(i)))
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val err = rankError(sorted, merged.quantile(q), q)
+      assert(err <= 0.015, s"merged t-digest rank error $err at q=$q")
+    }
+    val back = TDigest.deserialize(td.serialize())
+    assert(back.quantile(0.5) == td.quantile(0.5))
+    assert(back.count == data.length.toDouble)
+  }
+
+  test("kll: rank error under 2/k bound; merge within bound; serde") {
+    val r = new Random(13)
+    val data = Array.fill(200000)(r.nextDouble() * 1000.0)
+    val sorted = data.sorted
+
+    val kll = KllSketch.empty(k = 200)
+    data.foreach(kll.add)
+    val bound = 2.0 * 2.296 / 200.0 // ~2.3%, KLL paper constant with margin
+    for (q <- Seq(0.05, 0.25, 0.5, 0.75, 0.95)) {
+      val err = rankError(sorted, kll.quantile(q), q)
+      assert(err <= bound, s"KLL rank error $err at q=$q (bound $bound)")
+    }
+    assert(kll.retainedItems < 3 * 200, s"space blowup: ${kll.retainedItems}")
+
+    val shards = (0 until 4).map { s =>
+      val sk = KllSketch.empty(k = 200, seed = 42L + s)
+      data.indices.filter(_ % 4 == s).foreach(i => sk.add(data(i)))
+      sk
+    }
+    val merged = KllSketch.empty(k = 200)
+    Seq(3, 0, 2, 1).foreach(i => merged.merge(shards(i)))
+    assert(merged.count == data.length.toLong)
+    for (q <- Seq(0.25, 0.5, 0.75)) {
+      val err = rankError(sorted, merged.quantile(q), q)
+      assert(err <= bound, s"merged KLL rank error $err at q=$q")
+    }
+    val back = KllSketch.deserialize(merged.serialize())
+    assert(back.quantile(0.5) == merged.quantile(0.5))
+    assert(back.count == merged.count)
+  }
+
+  test("format guards: mismatched params refuse to merge") {
+    intercept[IllegalArgumentException](
+      CountMinSketch.empty(5, 1024).merge(CountMinSketch.empty(5, 2048)))
+    intercept[IllegalArgumentException](
+      BloomFilter.empty(1024, 3).merge(BloomFilter.empty(2048, 3)))
+    intercept[IllegalArgumentException](
+      TDigest.empty(100).merge(TDigest.empty(200)))
+    intercept[IllegalArgumentException](
+      KllSketch.empty(128).merge(KllSketch.empty(256)))
+  }
+}

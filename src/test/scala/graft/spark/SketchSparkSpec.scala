@@ -1,0 +1,103 @@
+package graft.spark
+
+import graft.data.WebPages
+import graft.spark.{sketchFunctions => sf}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SketchSparkSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val pages = {
+    val df = WebPages.generate(spark, rows = 30000L, distinctUrls = 10000L)
+      .withColumn("host", F.regexp_extract(F.col("url"), "https://([^/]+)/", 1))
+      .withColumn("text_len", F.length(F.col("text")))
+    df.cache(); df.count()
+    df
+  }
+
+  test("count-min heavy hitters: estimates bound exact host counts") {
+    val sk = pages.agg(sf.cms_sketch(F.col("host"), 5, 4096).as("cms"))
+      .collect().head.getAs[Array[Byte]]("cms")
+    val exact = pages.groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cms = graft.core.CountMinSketch.deserialize(sk)
+    val n = pages.count()
+    exact.foreach { case (host, cnt) =>
+      val est = cms.estimateString(host)
+      assert(est >= cnt, s"CMS underestimated $host")
+      assert(est <= cnt + (math.E / 4096 * n).toLong + 1, s"CMS overshoot for $host")
+    }
+    // scalar probe through SQL + rollup by lang then merge
+    pages.createOrReplaceTempView("pages_cms")
+    val viaSql = spark.sql(
+      """SELECT cms_estimate(cms, 'host1.example.com') AS est FROM (
+        |  SELECT cms_merge(cms, 5, 4096) AS cms FROM (
+        |    SELECT lang, cms_sketch(host, 5, 4096) AS cms FROM pages_cms GROUP BY lang
+        |  )
+        |)""".stripMargin).collect().head.getLong(0)
+    assert(viaSql == cms.estimateString("host1.example.com"),
+      "per-lang build + merge must equal direct build")
+  }
+
+  test("bloom: no false negatives through SQL filter; merge across groups") {
+    pages.createOrReplaceTempView("pages_bf")
+    val missing = spark.sql(
+      """WITH bf AS (
+        |  SELECT bloom_merge(b) AS b FROM (
+        |    SELECT lang, bloom_sketch(url) AS b FROM pages_bf GROUP BY lang
+        |  )
+        |)
+        |SELECT count(*) FROM pages_bf, bf WHERE NOT bloom_contains(bf.b, pages_bf.url)
+        |""".stripMargin).collect().head.getLong(0)
+    assert(missing == 0L, s"$missing false negatives")
+    // FPR on a disjoint url set
+    val fpr = spark.sql(
+      """WITH bf AS (SELECT bloom_sketch(url) AS b FROM pages_bf)
+        |SELECT avg(CAST(bloom_contains(bf.b, concat(pages_bf.url, '#absent')) AS DOUBLE))
+        |FROM pages_bf, bf""".stripMargin).collect().head.getDouble(0)
+    assert(fpr < 0.05, s"FPR $fpr too high for 10k urls in 2^20 bits")
+  }
+
+  test("t-digest text-length quantiles: rank error within bound vs exact") {
+    val sk = pages.agg(sf.tdigest_sketch(F.col("text_len"), 100.0).as("td"))
+      .collect().head.getAs[Array[Byte]]("td")
+    val td = graft.core.TDigest.deserialize(sk)
+    val sorted = pages.select("text_len").collect().map(_.getInt(0).toDouble).sorted
+    for (q <- Seq(0.1, 0.5, 0.9, 0.99)) {
+      val est = td.quantile(q)
+      val rank = sorted.count(_ <= est).toDouble / sorted.length
+      assert(math.abs(rank - q) <= 0.02, s"t-digest rank err at q=$q: rank=$rank")
+    }
+    // per-lang digests merged == same bounds
+    val merged = pages.groupBy("lang")
+      .agg(sf.tdigest_sketch(F.col("text_len")).as("td"))
+      .agg(sf.tdigest_merge(F.col("td")).as("td"))
+      .collect().head.getAs[Array[Byte]]("td")
+    val tdm = graft.core.TDigest.deserialize(merged)
+    assert(tdm.count == sorted.length.toDouble)
+    for (q <- Seq(0.5, 0.9)) {
+      val rank = sorted.count(_ <= tdm.quantile(q)).toDouble / sorted.length
+      assert(math.abs(rank - q) <= 0.02, s"merged t-digest rank err at q=$q")
+    }
+  }
+
+  test("kll via SQL: quantile + rank round trip within bound") {
+    pages.createOrReplaceTempView("pages_kll")
+    val rows = spark.sql(
+      """WITH sk AS (
+        |  SELECT kll_merge(s, 256) AS s FROM (
+        |    SELECT lang, kll_sketch(text_len, 256) AS s FROM pages_kll GROUP BY lang
+        |  )
+        |)
+        |SELECT kll_quantile(s, 0.5d) AS med, kll_rank(s, kll_quantile(s, 0.5d)) AS r
+        |FROM sk""".stripMargin).collect().head
+    val med = rows.getDouble(0)
+    val r = rows.getDouble(1)
+    assert(math.abs(r - 0.5) <= 0.03, s"KLL self-rank of median = $r")
+    val exactRank = {
+      val sorted = pages.select("text_len").collect().map(_.getInt(0).toDouble)
+      sorted.count(_ <= med).toDouble / sorted.length
+    }
+    assert(math.abs(exactRank - 0.5) <= 0.03, s"KLL median exact rank $exactRank")
+  }
+}
