@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import graft.core.{HllCodec, HllFormat, HllSketch}
+import graft.spark.{functions => gf}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Base64
+import scala.jdk.CollectionConverters._
+
+/** Resumable partitioned sketch build (north rule): one sketch job per
+  * physical input partition, each checkpointed with lineage + row-count
+  * metrics, so an aborted spark-submit run resumes without rescanning
+  * completed partitions.
+  *
+  * Design for 10^12 rows / 1000 executors:
+  *   - partition enumeration is METADATA-only (directory listing of the
+  *     Iceberg-style layout `warc_date=D/url_bucket=B` — SURVEY.md §7.6);
+  *     no data is read for planning;
+  *   - each partition job is an independent `groupBy().agg(synopsis)` whose
+  *     shuffle output is bounded by 2^p bytes — partition jobs can also be
+  *     submitted concurrently from one driver (Spark scheduler pools) since
+  *     they share nothing;
+  *   - the checkpoint is one tiny JSON per partition, written atomically
+  *     (temp file + rename) so a kill mid-write never corrupts the manifest;
+  *   - the final fold of N partition sketches happens driver-side on
+  *     ≤ N × (2^p + 8) bytes — byte-order-independent by the merge laws.
+  */
+object SketchBuild {
+
+  final case class PartitionCheckpoint(
+      partitionId: String,
+      sketchB64: String,
+      rowCount: Long,
+      inputPath: String,
+      codeVersion: String,
+      precision: Int,
+      wallClockMs: Long)
+
+  final case class BuildResult(
+      estimate: Long,
+      sketch: Array[Byte],
+      totalRows: Long,
+      partitionsBuilt: Seq[String],
+      partitionsResumed: Seq[String])
+
+  val CodeVersion = "graft-0.1.0"
+
+  /** Deterministic enumeration of physical partitions under an
+    * Iceberg-style two-level layout (sorted for stable ids).
+    */
+  def enumeratePartitions(inputPath: String): Seq[String] = {
+    val root = Paths.get(inputPath)
+    def dirs(p: Path): Seq[Path] =
+      Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
+        .filter(_.getFileName.toString.contains("=")).toSeq
+    val first = dirs(root)
+    val leaves = first.flatMap { d =>
+      val sub = dirs(d)
+      if (sub.isEmpty) Seq(d) else sub
+    }
+    leaves.map(p => root.relativize(p).toString).sorted
+  }
+
+  private def checkpointFile(dir: Path, partitionId: String): Path =
+    dir.resolve(partitionId.replace('/', '~') + ".json")
+
+  private def writeCheckpoint(dir: Path, cp: PartitionCheckpoint): Unit = {
+    val json =
+      s"""{"partitionId":"${cp.partitionId}","rowCount":${cp.rowCount},
+         |"inputPath":"${cp.inputPath}","codeVersion":"${cp.codeVersion}",
+         |"precision":${cp.precision},"wallClockMs":${cp.wallClockMs},
+         |"sketchB64":"${cp.sketchB64}"}""".stripMargin.replace("\n", "")
+    val target = checkpointFile(dir, cp.partitionId)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def readCheckpoint(dir: Path, partitionId: String,
+      inputPath: String, p: Int): Option[PartitionCheckpoint] = {
+    val f = checkpointFile(dir, partitionId)
+    if (!Files.exists(f)) return None
+    val json = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+    def field(name: String): Option[String] =
+      (s""""$name":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+        orElse s""""$name":([0-9-]+)""".r.findFirstMatchIn(json).map(_.group(1)))
+    for {
+      pid <- field("partitionId") if pid == partitionId
+      rows <- field("rowCount")
+      ip <- field("inputPath") if ip == inputPath // lineage guard
+      cv <- field("codeVersion") if cv == CodeVersion
+      prec <- field("precision") if prec.toInt == p
+      ms <- field("wallClockMs")
+      sk <- field("sketchB64")
+    } yield PartitionCheckpoint(pid, sk, rows.toLong, ip, cv, prec.toInt, ms.toLong)
+  }
+
+  /** Build the distinct-`valueCol` synopsis over a partitioned parquet
+    * table, checkpoint per partition, resume completed ones from
+    * `checkpointDir`. `maxPartitionsThisRun` lets tests abort mid-build.
+    */
+  def buildResumable(
+      spark: SparkSession,
+      inputPath: String,
+      checkpointDir: String,
+      valueCol: String = "url",
+      p: Int = 14,
+      maxPartitionsThisRun: Int = Int.MaxValue): BuildResult = {
+    val ckDir = Paths.get(checkpointDir)
+    Files.createDirectories(ckDir)
+    val partitions = enumeratePartitions(inputPath)
+    require(partitions.nonEmpty, s"no partitions found under $inputPath")
+
+    val resumed = scala.collection.mutable.ArrayBuffer.empty[PartitionCheckpoint]
+    val todo = scala.collection.mutable.ArrayBuffer.empty[String]
+    partitions.foreach { pid =>
+      readCheckpoint(ckDir, pid, inputPath, p) match {
+        case Some(cp) => resumed += cp
+        case None => todo += pid
+      }
+    }
+
+    val built = todo.take(maxPartitionsThisRun).map { pid =>
+      val t0 = System.currentTimeMillis()
+      // partition-pruned scan: only this directory is read
+      val df = spark.read.parquet(s"$inputPath/$pid")
+      val row = df.agg(
+        gf.hll_create_synopsis(col(valueCol), p).as("syn"),
+        count(lit(1)).as("rows")).collect().head
+      val cp = PartitionCheckpoint(pid,
+        Base64.getEncoder.encodeToString(row.getAs[Array[Byte]]("syn")),
+        row.getAs[Long]("rows"), inputPath, CodeVersion, p,
+        System.currentTimeMillis() - t0)
+      writeCheckpoint(ckDir, cp)
+      cp
+    }
+
+    val all = (resumed ++ built).sortBy(_.partitionId)
+    require(all.size == partitions.size || built.size == maxPartitionsThisRun,
+      "incomplete build")
+    // driver-side fold — merge-order independent (byte-verified in tests)
+    val acc = HllSketch.empty(p)
+    all.foreach(cp => HllCodec.foldInto(acc, Base64.getDecoder.decode(cp.sketchB64)))
+    BuildResult(
+      estimate = acc.estimate,
+      sketch = HllCodec.serializeAuto(acc, HllFormat.Dense6),
+      totalRows = all.map(_.rowCount).sum,
+      partitionsBuilt = built.map(_.partitionId).toSeq,
+      partitionsResumed = resumed.map(_.partitionId).toSeq)
+  }
+}
+
+/** Explicit two-level salting for skewed group keys (north rule; SURVEY.md
+  * §4.2). Sketch merges are associative+commutative+idempotent, so
+  * splitting a hot group across `saltBuckets` partial aggregations and
+  * re-combining is semantics-preserving — the final synopsis is
+  * byte-identical to the unsalted build. Use when one host/lang dominates
+  * and a single reducer would otherwise own the whole group.
+  */
+object Salting {
+
+  /** `groupBy(keys).agg(hll_create_synopsis(value))`, skew-safe. */
+  def saltedSynopsis(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = 14,
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df
+      .withColumn("__salt", pmod(xxhash64(col(valueCol)), lit(saltBuckets.toLong)))
+      .groupBy((groupCols :+ "__salt").map(col): _*)
+      .agg(gf.hll_create_synopsis(col(valueCol), p).as("__partial"))
+    salted.groupBy(groupCols.map(col): _*)
+      .agg(gf.hll_combine(col("__partial"), p).as("syn"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import graft.data.WebPages
+import graft.spark.{SparkTestBase, functions => gf}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
+class PipelineSpec extends AnyFunSuite with SparkTestBase {
+
+  private def rmrf(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.delete(_))
+  }
+
+  private lazy val layoutDir = {
+    val dir = "/tmp/graft-test-pages"
+    rmrf(dir)
+    val df = WebPages.generate(spark, rows = 60000L, distinctUrls = 25000L, days = 5)
+    WebPages.writePartitioned(df, dir, buckets = 4)
+    dir
+  }
+
+  test("partition enumeration is metadata-only and deterministic") {
+    val parts = SketchBuild.enumeratePartitions(layoutDir)
+    assert(parts.size == 5 * 4)
+    assert(parts == parts.sorted)
+    assert(parts.head.matches("warc_date=.*/url_bucket=.*"))
+  }
+
+  test("kill/resume: aborted build resumes without rescanning; bytes match clean build") {
+    val ck = "/tmp/graft-test-ck"
+    rmrf(ck)
+    // aborted run: only 7 of 20 partitions complete
+    val aborted = SketchBuild.buildResumable(spark, layoutDir, ck,
+      maxPartitionsThisRun = 7)
+    assert(aborted.partitionsBuilt.size == 7)
+    assert(aborted.partitionsResumed.isEmpty)
+
+    // resumed run: must build exactly the remaining 13, resume 7
+    val resumed = SketchBuild.buildResumable(spark, layoutDir, ck)
+    assert(resumed.partitionsResumed.size == 7)
+    assert(resumed.partitionsBuilt.size == 13)
+    assert(resumed.partitionsBuilt.toSet.intersect(
+      aborted.partitionsBuilt.toSet).isEmpty, "rescanned a completed partition")
+
+    // third run: everything resumed, nothing rebuilt
+    val third = SketchBuild.buildResumable(spark, layoutDir, ck)
+    assert(third.partitionsBuilt.isEmpty)
+    assert(third.partitionsResumed.size == 20)
+
+    // clean single-shot build in a fresh dir must agree byte-for-byte
+    val ck2 = "/tmp/graft-test-ck2"
+    rmrf(ck2)
+    val clean = SketchBuild.buildResumable(spark, layoutDir, ck2)
+    assert(java.util.Arrays.equals(resumed.sketch, clean.sketch))
+    assert(resumed.estimate == clean.estimate)
+    assert(resumed.totalRows == 60000L)
+
+    // estimate within the p=14 bound of the true distinct count
+    val exact = spark.read.parquet(layoutDir).select(F.countDistinct("url"))
+      .collect().head.getLong(0)
+    val err = math.abs(resumed.estimate.toDouble - exact) / exact
+    assert(err <= 1.04 / math.sqrt((1 << 14).toDouble), s"err=$err")
+  }
+
+  test("lineage guard: checkpoints from a different input or precision are not reused") {
+    val ck = "/tmp/graft-test-ck3"
+    rmrf(ck)
+    SketchBuild.buildResumable(spark, layoutDir, ck, maxPartitionsThisRun = 3)
+    // different precision → all 20 rebuilt, none resumed
+    val otherP = SketchBuild.buildResumable(spark, layoutDir, ck, p = 12)
+    assert(otherP.partitionsResumed.isEmpty)
+  }
+
+  test("salted two-level aggregation is byte-identical to direct build") {
+    val pages = WebPages.generate(spark, rows = 20000L, distinctUrls = 8000L)
+    val salted = Salting.saltedSynopsis(pages, Seq("lang"), "url", p = 12, saltBuckets = 8)
+    val direct = pages.groupBy("lang")
+      .agg(gf.hll_create_synopsis(F.col("url"), 12).as("syn"))
+    val j = salted.withColumnRenamed("syn", "a")
+      .join(direct.withColumnRenamed("syn", "b"), "lang")
+      .collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("a"), r.getAs[Array[Byte]]("b")), r.getString(0))
+    }
+  }
+}
