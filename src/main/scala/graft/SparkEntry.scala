@@ -1,6 +1,6 @@
 package graft
 
-import graft.spark.{functions => gf, sketchFunctions => sketch}
+import graft.spark.{functions => gf, sketchFunctions => sketch, textFunctions => tf}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -205,6 +205,79 @@ object SparkEntry {
           |  abs(sum(IF(li_kll.l_quantity <= est.v, 1, 0)) / any_value(est.n) - est.q) <= 0.03
           |    AS rank_ok
           |FROM li_kll, est GROUP BY est.q""".stripMargin)
+    }),
+
+    // ---- dedup / similarity / text-analysis ops (training-data pipeline) ----
+    // minhash LSH near-dup over documents + 50 planted perturbed copies:
+    // recall on planted pairs must be total, and every surviving pair is
+    // exact-jaccard-verified >= threshold
+    "q_minhash_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.limit(50).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+      val nd = graft.textops.Dedup.nearDuplicates(
+        docs.unionAll(planted), "doc_id", "text",
+        threshold = 0.7, numHashes = 32, bands = 16)
+      nd.agg(
+        sum(when(col("id_b") === col("id_a") + 100000L, 1L).otherwise(0L))
+          .as("n_planted_found"),
+        (min(col("jaccard")) >= 0.7).as("all_above_threshold"))
+    }),
+
+    // simhash: 20 planted identical copies must collide at 64 matching bits
+    "q_simhash_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.limit(20).select(
+        (col("doc_id") + 50000L).as("doc_id"), col("text"))
+      graft.textops.Dedup.simhashCandidates(
+          docs.unionAll(planted), "doc_id", "text")
+        .agg(sum(when(col("matching_bits") === 64 &&
+          col("id_b") === col("id_a") + 50000L, 1L).otherwise(0L))
+          .as("n_identical_found"))
+    }),
+
+    // document fingerprinting (winnowing min-hash): fp is a pure function
+    // of the text — adding exact copies must not change the distinct-fp
+    // count — and shared-window collisions mean dc_fp <= dc_texts
+    "q_fingerprint" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val doubled = docs.unionAll(docs.limit(100))
+      val a = docs.groupBy("lang")
+        .agg(countDistinct(tf.doc_fingerprint(col("text"))).as("dc_fp"),
+          countDistinct(col("text")).as("dc_texts"))
+      val b = doubled.groupBy("lang")
+        .agg(countDistinct(tf.doc_fingerprint(col("text"))).as("dc_fp2"))
+      a.join(b, "lang")
+        .select(col("lang"), col("dc_texts"),
+          (col("dc_fp") === col("dc_fp2") && col("dc_fp") <= col("dc_texts"))
+            .as("fp_pure_function"))
+    }),
+
+    // language-ID over documents text (heuristic; no SQL oracle — the
+    // driver records a rows-only check). Detected languages per lang label.
+    "q_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(tf.lang_id(col("text")).as("detected"))
+        .agg(count(lit(1)).as("cnt_docs"))),
+
+    // text quality scoring distribution (deterministic formula; DuckDB
+    // replicates it exactly on integer-char counts)
+    "q_quality" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy("lang")
+        .agg(sum(when(tf.quality_score(col("text")) >= 0.5, 1L).otherwise(0L))
+          .as("high_quality_docs"),
+          count(lit(1)).as("cnt_docs"))),
+
+    // ANN: brute-force cosine top-1 neighbor for the first 20 vectors
+    // (exact, matches DuckDB's list_cosine_similarity oracle)
+    "q_ann_top1" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(20)
+      graft.textops.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", queries, k = 1)
+        .select(col("query_id"), col("neighbor_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -270,5 +343,30 @@ object SparkEntry {
     "q_tdigest_price" ->
       """SELECT q, TRUE AS rank_ok FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(q)""",
     "q_kll_quantity" ->
-      """SELECT q, TRUE AS rank_ok FROM (VALUES (0.25), (0.5), (0.75)) t(q)""")
+      """SELECT q, TRUE AS rank_ok FROM (VALUES (0.25), (0.5), (0.75)) t(q)""",
+    "q_minhash_dedup" ->
+      """SELECT least(count(*), 50) AS n_planted_found, TRUE AS all_above_threshold
+        |FROM documents""".stripMargin,
+    "q_simhash_dedup" ->
+      "SELECT least(count(*), 20) AS n_identical_found FROM documents",
+    "q_fingerprint" ->
+      """SELECT lang, count(DISTINCT text) AS dc_texts, TRUE AS fp_pure_function
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_quality" ->
+      """SELECT lang,
+        | CAST(sum(CASE WHEN
+        |   round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0)
+        |   * greatest(0.0, 1.0 - 4.0 * (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text))
+        |   * greatest(0.0, 1.0 - 4.0 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)), 6)
+        |   >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality_docs,
+        | count(*) AS cnt_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_ann_top1" ->
+      """SELECT query_id, neighbor_id FROM (
+        | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  row_number() OVER (PARTITION BY a.vec_id
+        |    ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id ASC) AS rn
+        | FROM embeddings a, embeddings b
+        | WHERE a.vec_id < 20 AND a.vec_id != b.vec_id
+        |) WHERE rn = 1""".stripMargin)
 }

@@ -96,7 +96,11 @@ object GraftExtensions {
     "kll_merge" -> { args => KllAgg(args.head, intArg(args, 1, 200, "k"), merging = true) },
     "kll_quantile" -> { args =>
       SketchScalarExpr(args(0), args(1), SketchScalarExpr.KllQuantile) },
-    "kll_rank" -> { args => SketchScalarExpr(args(0), args(1), SketchScalarExpr.KllRank) })
+    "kll_rank" -> { args => SketchScalarExpr(args(0), args(1), SketchScalarExpr.KllRank) },
+    // ---- text kernels ----
+    "simhash64" -> { args => TextKernelExpr(args.head, TextKernelExpr.SimHash) },
+    "lang_id" -> { args => TextKernelExpr(args.head, TextKernelExpr.LangId) },
+    "doc_fingerprint" -> { args => TextKernelExpr(args.head, TextKernelExpr.Fingerprint) })
 
   private def descriptions = builders.map { case (name, builder) =>
     (FunctionIdentifier(name),

@@ -1,0 +1,248 @@
+package graft.spark
+
+import graft.core.Murmur64A
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unary text kernels that built-ins can't express, as codegen'd Catalyst
+  * expressions (op-dispatched like SketchScalarExpr). Everything stays
+  * inside whole-stage codegen: one static call per row, no UDF boxing.
+  */
+case class TextKernelExpr(child: Expression, op: Int) extends UnaryExpression {
+  import TextKernelExpr._
+
+  override def prettyName: String = nameOf(op)
+
+  override def dataType: DataType = op match {
+    case SimHash | Fingerprint => LongType
+    case LangId => StringType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    dispatch(input.asInstanceOf[UTF8String], op)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cast = dataType match {
+      case LongType => "((java.lang.Long)%s).longValue()"
+      case StringType => "(UTF8String)%s"
+    }
+    nullSafeCodeGen(ctx, ev, s => {
+      val tmp = ctx.freshName("textKernelRes")
+      s"""Object $tmp = graft.spark.TextKernelExpr.dispatch($s, $op);
+         |${ev.value} = ${cast.format(tmp)};""".stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): TextKernelExpr =
+    copy(child = c)
+}
+
+object TextKernelExpr {
+  final val SimHash = 0
+  final val LangId = 1
+  final val Fingerprint = 2
+
+  def nameOf(op: Int): String = op match {
+    case SimHash => "simhash64"
+    case LangId => "lang_id"
+    case Fingerprint => "doc_fingerprint"
+  }
+
+  def dispatch(text: UTF8String, op: Int): Any = op match {
+    case SimHash => java.lang.Long.valueOf(simhash64(text.toString))
+    case LangId => UTF8String.fromString(LangProfiles.detect(text.toString))
+    case Fingerprint => java.lang.Long.valueOf(fingerprint(text.toString))
+  }
+
+  /** Charikar SimHash over whitespace tokens: per bit, sum +1/-1 weighted
+    * by token occurrences; result bit = sign. Hamming distance between two
+    * simhashes tracks cosine similarity of the token multisets.
+    */
+  def simhash64(text: String): Long = {
+    val counts = new Array[Int](64)
+    var start = 0
+    val n = text.length
+    var i = 0
+    while (i <= n) {
+      if (i == n || Character.isWhitespace(text.charAt(i))) {
+        if (i > start) {
+          val h = Murmur64A.hashString(text.substring(start, i))
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Winnowing-style document fingerprint (Schleimer et al., MOSS): minimum
+    * Rabin-Karp rolling hash over all `W`-char windows of the
+    * case/whitespace-normalized text. Stable under most local edits; equal
+    * fingerprints are strong near-dup signals.
+    */
+  def fingerprint(text: String, window: Int = 16): Long = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    var lastSpace = true
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (!lastSpace) { sb.append(' '); lastSpace = true }
+      } else { sb.append(Character.toLowerCase(c)); lastSpace = false }
+      i += 1
+    }
+    val s = sb.toString
+    if (s.length < window) return Murmur64A.hashString(s)
+    val B = 1000000007L
+    var pow = 1L
+    i = 0
+    while (i < window - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * B + s.charAt(i); i += 1 }
+    var min = mix(h)
+    i = window
+    while (i < s.length) {
+      h = (h - s.charAt(i - window) * pow) * B + s.charAt(i)
+      val m = mix(h)
+      if (m < min) min = m
+      i += 1
+    }
+    min
+  }
+
+  @inline private def mix(h: Long): Long = Murmur64A.hash(h)
+}
+
+/** Character-trigram language identification (Cavnar & Trenkle-style
+  * profile matching, compact profiles for 12 major web languages).
+  * Returns the ISO 639-1 code with the best normalized trigram-hit score,
+  * or "und" when nothing scores (too short / non-matching script).
+  */
+object LangProfiles {
+  // top distinctive trigrams per language ('_' = space), most-common first
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("_th", "the", "he_", "ing", "ng_", "_an", "and", "nd_", "_of", "of_",
+      "ion", "_to", "to_", "ed_", "is_", "_in", "ent", "_wa", "was", "er_"),
+    "de" -> Seq("_de", "der", "er_", "ie_", "_di", "die", "ein", "ich", "en_", "ch_",
+      "cht", "sch", "und", "_un", "nd_", "ung", "_ge", "ten", "_si", "das"),
+    "fr" -> Seq("_de", "de_", "es_", "_le", "le_", "ent", "nt_", "et_", "_et", "la_",
+      "_la", "ion", "on_", "re_", "_pa", "que", "_qu", "ue_", "ait", "les"),
+    "es" -> Seq("_de", "de_", "os_", "_la", "la_", "el_", "_el", "en_", "_en", "as_",
+      "ión", "que", "_qu", "ue_", "es_", "_co", "ión", "ado", "con", "nte"),
+    "it" -> Seq("_di", "di_", "to_", "la_", "_la", "re_", "_co", "che", "_ch", "he_",
+      "no_", "ato", "one", "_pe", "per", "er_", "ion", "ne_", "lla", "del"),
+    "pt" -> Seq("_de", "de_", "os_", "_co", "ão_", "ção", "da_", "_da", "em_", "_em",
+      "que", "_qu", "ue_", "ado", "ar_", "os_", "nto", "com", "_se", "ra_"),
+    "nl" -> Seq("en_", "_de", "de_", "an_", "_va", "van", "et_", "_he", "het", "_ee",
+      "een", "er_", "ng_", "ing", "ver", "_ge", "aar", "ijk", "sch", "den"),
+    "pl" -> Seq("ie_", "nie", "_ni", "_po", "_prz", "prz", "rze", "ych", "ego", "ch_",
+      "em_", "ość", "ani", "owa", "_na", "na_", "do_", "_do", "sta", "ać_"),
+    "ru" -> Seq("_пр", "ого", "го_", "_по", "ть_", "ать", "ени", "ние", "ие_", "_на",
+      "на_", "ост", "_со", "ств", "ова", "_не", "не_", "_ко", "их_", "ली_"),
+    "ja" -> Seq("した", "ている", "ます", "です", "この", "それ", "ない", "して", "とい", "れた",
+      "から", "こと", "もの", "ある", "いる", "った", "れる", "など", "には", " された"),
+    "zh" -> Seq("的", "是的", "了", "在", "和", "有", "我", "他", "这", "中",
+      "大", "来", "上", "国", "个", "到", "说", "们", "为", "子"),
+    "tr" -> Seq("lar", "ler", "_bi", "bir", "ir_", "_ka", "an_", "_ol", "ında", "nda",
+      "dı_", "en_", "in_", "eri", "ini", "_ya", "ara", "ile", "_il", "arı"))
+
+  private val weighted: Seq[(String, Map[String, Int])] = profiles.map {
+    case (lang, grams) =>
+      lang -> grams.zipWithIndex.map { case (g, r) => g -> (grams.size - r) }.toMap
+  }
+
+  def detect(text: String): String = {
+    if (text == null || text.length < 6) return "und"
+    val t = "_" + text.toLowerCase.replaceAll("\\s+", "_") + "_"
+    var bestLang = "und"
+    var bestScore = 0.0
+    weighted.foreach { case (lang, grams) =>
+      var score = 0
+      var i = 0
+      val lim = t.length - 2
+      while (i < lim) {
+        val g3 = t.substring(i, i + 3)
+        score += grams.getOrElse(g3, 0)
+        // CJK profiles contain 1- and 2-char grams
+        score += grams.getOrElse(g3.substring(0, 1), 0)
+        score += grams.getOrElse(g3.substring(0, 2), 0)
+        i += 1
+      }
+      val norm = score.toDouble / t.length
+      if (norm > bestScore) { bestScore = norm; bestLang = lang }
+    }
+    if (bestScore < 0.15) "und" else bestLang
+  }
+}
+
+/** Column API: custom kernels + columnar quality metrics. */
+object textFunctions {
+  private def k(col: Column, op: Int): Column =
+    Bridge.column(TextKernelExpr(Bridge.expression(col), op))
+
+  def simhash64(text: Column): Column = k(text, TextKernelExpr.SimHash)
+  def lang_id(text: Column): Column = k(text, TextKernelExpr.LangId)
+  def doc_fingerprint(text: Column): Column = k(text, TextKernelExpr.Fingerprint)
+
+  /** Whitespace token count (columnar). */
+  def token_count(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word-piece regex (letters runs, digit runs,
+    * single punctuation) — a deterministic stand-in for a real tokenizer
+    * with the same columnar shape.
+    */
+  def subword_count(text: Column): Column =
+    size(filter(split(text, "(?<=\\p{L})(?=\\P{L})|(?<=\\P{L})(?=\\p{L})|(?<=\\d)(?=\\D)|\\s+"),
+      s => length(s) > 0))
+
+  /** Quality features as a struct: char length, token count, mean token
+    * length, punctuation ratio, digit ratio, uppercase ratio.
+    */
+  def text_quality(text: Column): Column = {
+    val len = length(text).cast("double")
+    val toks = token_count(text).cast("double")
+    val punct = (len - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+    val digits = (len - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+    val uppers = (len - length(regexp_replace(text, "[A-Z]", ""))).cast("double")
+    struct(
+      len.cast("long").as("chars"),
+      toks.cast("long").as("tokens"),
+      when(toks > 0, len / toks).otherwise(0.0).as("mean_token_len"),
+      when(len > 0, punct / len).otherwise(0.0).as("punct_ratio"),
+      when(len > 0, digits / len).otherwise(0.0).as("digit_ratio"),
+      when(len > 0, uppers / len).otherwise(0.0).as("upper_ratio"))
+  }
+
+  /** Composite [0,1] quality score: rewards mid-length docs with sane
+    * punctuation/digit balance (heuristic web-text filter à la C4/Gopher
+    * rules, deterministic and columnar).
+    */
+  def quality_score(text: Column): Column = {
+    val q = text_quality(text)
+    val lenScore = least(q("tokens").cast("double") / 50.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - q("punct_ratio") * 4.0)
+    val digitPenalty = greatest(lit(0.0), lit(1.0) - q("digit_ratio") * 4.0)
+    round(lenScore * punctPenalty * digitPenalty, 6)
+  }
+}

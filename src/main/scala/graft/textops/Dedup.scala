@@ -1,0 +1,130 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale text corpora.
+  *
+  * Everything here is COLUMNAR — shingling, minhashing, banding, and
+  * Jaccard verification are Spark built-in expressions (whole-stage
+  * codegen'd), so the operators scale exactly like any native projection:
+  * no UDF serialization, no per-row JVM boxing beyond Catalyst's own.
+  *
+  * Shapes:
+  *   - exact:   hash text → groupBy → keep min doc id (one shuffle)
+  *   - minhash: shingle → H minhashes → B bands → explode(B rows/doc)
+  *     → self-join on (band, bandKey) → candidate pairs → exact-Jaccard
+  *     verify. At 10^12 docs the band join is the classic LSH bucket join:
+  *     shuffle is B rows/doc of ~24 bytes, and candidates are verified
+  *     WITHOUT re-shuffling full texts by joining back only matched ids.
+  */
+object Dedup {
+
+  /** Word n-gram shingles as an array column (columnar sliding window). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(trim(text), "\\s+")
+    val cnt = size(words)
+    when(cnt < n, array(concat_ws(" ", words)))
+      .otherwise(transform(sequence(lit(0), cnt - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature: for each seed, min over shingles of xxhash64(s, seed).
+    * Returns an array<long> of length `numHashes`.
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column =
+    array((0 until numHashes).map { i =>
+      aggregate(shingleCol, lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s, lit(i))))
+    }: _*)
+
+  /** Candidate pairs whose minhash signatures collide in ≥1 of `bands`
+    * bands (rows per band = numHashes/bands). Output: (id_a, id_b) with
+    * id_a < id_b, distinct.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("__id"),
+      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("__sig"))
+    val banded = sig.select(col("__id"),
+      posexplode(array((0 until bands).map { b =>
+        hash(slice(col("__sig"), b * rows + 1, rows).cast("string"), lit(b))
+      }: _*)).as(Seq("__band", "__key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+        col("a.__key") === col("b.__key") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact word-n-gram Jaccard similarity between two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0.0, 1.0).otherwise(inter / union)
+  }
+
+  /** Full near-dup pipeline: LSH candidates, then exact-Jaccard verify at
+    * `threshold`. Joins shingle arrays back by id (broadcast-able when the
+    * candidate set is small — the common case at high thresholds).
+    */
+  def nearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.8,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize)
+    val sh = df.select(col(idCol).as("__jid"),
+      shingles(col(textCol), shingleSize).as("__sh"))
+    cands
+      .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+      .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Exact dedup: one row per distinct `textCol` value, keeping the row
+    * with the smallest `idCol` (deterministic winner). Single shuffle on
+    * the 64-bit text hash + full text (hash first keeps sort keys short).
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(xxhash64(col(textCol)), col(textCol))
+      .orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** SimHash-based near-dup candidates: 64-bit simhash, banded into four
+    * 16-bit chunks (two docs within Hamming distance ≤ 3 of each other
+    * collide in ≥1 chunk by pigeonhole).
+    */
+  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = df.select(col(idCol).as("__id"),
+      graft.spark.textFunctions.simhash64(col(textCol)).as("__sim"))
+    val banded = sh.select(col("__id"), col("__sim"),
+      posexplode(array((0 until 4).map { b =>
+        shiftRight(col("__sim"), b * 16).bitwiseAND(lit(0xffffL))
+      }: _*)).as(Seq("__band", "__key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.__band") === col("b.__band") &&
+        col("a.__key") === col("b.__key") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        (lit(64) - bit_count(col("a.__sim").bitwiseXOR(col("b.__sim")))).as("matching_bits"))
+      .distinct()
+  }
+}

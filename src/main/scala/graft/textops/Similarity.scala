@@ -1,0 +1,130 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), columnar end to end.
+  *
+  * Baseline: brute-force cosine top-k — a cross join with the dot product
+  * expressed via `zip_with` + `aggregate` (whole-stage codegen'd, no UDF).
+  * Correct at any scale but O(N·Q); use for ground truth and small Q.
+  *
+  * Scale path: random-hyperplane LSH (SimHash for vectors, Charikar'02).
+  * Each vector gets `tables` independent `bitsPerTable`-bit signatures from
+  * deterministic seeded hyperplanes; candidates collide in ≥1 table, then
+  * are re-ranked by exact cosine. The hyperplanes are generated columnar-ly
+  * from xxhash64(seed, dim, bit) — no driver-side state to broadcast.
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns (columnar). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn === 0.0, 0.0).otherwise(d / nn)
+  }
+
+  /** Exact top-k neighbors for every query id (brute force, ground truth).
+    * Output: (query_id, neighbor_id, cosine, rank) with rank 1..k.
+    */
+  def bruteForceTopK(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame, // same schema
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val v = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vv"))
+    val scored = broadcast(q).crossJoin(v)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__vv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** `tables` × `bitsPerTable`-bit random-hyperplane signatures.
+    * Hyperplane component for (table t, bit b, dim d) is a deterministic
+    * ±1/…Rademacher-like weight derived from xxhash64 — sign-random
+    * projections are rotation-free LSH for cosine distance.
+    */
+  def lshSignatures(vec: Column, tables: Int, bitsPerTable: Int): Column =
+    array((0 until tables).map { t =>
+      (0 until bitsPerTable).map { b =>
+        // sum_d vec[d] * w(t,b,d), w = hash-sign
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
+            when(pmod(xxhash64(lit(t * 4096 + b), d), lit(2L)) === 0L, x)
+              .otherwise(-x)),
+          lit(0.0d), (acc, v) => acc + v)
+        when(proj >= 0.0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** ANN via LSH bucket join + exact cosine re-rank. Output shape matches
+    * bruteForceTopK. Recall grows with `tables`; shuffle volume is
+    * tables × (id, 8-byte key) per row — independent of dimension.
+    */
+  def lshTopK(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int = 10,
+      tables: Int = 8,
+      bitsPerTable: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def banded(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+        posexplode(lshSignatures(col(vecCol), tables, bitsPerTable))
+          .as(Seq("__table", "__sig")))
+    val qb = banded(queries, "query_id")
+    val vb = banded(vectors, "neighbor_id")
+    val cands = qb.join(vb, Seq("__table", "__sig"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("__v_query_id"), col("__v_neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .withColumn("cosine", cosine(col("__v_query_id"), col("__v_neighbor_id")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
+    * (the embedding analog of Dedup.nearDuplicates).
+    */
+  def cosineNearDuplicates(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      tables: Int = 12,
+      bitsPerTable: Int = 10): DataFrame = {
+    val banded = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      posexplode(lshSignatures(col(vecCol), tables, bitsPerTable))
+        .as(Seq("__table", "__sig")))
+    banded.as("a").join(banded.as("b"),
+        col("a.__table") === col("b.__table") &&
+        col("a.__sig") === col("b.__sig") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        col("a.__v").as("__va"), col("b.__v").as("__vb"))
+      .distinct()
+      .withColumn("cosine", cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

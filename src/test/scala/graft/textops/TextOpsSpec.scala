@@ -1,0 +1,125 @@
+package graft.textops
+
+import graft.spark.{SparkTestBase, textFunctions => tf}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextOpsSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = {
+    val df = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    df.cache(); df.count()
+    df
+  }
+
+  // planted near-duplicates: original docs + lightly perturbed copies
+  private lazy val withDups = {
+    val originals = docs.select($"doc_id", $"text")
+    val dups = docs.limit(50).select(
+      ($"doc_id" + 100000L).as("doc_id"),
+      // perturb: swap one word occurrence — high word-3-gram Jaccard remains
+      F.concat($"text", F.lit(" extra")).as("text"))
+    val out = originals.unionAll(dups)
+    out.cache(); out.count()
+    out
+  }
+
+  test("minhash LSH finds planted near-duplicates with exact-jaccard verify") {
+    val nd = Dedup.nearDuplicates(withDups, "doc_id", "text",
+      threshold = 0.7, numHashes = 32, bands = 16)
+    val found = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every planted pair must be found (recall on strong dups)
+    val expected = (0 until 50).map(i => (i.toLong, i.toLong + 100000L)).toSet
+    val missed = expected -- found
+    assert(missed.isEmpty, s"missed ${missed.size} planted pairs: ${missed.take(5)}")
+    // verification: no pair below threshold survives
+    nd.collect().foreach(r => assert(r.getDouble(2) >= 0.7))
+  }
+
+  test("exact dedup keeps one row per distinct text, smallest id wins") {
+    val doubled = docs.select($"doc_id", $"text")
+      .unionAll(docs.select(($"doc_id" + 500L).as("doc_id"), $"text"))
+    val deduped = Dedup.exactDedup(doubled, "doc_id", "text")
+    assert(deduped.count() == docs.count())
+    assert(deduped.agg(F.max("doc_id")).collect().head.getLong(0) < 500L)
+  }
+
+  test("simhash candidates include identical texts; matching_bits sane") {
+    val pairs = Dedup.simhashCandidates(
+      docs.select($"doc_id", $"text")
+        .unionAll(docs.limit(20).select(($"doc_id" + 777L).as("doc_id"), $"text")),
+      "doc_id", "text")
+    val exactCopies = pairs.filter($"matching_bits" === 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { i =>
+      assert(exactCopies.contains((i.toLong, i.toLong + 777L)), s"identical pair $i missing")
+    }
+  }
+
+  test("lang_id detects major languages on real sentences") {
+    val samples = Seq(
+      ("the quick brown fox jumps over the lazy dog and runs into the woods", "en"),
+      ("der schnelle braune fuchs springt über den faulen hund und rennt in den wald", "de"),
+      ("le renard brun rapide saute par dessus le chien paresseux dans la forêt", "fr"),
+      ("el rápido zorro marrón salta sobre el perro perezoso en el bosque", "es"),
+      ("szybki brązowy lis przeskakuje nad leniwym psem i biegnie do lasu", "pl"),
+      ("xyzzy", "und")).toDF("text", "expected")
+    val out = samples.select($"expected", tf.lang_id($"text").as("got")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("doc_fingerprint: equal for identical text, stable under case/space noise") {
+    val fp = spark.createDataFrame(Seq(
+      (1L, "The Quick  Brown Fox Jumped Over It"),
+      (2L, "the quick brown fox jumped over it"),
+      (3L, "completely different content here entirely")))
+      .toDF("id", "text")
+      .select($"id", tf.doc_fingerprint($"text").as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), "normalization must collapse case/whitespace")
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("token_count/subword_count/quality on documents table") {
+    val q = docs.select(
+      tf.token_count($"text").as("toks"),
+      tf.subword_count($"text").as("subs"),
+      tf.quality_score($"text").as("score")).collect()
+    q.foreach { r =>
+      assert(r.getInt(0) > 0)
+      assert(r.getInt(1) >= r.getInt(0), "subwords at least as many as words")
+      val s = r.getDouble(2)
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("brute-force ANN vs LSH ANN: recall@10 >= 0.7 on embeddings table") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    emb.cache(); emb.count()
+    val queries = emb.limit(20)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // these embeddings are near-random (10th neighbor at cosine ~0.3), so
+    // collision probability per bit is only ~0.6 — use short signatures and
+    // many tables; at web scale bitsPerTable grows with log2(N) instead
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", queries,
+      k = 10, tables = 32, bitsPerTable = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"ANN recall@10 = $recall")
+  }
+
+  test("cosine near-duplicates find planted duplicate vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val planted = emb.unionAll(
+      emb.limit(10).select(($"vec_id" + 9000L).as("vec_id"), $"embedding", $"label"))
+    val pairs = Similarity.cosineNearDuplicates(planted, "vec_id", "embedding",
+      threshold = 0.999)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 10).foreach { i =>
+      assert(found.contains((i.toLong, i.toLong + 9000L)), s"planted vector pair $i missing")
+    }
+  }
+}
