@@ -1,0 +1,162 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Multimodal (image/audio/video) columns as opaque `binary` + typed
+  * metadata structs.
+  *
+  * The Spark-side plumbing here is REAL and tested: schemas, header
+  * parsing, per-partition batched iteration (the shape a model-inference
+  * runtime needs), frame explosion, and partition sizing. The actual media
+  * decode is a clearly-marked DETERMINISTIC STUB (`stubDecodePixels`,
+  * `stubEmbed`) because no image/audio codec libraries exist in this
+  * sandbox — swap those two functions for a real decoder (JavaCPP/FFmpeg,
+  * ImageIO) without touching any of the distributed plumbing.
+  *
+  * Wire format of the synthetic media blob (little-endian):
+  *   magic u32 'GMB1' | kind u8 (0=image,1=audio,2=video) |
+  *   w u16 | h u16 | channels u8 | sampleRate u32 | frames u16 | payload…
+  */
+object Multimodal {
+
+  val Magic = 0x474d4231 // "GMB1"
+
+  case class MediaMeta(kind: Int, width: Int, height: Int, channels: Int,
+    sampleRate: Int, frames: Int, payloadBytes: Int)
+
+  // ---------------------------------------------------------------------
+  // Synthesis: deterministic fake blobs derived from a key column
+  // ---------------------------------------------------------------------
+
+  /** Build the deterministic blob on the JVM (used by the generator UDF-free
+    * path below and by tests).
+    */
+  def makeBlob(key: Long, kind: Int): Array[Byte] = {
+    val w = (300 + (key % 1000)).toInt
+    val h = (200 + (key % 600)).toInt
+    val channels = 3
+    val sampleRate = if (kind == 1) 16000 else 0
+    val frames = if (kind == 2) (8 + key % 24).toInt else 1
+    val payloadLen = 256 + (key % 512).toInt
+    val buf = ByteBuffer.allocate(16 + payloadLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(Magic)
+    buf.put(kind.toByte)
+    buf.putShort(w.toShort).putShort(h.toShort)
+    buf.put(channels.toByte)
+    buf.putInt(sampleRate)
+    buf.putShort(frames.toShort)
+    var i = 0
+    var st = graft.core.Murmur64A.hash(key)
+    while (i < payloadLen) {
+      buf.put((st & 0xff).toByte)
+      st = graft.core.Murmur64A.hash(st)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Attach a deterministic media blob column derived from `keyCol`. */
+  def attachMedia(df: DataFrame, keyCol: String, kind: Int,
+      outCol: String = "media"): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.BINARY
+    val makeBlobUdf = udf((k: Long) => makeBlob(k, kind))
+    df.withColumn(outCol, makeBlobUdf(col(keyCol)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Metadata decode: header-only parse, no pixel decode required
+  // ---------------------------------------------------------------------
+
+  def parseMeta(blob: Array[Byte]): MediaMeta = {
+    require(blob.length >= 16, "media blob too short for header")
+    val buf = ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt() == Magic, "bad media magic")
+    val kind = buf.get() & 0xff
+    val w = buf.getShort() & 0xffff
+    val h = buf.getShort() & 0xffff
+    val ch = buf.get() & 0xff
+    val sr = buf.getInt()
+    val fr = buf.getShort() & 0xffff
+    MediaMeta(kind, w, h, ch, sr, fr, blob.length - 16)
+  }
+
+  /** Metadata struct column from the binary header (cheap: reads 16 bytes,
+    * never touches the payload — at scale this is the column you persist
+    * alongside the blob so planning queries never read media bytes).
+    */
+  def withMeta(df: DataFrame, mediaCol: String, metaCol: String = "meta"): DataFrame = {
+    val metaUdf = udf((blob: Array[Byte]) => {
+      val m = parseMeta(blob)
+      (m.kind, m.width, m.height, m.channels, m.sampleRate, m.frames, m.payloadBytes)
+    })
+    df.withColumn(metaCol, metaUdf(col(mediaCol)).cast(
+      "struct<kind:int,width:int,height:int,channels:int,sampleRate:int,frames:int,payloadBytes:int>"))
+  }
+
+  // ---------------------------------------------------------------------
+  // STUBBED media kernels — deterministic fakes with real batch plumbing
+  // ---------------------------------------------------------------------
+
+  /** STUB: a real implementation decodes pixels and resizes; this fake
+    * derives `dim` floats deterministically from the payload so the
+    * pipeline (batching, schema, ordering) is testable end to end.
+    */
+  def stubDecodePixels(blob: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var st = graft.core.Murmur64A.hashBytes(blob)
+    var i = 0
+    while (i < dim) {
+      out(i) = ((st & 0xffff).toFloat / 65536.0f) - 0.5f
+      st = graft.core.Murmur64A.hash(st)
+      i += 1
+    }
+    out
+  }
+
+  /** STUB: a real implementation runs a vision/audio model over a BATCH of
+    * decoded media (batch size matters for accelerator utilization — that
+    * is why the plumbing iterates per-partition and materializes batches,
+    * not per-row).
+    */
+  def stubEmbed(batch: Array[Array[Byte]], dim: Int): Array[Array[Float]] =
+    batch.map(stubDecodePixels(_, dim))
+
+  /** Per-partition BATCHED feature extraction over (id, media) rows — the
+    * exact shape a real model-inference stage needs: fixed-size batches,
+    * one buffer reuse per partition, order-preserving output.
+    */
+  def embedMedia(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String, dim: Int = 32, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { chunk =>
+        val ids = chunk.map(_._1)
+        val embs = stubEmbed(chunk.map(_._2).toArray, dim)
+        ids.zip(embs)
+      }
+    }.toDF(idCol, "media_embedding")
+  }
+
+  /** Frame sampling for video blobs: explode every `everyNth` frame with
+    * its byte slice — columnar explode after a deterministic per-row split
+    * (a real codec would emit keyframes; slicing is the stub).
+    */
+  def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String, everyNth: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ds = df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+    ds.flatMap { case (id, blob) =>
+      val m = parseMeta(blob)
+      val frameLen = math.max(1, m.payloadBytes / math.max(1, m.frames))
+      (0 until m.frames by everyNth).map { f =>
+        val start = 16 + f * frameLen
+        val end = math.min(blob.length, start + frameLen)
+        (id, f, java.util.Arrays.copyOfRange(blob, start, end))
+      }
+    }.toDF(idCol, "frame_idx", "frame_bytes")
+  }
+}

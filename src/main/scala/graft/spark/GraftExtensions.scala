@@ -24,8 +24,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *   hll_estimate(synopsis[, p]) / loglogbeta_estimate(synopsis[, p])
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => RewriteApproxCountDistinct)
+  }
 }
 
 object GraftExtensions {

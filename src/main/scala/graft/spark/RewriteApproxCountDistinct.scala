@@ -1,0 +1,36 @@
+package graft.spark
+
+import graft.core.{HllFormat, HllSketch}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, HyperLogLogPlusPlus}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Opt-in optimizer rule: rewrite Spark's built-in `approx_count_distinct`
+  * (HyperLogLogPlusPlus) to this library's reference-exact HLL aggregate,
+  * choosing the smallest precision whose theoretical error 1.04/√(2^p)
+  * meets the requested relativeSD. Existing queries then produce estimates
+  * that are bit-compatible with sketches stored by this library.
+  *
+  * Enable with `SET spark.graft.rewriteApproxCountDistinct=true`
+  * (default off — SURVEY.md §4 item 3 calls this a nice-to-have).
+  */
+object RewriteApproxCountDistinct extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.rewriteApproxCountDistinct"
+
+  def precisionFor(relativeSD: Double): Int = {
+    val p = math.ceil(2.0 * math.log(1.04 / relativeSD) / math.log(2.0)).toInt
+    math.min(HllSketch.MaxPrecision, math.max(HllSketch.MinPrecision, p))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString(ConfKey, "false").toBoolean) return plan
+    plan.transformAllExpressions {
+      case ae @ AggregateExpression(h: HyperLogLogPlusPlus, _, false, _, _)
+          if HllSketchAgg(h.child, precisionFor(h.relativeSD)).checkInputDataTypes().isSuccess =>
+        ae.copy(aggregateFunction = HllSketchAgg(
+          h.child, precisionFor(h.relativeSD), HllFormat.Dense6,
+          HllAggMode.DistinctCountFromValues))
+    }
+  }
+}

@@ -1,0 +1,45 @@
+package graft.streaming
+
+import graft.spark.{functions => gf}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface for the sketch library.
+  *
+  * The reference is batch-only (SURVEY.md §2.4); incremental behavior is
+  * obtained by storing synopses per (time-bucket, dims) and folding later.
+  * Under Spark the SAME `TypedImperativeAggregate` runs unchanged inside a
+  * streaming windowed aggregation: partial states live in the state store,
+  * the watermark bounds state size, and the emitted synopsis column is the
+  * reference wire format — a downstream batch job can `hll_distinct_count`
+  * over any union of windows.
+  */
+object StreamingSketch {
+
+  /** `readStream → watermark → window → synopsis` — the streaming analog
+    * of the per-(time-bucket, dims) pre-aggregation pattern
+    * (reference README.md:38-47 cookie example).
+    */
+  def windowedSynopsis(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      groupCols: Seq[String],
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "2 minutes",
+      p: Int = 14): DataFrame = {
+    val keys = window(col(tsCol), windowDuration) +: groupCols.map(col)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(keys: _*)
+      .agg(
+        gf.hll_create_synopsis(col(valueCol), p).as("syn"),
+        count(lit(1)).as("rows"))
+      .select((Seq(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"))
+        ++ groupCols.map(col)
+        ++ Seq(col("syn"), col("rows"),
+          gf.hll_estimate(col("syn"), p).as("estimate"))): _*)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.multimodal
+
+import graft.spark.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val media = {
+    val base = spark.range(0L, 500L).toDF("id")
+    val df = Multimodal.attachMedia(base, "id", kind = 2)
+    df.cache(); df.count()
+    df
+  }
+
+  test("header-only metadata parse: schema + deterministic values") {
+    val withMeta = Multimodal.withMeta(media, "media")
+    assert(withMeta.schema("meta").dataType.typeName == "struct")
+    val r = withMeta.filter($"id" === 123L).select("meta.*").collect().head
+    assert(r.getAs[Int]("kind") == 2)
+    assert(r.getAs[Int]("width") == (300 + 123).toInt)
+    assert(r.getAs[Int]("height") == (200 + 123).toInt)
+    assert(r.getAs[Int]("frames") == (8 + 123 % 24).toInt)
+    // parse must not depend on partitioning
+    val counts = Multimodal.withMeta(media.repartition(13), "media")
+      .groupBy("meta.kind").count().collect()
+    assert(counts.length == 1 && counts.head.getLong(1) == 500L)
+  }
+
+  test("batched embedding: order-preserving, deterministic, right shape") {
+    val emb = Multimodal.embedMedia(spark, media, "id", "media", dim = 16, batchSize = 32)
+    assert(emb.count() == 500L)
+    val rows = emb.filter($"id".isin(7L, 8L)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows(7L).length == 16)
+    // deterministic: recompute equals
+    val again = Multimodal.embedMedia(spark, media, "id", "media", dim = 16, batchSize = 5)
+      .filter($"id" === 7L).collect().head.getSeq[Float](1)
+    assert(rows(7L) == again, "batch size must not change results")
+  }
+
+  test("frame sampling: explodes every Nth frame with deterministic slices") {
+    val frames = Multimodal.sampleFrames(spark, media, "id", "media", everyNth = 4)
+    val f123 = frames.filter($"id" === 123L).orderBy("frame_idx").collect()
+    val expectedFrames = (8 + 123 % 24).toInt
+    assert(f123.length == (0 until expectedFrames by 4).size)
+    assert(f123.map(_.getInt(1)).toSeq == (0 until expectedFrames by 4).toSeq)
+    f123.foreach(r => assert(r.getAs[Array[Byte]](2).nonEmpty))
+  }
+
+  test("corrupt blobs fail loudly") {
+    intercept[Exception] {
+      Multimodal.parseMeta(Array[Byte](1, 2, 3))
+    }
+    intercept[Exception] {
+      Multimodal.parseMeta(Array.fill[Byte](20)(0x7f))
+    }
+  }
+}

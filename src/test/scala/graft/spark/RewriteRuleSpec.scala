@@ -1,0 +1,34 @@
+package graft.spark
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class RewriteRuleSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("approx_count_distinct rewrites to graft HLL when enabled") {
+    val df = spark.range(0L, 50000L).toDF("v")
+    val builtin = df.agg(F.approx_count_distinct("v")).collect().head.getLong(0)
+
+    spark.conf.set(RewriteApproxCountDistinct.ConfKey, "true")
+    try {
+      val rewritten = df.agg(F.approx_count_distinct("v")).collect().head.getLong(0)
+      val direct = df.agg(functions.hll_approx_count_distinct(
+        F.col("v"), RewriteApproxCountDistinct.precisionFor(0.05)))
+        .collect().head.getLong(0)
+      assert(rewritten == direct, "rewritten estimate must be OUR deterministic estimate")
+      // plan carries our aggregate
+      val plan = df.agg(F.approx_count_distinct("v")).queryExecution.optimizedPlan.toString
+      assert(plan.contains("hll_approx_count_distinct"), plan)
+      // and it differs from the builtin (different hash), proving the swap
+      assert(rewritten != builtin || builtin == direct)
+    } finally spark.conf.set(RewriteApproxCountDistinct.ConfKey, "false")
+  }
+
+  test("precision mapping honors the 1.04/sqrt(2^p) bound") {
+    assert(RewriteApproxCountDistinct.precisionFor(0.05) == 9)
+    assert(RewriteApproxCountDistinct.precisionFor(0.01) == 14)
+    assert(RewriteApproxCountDistinct.precisionFor(0.0001) == 18) // clamped
+    assert(RewriteApproxCountDistinct.precisionFor(0.5) == 4) // clamped
+  }
+}

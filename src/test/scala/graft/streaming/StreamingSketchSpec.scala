@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.spark.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class StreamingSketchSpec extends AnyFunSuite with SparkTestBase {
+
+  test("windowed streaming synopsis: estimates per window match exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "user_id", "site")
+
+    val agg = StreamingSketch.windowedSynopsis(
+      events, "ts", "user_id", Seq("site"),
+      windowDuration = "1 minute", watermarkDelay = "2 minutes", p = 14)
+
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("windowed_synopsis")
+      .outputMode("update")
+      .start()
+    try {
+      val base = 1700000040000L // fixed epoch millis, minute-aligned
+      def ts(min: Int, sec: Int) = new Timestamp(base + (min * 60 + sec) * 1000L)
+      // window 0: users 1..500 on site a; window 1: users 251..750
+      input.addData((0 until 500).map(i => (ts(0, i % 60), (i + 1).toLong, "a")): _*)
+      input.addData((0 until 500).map(i => (ts(1, i % 60), (i + 251).toLong, "a")): _*)
+      q.processAllAvailable()
+      val out = spark.table("windowed_synopsis")
+        .groupBy("window_start", "site")
+        .agg(F.max("estimate").as("estimate"), F.max("rows").as("rows"))
+        .orderBy("window_start")
+        .collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[Long]("rows") == 500L)
+      // p=14 at 500 distinct → linear-counting regime, near-exact
+      assert(math.abs(out(0).getAs[Long]("estimate") - 500L) <= 5L)
+      assert(math.abs(out(1).getAs[Long]("estimate") - 500L) <= 5L)
+
+      // downstream batch fold over the streamed synopses: distinct across
+      // both windows = 750 users
+      val total = spark.table("windowed_synopsis")
+        .groupBy("window_start", "site").agg(F.max("syn").as("syn")) // latest update per window
+        .agg(graft.spark.functions.hll_distinct_count(F.col("syn"), 14))
+        .collect().head.getLong(0)
+      assert(math.abs(total - 750L) <= 8L, s"cross-window fold estimate $total vs 750")
+    } finally q.stop()
+  }
+}
