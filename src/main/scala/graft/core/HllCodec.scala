@@ -55,8 +55,18 @@ object HllCodec {
     HeaderSize + payload
   }
 
-  /** Terminate-time policy (hll.hpp:148-150): sparse iff <256 set registers. */
-  def sparseIsBetter(sketch: HllSketch): Boolean = sketch.setBuckets < 256
+  /** Terminate-time policy (hll.hpp:148-150): sparse iff <256 set registers.
+    *
+    * Divergence from the reference, documented: sparse bucket ids are
+    * uint16 on the wire, so precisions 17-18 cannot be sparse-encoded. The
+    * reference core has the same latent limitation (`(uint16_t) i` at
+    * hll_raw.hpp:373 silently wraps) but its Vertica wrapper caps p at 16
+    * so the path is unreachable there; we expose core's full 4..18 range,
+    * so the policy declines sparse at p>16 and explicit sparse requests
+    * throw instead of corrupting.
+    */
+  def sparseIsBetter(sketch: HllSketch): Boolean =
+    sketch.p <= 16 && sketch.setBuckets < 256
 
   /** Serialize with the reference's terminate policy: sparse if better,
     * otherwise the requested dense format.
@@ -75,6 +85,8 @@ object HllCodec {
     format match {
       case HllFormat.Sparse =>
         // ascending (uint16-LE id, uint8 value) triples (hll_raw.hpp:365-379)
+        require(sketch.p <= 16,
+          "sparse format cannot index buckets above 65535 (precision > 16)")
         var i = 0
         var o = HeaderSize
         while (i < m) {

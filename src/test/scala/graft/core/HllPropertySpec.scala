@@ -1,0 +1,139 @@
+package graft.core
+
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property suite (north rule: associative, order-independent
+  * merge verified by property tests).
+  */
+class HllPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(60)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L)) // deterministic CI
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val genP = Gen.choose(4, 18)
+  private val genValues = Gen.listOf(Gen.long)
+  private val genFormat = Gen.oneOf(HllFormat.all)
+
+  private def sketchOf(p: Int, vs: Seq[Long]): HllSketch = {
+    val s = HllSketch.empty(p)
+    vs.foreach(s.addLong)
+    s
+  }
+
+  test("merge is commutative: bytes(a+b) == bytes(b+a)") {
+    check(Prop.forAll(genP, genValues, genValues) { (p, as, bs) =>
+      val ab = sketchOf(p, as).merge(sketchOf(p, bs))
+      val ba = sketchOf(p, bs).merge(sketchOf(p, as))
+      java.util.Arrays.equals(
+        HllCodec.serializeAuto(ab, HllFormat.Dense6),
+        HllCodec.serializeAuto(ba, HllFormat.Dense6))
+    })
+  }
+
+  test("merge is associative: (a+b)+c == a+(b+c)") {
+    check(Prop.forAll(genP, genValues, genValues, genValues) { (p, as, bs, cs) =>
+      val left = sketchOf(p, as).merge(sketchOf(p, bs)).merge(sketchOf(p, cs))
+      val right = sketchOf(p, as).merge(sketchOf(p, bs).merge(sketchOf(p, cs)))
+      left.registers.toSeq == right.registers.toSeq
+    })
+  }
+
+  test("merge is idempotent: a+a == a") {
+    check(Prop.forAll(genP, genValues) { (p, as) =>
+      val a = sketchOf(p, as)
+      val aa = a.copy().merge(a)
+      aa.registers.toSeq == a.registers.toSeq && aa.estimate == a.estimate
+    })
+  }
+
+  test("serde roundtrip preserves registers for 8/6-bit + sparse at any p") {
+    // sparse bucket ids are uint16 on the wire — valid only for p <= 16
+    // (the reference's Vertica wrapper caps p at 16 for the same reason)
+    check(Prop.forAll(genP, genValues,
+      Gen.oneOf(HllFormat.Normal, HllFormat.Dense6, HllFormat.Sparse)) { (p, vs, fmt) =>
+      val s = sketchOf(p, vs)
+      if (fmt == HllFormat.Sparse && p > 16)
+        scala.util.Try(HllCodec.serialize(s, fmt)).isFailure
+      else {
+        val back = HllCodec.deserialize(p, HllCodec.serialize(s, fmt))
+        back.registers.toSeq == s.registers.toSeq
+      }
+    })
+  }
+
+  test("5/4-bit roundtrip: registers clipped at base+31/base+15, never above") {
+    check(Prop.forAll(genP, genValues,
+      Gen.oneOf(HllFormat.Dense5 -> 31, HllFormat.Dense4 -> 15)) { (p, vs, fc) =>
+      val (fmt, cap) = fc
+      val s = sketchOf(p, vs)
+      val base = s.registers.map(_ & 0xff).min
+      val back = HllCodec.deserialize(p, HllCodec.serialize(s, fmt))
+      s.registers.indices.forall { i =>
+        val orig = s.registers(i) & 0xff
+        val got = back.registers(i) & 0xff
+        got == math.min(orig, base + cap)
+      }
+    })
+  }
+
+  test("fold of shards is order-independent, byte-exact, any mixed formats") {
+    check(Prop.forAll(genP, Gen.listOfN(4, genValues),
+      Gen.listOfN(4, genFormat), Gen.choose(0, 23)) { (p, shards, fmts, permIdx) =>
+      val wires = shards.zip(fmts).map { case (vs, fmt0) =>
+        val fmt = if (fmt0 == HllFormat.Sparse && p > 16) HllFormat.Dense6 else fmt0
+        HllCodec.serialize(sketchOf(p, vs), fmt)
+      }
+      val perm = wires.indices.permutations.drop(permIdx % 24).next()
+      def fold(order: Seq[Int]): Array[Byte] = {
+        val acc = HllSketch.empty(p)
+        order.foreach(i => HllCodec.foldInto(acc, wires(i)))
+        HllCodec.serializeAuto(acc, HllFormat.Dense6)
+      }
+      java.util.Arrays.equals(fold(wires.indices), fold(perm))
+    })
+  }
+
+  test("estimate never decreases as values stream in") {
+    check(Prop.forAll(Gen.choose(8, 16), Gen.listOf(Gen.long)) { (p, vs) =>
+      val s = HllSketch.empty(p)
+      var last = 0L
+      vs.forall { v =>
+        s.addLong(v)
+        val e = s.estimate
+        val ok = e >= last
+        last = e
+        ok
+      }
+    })
+  }
+
+  test("precision mismatch always rejected") {
+    check(Prop.forAll(genP, genP) { (p1, p2) =>
+      (p1 == p2) || scala.util.Try(
+        HllSketch.empty(p1).merge(HllSketch.empty(p2))).isFailure
+    })
+  }
+
+  test("count-min merge commutes byte-exactly; bloom merge is idempotent") {
+    check(Prop.forAll(genValues, genValues) { (as, bs) =>
+      def cms(vs: Seq[Long]) = {
+        val c = CountMinSketch.empty(4, 512); vs.foreach(c.addLong(_)); c
+      }
+      val ab = cms(as).merge(cms(bs)).serialize()
+      val ba = cms(bs).merge(cms(as)).serialize()
+      java.util.Arrays.equals(ab, ba)
+    })
+    check(Prop.forAll(genValues) { vs =>
+      val a = BloomFilter.empty(1024, 4)
+      vs.foreach(a.addLong)
+      val twice = BloomFilter.deserialize(a.serialize()).merge(a)
+      java.util.Arrays.equals(twice.words, a.words)
+    })
+  }
+}
