@@ -80,6 +80,49 @@ object Murmur64A {
   def hashString(s: String, seed: Int = DefaultSeed): Long =
     hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
 
+  /** Zero-copy variant over raw memory (same result as [[hashBytes]] on the
+    * same bytes; little-endian reads match [[getLongLE]]). Used by the hot
+    * aggregate path to hash Tungsten `UTF8String`s without the per-row
+    * byte-array copy that `getBytes` makes.
+    */
+  def hashMemory(base: AnyRef, offset: Long, len: Int, seed: Int = DefaultSeed): Long = {
+    import org.apache.spark.unsafe.Platform
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = seed.toLong & 0xffffffffL
+    var h2 = h1
+    val nblocks = len / 16
+    var i = 0
+    while (i < nblocks) {
+      var k1 = Platform.getLong(base, offset + i * 16L)
+      var k2 = Platform.getLong(base, offset + i * 16L + 8L)
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+      h1 = java.lang.Long.rotateLeft(h1, 27); h1 += h2; h1 = h1 * 5 + 0x52dce729L
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+      h2 = java.lang.Long.rotateLeft(h2, 31); h2 += h1; h2 = h2 * 5 + 0x38495ab5L
+      i += 1
+    }
+    val tail = offset + nblocks * 16L
+    var k1 = 0L
+    var k2 = 0L
+    val rem = len & 15
+    if (rem >= 9) {
+      var j = rem - 1
+      while (j >= 8) { k2 ^= (Platform.getByte(base, tail + j) & 0xffL) << ((j - 8) * 8); j -= 1 }
+      k2 *= c2; k2 = java.lang.Long.rotateLeft(k2, 33); k2 *= c1; h2 ^= k2
+    }
+    if (rem >= 1) {
+      var j = math.min(rem, 8) - 1
+      while (j >= 0) { k1 ^= (Platform.getByte(base, tail + j) & 0xffL) << (j * 8); j -= 1 }
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2; h1 ^= k1
+    }
+    h1 ^= len.toLong; h2 ^= len.toLong
+    h1 += h2; h2 += h1
+    h1 = fmix64(h1); h2 = fmix64(h2)
+    h1 += h2
+    h1
+  }
+
   private def fmix64(k0: Long): Long = {
     var k = k0
     k ^= k >>> 33

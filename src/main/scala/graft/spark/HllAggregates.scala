@@ -98,7 +98,11 @@ case class HllSketchAgg(
           case IntegerType => buffer.addLong(v.asInstanceOf[Int].toLong & 0xffffffffL)
           case ShortType => buffer.addLong(v.asInstanceOf[Short].toLong & 0xffffL)
           case ByteType => buffer.addLong(v.asInstanceOf[Byte].toLong & 0xffL)
-          case StringType => buffer.addBytes(v.asInstanceOf[UTF8String].getBytes)
+          case StringType =>
+            // zero-copy: hash the Tungsten bytes in place
+            val u = v.asInstanceOf[UTF8String]
+            buffer.addHash(Murmur64A.hashMemory(
+              u.getBaseObject, u.getBaseOffset, u.numBytes(), hashSeed))
           case BinaryType => buffer.addBytes(v.asInstanceOf[Array[Byte]])
           case other => throw new IllegalStateException(s"unsupported type $other")
         }

@@ -1,0 +1,100 @@
+package graft.spark
+
+import graft.core.Murmur64A
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass MinHash signature kernel: whitespace-tokenize, roll word
+  * `shingleSize`-grams, hash each shingle once (128-bit), derive the
+  * `numHashes` minima via Kirsch–Mitzenmacher combination h1 + i·h2.
+  *
+  * Why an expression and not composed built-ins: the composed form
+  * (`transform`+`slice`+`concat_ws` shingles, then `numHashes` separate
+  * `aggregate` folds) runs as INTERPRETED higher-order functions and
+  * re-evaluates the shingle array once per hash per join side — measured
+  * 76 s for 2000 docs where this kernel needs well under a second. This is
+  * SURVEY.md §2's preference order (b): a custom codegen'd `Expression`
+  * when composition can't express the semantics efficiently.
+  */
+case class MinHashSigExpr(child: Expression, shingleSize: Int, numHashes: Int)
+  extends UnaryExpression {
+
+  require(shingleSize >= 1 && shingleSize <= 16, "shingleSize must be in [1,16]")
+  require(numHashes >= 1 && numHashes <= 256, "numHashes must be in [1,256]")
+
+  override def prettyName: String = "minhash_signature"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.signature(input.asInstanceOf[UTF8String], shingleSize, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)" +
+        s"graft.spark.MinHashSigExpr.signature($s, $shingleSize, $numHashes);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
+    copy(child = c)
+}
+
+object MinHashSigExpr {
+
+  /** Codegen + interpreted entry point. */
+  def signature(text: UTF8String, shingleSize: Int, numHashes: Int): GenericArrayData = {
+    val s = text.toString
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+
+    // locate word boundaries once
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    val n = s.length
+    var inWord = false
+    while (i <= n) {
+      val ws = i == n || Character.isWhitespace(s.charAt(i))
+      if (!ws && !inWord) { starts.add(i); inWord = true }
+      else if (ws && inWord) { ends.add(i); inWord = false }
+      i += 1
+    }
+    val words = starts.size()
+    if (words == 0) return new GenericArrayData(mins)
+
+    val shingleCount = math.max(1, words - shingleSize + 1)
+    var w = 0
+    while (w < shingleCount) {
+      // shingle = original text span from start of word w to end of word
+      // w+shingleSize-1 normalized to single spaces between words
+      val lastWord = math.min(words - 1, w + shingleSize - 1)
+      val sb = new java.lang.StringBuilder(48)
+      var k = w
+      while (k <= lastWord) {
+        if (k > w) sb.append(' ')
+        sb.append(s, starts.get(k), ends.get(k))
+        k += 1
+      }
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h1 = Murmur64A.hashBytes(bytes)
+      val h2 = Murmur64A.hashBytes(bytes, seed = 0x2545f491)
+      var t = 0
+      var h = h1
+      while (t < numHashes) {
+        if (h < mins(t)) mins(t) = h
+        h += h2 // Kirsch–Mitzenmacher: h_i = h1 + i*h2
+        t += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

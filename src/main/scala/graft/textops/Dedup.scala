@@ -29,14 +29,15 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: for each seed, min over shingles of xxhash64(s, seed).
-    * Returns an array<long> of length `numHashes`.
+  /** MinHash signature (array<long> of length `numHashes`) via the
+    * codegen'd one-pass kernel `MinHashSigExpr` — the composed
+    * transform/aggregate form runs as interpreted HOFs and is ~100×
+    * slower (see MinHashSigExpr scaladoc).
     */
-  def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column =
-    array((0 until numHashes).map { i =>
-      aggregate(shingleCol, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, lit(i))))
-    }: _*)
+  def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 3): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.spark.MinHashSigExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), shingleSize, numHashes))
 
   /** Candidate pairs whose minhash signatures collide in ≥1 of `bands`
     * bands (rows per band = numHashes/bands). Output: (id_a, id_b) with
@@ -52,7 +53,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(shingles(col(textCol), shingleSize), numHashes).as("__sig"))
+      minhashSignature(col(textCol), numHashes, shingleSize).as("__sig"))
     val banded = sig.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
         hash(slice(col("__sig"), b * rows + 1, rows).cast("string"), lit(b))

@@ -113,6 +113,14 @@ class HllPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("zero-copy UTF8String hash equals byte-array hash") {
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.choose(1, Int.MaxValue)) { (s, seed) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      Murmur64A.hashMemory(u.getBaseObject, u.getBaseOffset, u.numBytes(), seed) ==
+        Murmur64A.hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+    })
+  }
+
   test("precision mismatch always rejected") {
     check(Prop.forAll(genP, genP) { (p1, p2) =>
       (p1 == p2) || scala.util.Try(
