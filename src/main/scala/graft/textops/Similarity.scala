@@ -18,17 +18,21 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two float-array columns (columnar). */
+  private def bridge = org.apache.spark.sql.graftbridge.Bridge
+
+  /** Dot product of two float-array columns (columnar composition — kept
+    * for reference/verification; the hot path uses [[cosine]]).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
-    val nn = norm(a) * norm(b)
-    when(nn === 0.0, 0.0).otherwise(d / nn)
-  }
+  /** Cosine similarity via the codegen'd kernel (the zip_with/aggregate
+    * composition evaluates as interpreted HOFs — see CosineSimExpr).
+    */
+  def cosine(a: Column, b: Column): Column =
+    bridge.column(graft.spark.CosineSimExpr(bridge.expression(a), bridge.expression(b)))
 
   /** Exact top-k neighbors for every query id (brute force, ground truth).
     * Output: (query_id, neighbor_id, cosine, rank) with rank 1..k.
@@ -58,17 +62,8 @@ object Similarity {
     * projections are rotation-free LSH for cosine distance.
     */
   def lshSignatures(vec: Column, tables: Int, bitsPerTable: Int): Column =
-    array((0 until tables).map { t =>
-      (0 until bitsPerTable).map { b =>
-        // sum_d vec[d] * w(t,b,d), w = hash-sign
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1), (x, d) =>
-            when(pmod(xxhash64(lit(t * 4096 + b), d), lit(2L)) === 0L, x)
-              .otherwise(-x)),
-          lit(0.0d), (acc, v) => acc + v)
-        when(proj >= 0.0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+    bridge.column(graft.spark.LshSignaturesExpr(
+      bridge.expression(vec), tables, bitsPerTable))
 
   /** ANN via LSH bucket join + exact cosine re-rank. Output shape matches
     * bruteForceTopK. Recall grows with `tables`; shuffle volume is
