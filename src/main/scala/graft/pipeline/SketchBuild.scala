@@ -47,21 +47,11 @@ object SketchBuild {
 
   val CodeVersion = "graft-0.1.0"
 
-  /** Deterministic enumeration of physical partitions under an
-    * Iceberg-style two-level layout (sorted for stable ids).
+  /** Deterministic enumeration of physical partitions (delegates to the
+    * layout seam — see [[TableIO]]).
     */
-  def enumeratePartitions(inputPath: String): Seq[String] = {
-    val root = Paths.get(inputPath)
-    def dirs(p: Path): Seq[Path] =
-      Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
-        .filter(_.getFileName.toString.contains("=")).toSeq
-    val first = dirs(root)
-    val leaves = first.flatMap { d =>
-      val sub = dirs(d)
-      if (sub.isEmpty) Seq(d) else sub
-    }
-    leaves.map(p => root.relativize(p).toString).sorted
-  }
+  def enumeratePartitions(inputPath: String, io: TableIO = ParquetLayoutIO): Seq[String] =
+    io.listPartitions(inputPath)
 
   private def checkpointFile(dir: Path, partitionId: String): Path =
     dir.resolve(partitionId.replace('/', '~') + ".json")
@@ -107,10 +97,11 @@ object SketchBuild {
       checkpointDir: String,
       valueCol: String = "url",
       p: Int = 14,
-      maxPartitionsThisRun: Int = Int.MaxValue): BuildResult = {
+      maxPartitionsThisRun: Int = Int.MaxValue,
+      io: TableIO = ParquetLayoutIO): BuildResult = {
     val ckDir = Paths.get(checkpointDir)
     Files.createDirectories(ckDir)
-    val partitions = enumeratePartitions(inputPath)
+    val partitions = enumeratePartitions(inputPath, io)
     require(partitions.nonEmpty, s"no partitions found under $inputPath")
 
     val resumed = scala.collection.mutable.ArrayBuffer.empty[PartitionCheckpoint]
@@ -124,8 +115,8 @@ object SketchBuild {
 
     val built = todo.take(maxPartitionsThisRun).map { pid =>
       val t0 = System.currentTimeMillis()
-      // partition-pruned scan: only this directory is read
-      val df = spark.read.parquet(s"$inputPath/$pid")
+      // partition-pruned scan: only this partition is read
+      val df = io.readPartition(spark, inputPath, pid)
       val row = df.agg(
         gf.hll_create_synopsis(col(valueCol), p).as("syn"),
         count(lit(1)).as("rows")).collect().head

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Physical-layout seam (SURVEY.md §7.6): the pipeline plans against
+  * partition IDs and partition-pruned reads, not paths. The sandbox ships
+  * no Iceberg jars, so the default implementation is Hive-style
+  * `key=value` directory layout on plain Parquet with the same semantics
+  * (bucket-by-url-hash column + warc_ts date range dirs); an Iceberg
+  * catalog implementation slots in behind this trait where the runtime
+  * provides the jars (partition listing via table metadata instead of
+  * directory walking, reads via snapshot scans).
+  */
+trait TableIO {
+  /** Deterministic (sorted) partition ids — metadata-only, no data read. */
+  def listPartitions(table: String): Seq[String]
+
+  /** Partition-pruned scan of exactly one partition. */
+  def readPartition(spark: SparkSession, table: String, partitionId: String): DataFrame
+
+  /** Full-table scan. */
+  def readTable(spark: SparkSession, table: String): DataFrame
+}
+
+/** Hive-style two-level `key=value` directory layout on Parquet. */
+object ParquetLayoutIO extends TableIO {
+
+  override def listPartitions(table: String): Seq[String] = {
+    val root = Paths.get(table)
+    def dirs(p: Path): Seq[Path] =
+      Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
+        .filter(_.getFileName.toString.contains("=")).toSeq
+    val first = dirs(root)
+    val leaves = first.flatMap { d =>
+      val sub = dirs(d)
+      if (sub.isEmpty) Seq(d) else sub
+    }
+    leaves.map(p => root.relativize(p).toString).sorted
+  }
+
+  override def readPartition(spark: SparkSession, table: String,
+      partitionId: String): DataFrame =
+    spark.read.parquet(s"$table/$partitionId")
+
+  override def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(table)
+}
