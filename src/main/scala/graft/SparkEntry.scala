@@ -281,6 +281,50 @@ object SparkEntry {
       graft.textops.Similarity.bruteForceTopK(
           emb, "vec_id", "embedding", queries, k = 1)
         .select(col("query_id"), col("neighbor_id"))
+    }),
+
+    // multimodal plumbing: blob header metadata is a pure function of the
+    // key, so DuckDB can recompute the aggregate from doc_id alone; the
+    // batched embed stage must be batch-size invariant
+    "q_multimodal" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val media = graft.multimodal.Multimodal.attachMedia(docs, "doc_id", kind = 2)
+      val meta = graft.multimodal.Multimodal.withMeta(media, "media")
+      val agg = meta.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("meta.width").cast("long")).as("sum_width"),
+        sum(col("meta.frames").cast("long")).as("sum_frames"))
+      val e1 = graft.multimodal.Multimodal.embedMedia(s, media, "doc_id", "media",
+        dim = 8, batchSize = 64)
+      val e2 = graft.multimodal.Multimodal.embedMedia(s, media, "doc_id", "media",
+        dim = 8, batchSize = 7)
+      val invariant = e1.withColumnRenamed("media_embedding", "a")
+        .join(e2.withColumnRenamed("media_embedding", "b"), "doc_id")
+        .agg(min(col("a") === col("b")).as("batch_invariant"))
+      agg.crossJoin(invariant)
+    }),
+
+    // all four dense formats rebuild the same registers: 8/6-bit exactly,
+    // 5/4-bit within offset-clipping (estimates equal here since register
+    // spread fits the 5-bit window and 4-bit clipping is checked ±1%)
+    "q_hll_formats" -> ((s, d) => {
+      graft.spark.GraftExtensions.register(s)
+      t(s, d, "lineitem").createOrReplaceTempView("li_fmt")
+      s.sql(
+        """WITH syn AS (
+          |  SELECT hll_create_synopsis(l_orderkey, 14, 8) AS s8,
+          |         hll_create_synopsis(l_orderkey, 14, 6) AS s6,
+          |         hll_create_synopsis(l_orderkey, 14, 5) AS s5,
+          |         hll_create_synopsis(l_orderkey, 14, 4) AS s4
+          |  FROM li_fmt
+          |)
+          |SELECT hll_estimate(s8, 14) = hll_estimate(s6, 14) AS eq_8_6,
+          |       hll_estimate(s8, 14) = hll_estimate(s5, 14) AS eq_8_5,
+          |       abs(hll_estimate(s8, 14) - hll_estimate(s4, 14)) <=
+          |         greatest(1L, CAST(hll_estimate(s8, 14) / 100 AS BIGINT)) AS close_8_4,
+          |       length(s8) = 16392 AND length(s6) = 12296 AND
+          |       length(s5) = 10248 AND length(s4) = 8200 AS sizes_ok
+          |FROM syn""".stripMargin)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -364,6 +408,14 @@ object SparkEntry {
         |   >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality_docs,
         | count(*) AS cnt_docs
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_multimodal" ->
+      """SELECT count(*) AS n_docs,
+        | CAST(sum(300 + doc_id % 1000) AS BIGINT) AS sum_width,
+        | CAST(sum(8 + doc_id % 24) AS BIGINT) AS sum_frames,
+        | TRUE AS batch_invariant
+        |FROM documents""".stripMargin,
+    "q_hll_formats" ->
+      "SELECT TRUE AS eq_8_6, TRUE AS eq_8_5, TRUE AS close_8_4, TRUE AS sizes_ok",
     "q_ann_top1" ->
       """SELECT query_id, neighbor_id FROM (
         | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

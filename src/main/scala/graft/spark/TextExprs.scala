@@ -158,40 +158,80 @@ object LangProfiles {
     "pl" -> Seq("ie_", "nie", "_ni", "_po", "_prz", "prz", "rze", "ych", "ego", "ch_",
       "em_", "ość", "ani", "owa", "_na", "na_", "do_", "_do", "sta", "ać_"),
     "ru" -> Seq("_пр", "ого", "го_", "_по", "ть_", "ать", "ени", "ние", "ие_", "_на",
-      "на_", "ост", "_со", "ств", "ова", "_не", "не_", "_ко", "их_", "ली_"),
-    "ja" -> Seq("した", "ている", "ます", "です", "この", "それ", "ない", "して", "とい", "れた",
-      "から", "こと", "もの", "ある", "いる", "った", "れる", "など", "には", " された"),
-    "zh" -> Seq("的", "是的", "了", "在", "和", "有", "我", "他", "这", "中",
+      "на_", "ост", "_со", "ств", "ова", "_не", "не_", "_ко", "их_", "ста"),
+    "ja" -> Seq("した", "ていр", "ます", "です", "この", "それ", "ない", "して", "とい", "れた",
+      "から", "こと", "もの", "ある", "いる", "った", "れる", "など", "には", "される"),
+    "zh" -> Seq("的", "了", "在", "和", "有", "我", "他", "这", "是", "中",
       "大", "来", "上", "国", "个", "到", "说", "们", "为", "子"),
-    "tr" -> Seq("lar", "ler", "_bi", "bir", "ir_", "_ka", "an_", "_ol", "ında", "nda",
+    "tr" -> Seq("lar", "ler", "_bi", "bir", "ir_", "_ka", "an_", "_ol", "nda", "an_",
       "dı_", "en_", "in_", "eri", "ini", "_ya", "ara", "ile", "_il", "arı"))
 
-  private val weighted: Seq[(String, Map[String, Int])] = profiles.map {
-    case (lang, grams) =>
-      lang -> grams.zipWithIndex.map { case (g, r) => g -> (grams.size - r) }.toMap
+  private val langNames: Array[String] = profiles.map(_._1).toArray
+
+  /** One merged gram → packed (langIdx, weight) list, so detection scans
+    * the text once instead of once per language. Grams of length 1/2/3
+    * are kept in separate maps to bound substring work per position.
+    */
+  private val byLen: Array[java.util.HashMap[String, Array[Long]]] = {
+    val maps = Array.fill(3)(new java.util.HashMap[String, Array[Long]]())
+    profiles.zipWithIndex.foreach { case ((_, grams), li) =>
+      grams.zipWithIndex.foreach { case (g, r) =>
+        val w = grams.size - r
+        if (g.length >= 1 && g.length <= 3) {
+          val m = maps(g.length - 1)
+          val packed = (li.toLong << 32) | w.toLong
+          val prev = m.get(g)
+          m.put(g, if (prev == null) Array(packed) else prev :+ packed)
+        }
+      }
+    }
+    maps
   }
 
   def detect(text: String): String = {
     if (text == null || text.length < 6) return "und"
-    val t = "_" + text.toLowerCase.replaceAll("\\s+", "_") + "_"
-    var bestLang = "und"
-    var bestScore = 0.0
-    weighted.foreach { case (lang, grams) =>
-      var score = 0
-      var i = 0
-      val lim = t.length - 2
-      while (i < lim) {
-        val g3 = t.substring(i, i + 3)
-        score += grams.getOrElse(g3, 0)
-        // CJK profiles contain 1- and 2-char grams
-        score += grams.getOrElse(g3.substring(0, 1), 0)
-        score += grams.getOrElse(g3.substring(0, 2), 0)
-        i += 1
-      }
-      val norm = score.toDouble / t.length
-      if (norm > bestScore) { bestScore = norm; bestLang = lang }
+    // normalize: lowercase, whitespace runs → single '_', bounded scan
+    val limit = math.min(text.length, 4096)
+    val sb = new java.lang.StringBuilder(limit + 2)
+    sb.append('_')
+    var lastUs = true
+    var ci = 0
+    while (ci < limit) {
+      val c = text.charAt(ci)
+      if (Character.isWhitespace(c)) {
+        if (!lastUs) { sb.append('_'); lastUs = true }
+      } else { sb.append(Character.toLowerCase(c)); lastUs = false }
+      ci += 1
     }
-    if (bestScore < 0.15) "und" else bestLang
+    sb.append('_')
+    val t = sb.toString
+    val scores = new Array[Int](langNames.length)
+    var i = 0
+    val n = t.length
+    while (i < n) {
+      var len = 1
+      while (len <= 3 && i + len <= n) {
+        val hits = byLen(len - 1).get(t.substring(i, i + len))
+        if (hits != null) {
+          var k = 0
+          while (k < hits.length) {
+            scores((hits(k) >>> 32).toInt) += (hits(k) & 0xffffffffL).toInt
+            k += 1
+          }
+        }
+        len += 1
+      }
+      i += 1
+    }
+    var best = -1
+    var bestScore = 0.0
+    var li = 0
+    while (li < scores.length) {
+      val norm = scores(li).toDouble / n
+      if (norm > bestScore) { bestScore = norm; best = li }
+      li += 1
+    }
+    if (best < 0 || bestScore < 0.15) "und" else langNames(best)
   }
 }
 
