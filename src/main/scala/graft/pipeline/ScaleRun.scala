@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import graft.data.WebPages
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** At-scale pipeline demonstration (not part of the per-round bench):
+  * materialize a partitioned web-pages table, run the resumable
+  * per-partition sketch build end-to-end (abort + resume included),
+  * report throughput and checkpoint metrics.
+  *
+  * `sbt -batch 'runMain graft.pipeline.ScaleRun [rows] [workDir]'`
+  */
+object ScaleRun {
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toLong else 20000000L
+    val work = if (args.length > 1) args(1) else "/tmp/graft-scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val table = s"$work/pages"
+    val ck = s"$work/ck"
+    // url-bearing columns only: the sketch build reads url alone, so the
+    // demo table models the metadata projection of a 100 TB corpus
+    val (_, genSec) = timed {
+      WebPages.writePartitioned(
+        WebPages.generate(spark, rows, distinctUrls = rows / 2, days = 30)
+          .select("url", "warc_ts", "lang"),
+        table, buckets = 5)
+    }
+    val partitions = SketchBuild.enumeratePartitions(table)
+    println(f"SCALE gen rows=$rows sec=$genSec%.1f partitions=${partitions.size}")
+
+    // aborted run: 60% of partitions, then kill
+    val nAbort = (partitions.size * 6) / 10
+    val (aborted, sec1) = timed(SketchBuild.buildResumable(
+      spark, table, ck, maxPartitionsThisRun = nAbort))
+    println(f"SCALE aborted built=${aborted.partitionsBuilt.size} sec=$sec1%.1f")
+
+    // resume: must not rescan
+    val (resumed, sec2) = timed(SketchBuild.buildResumable(spark, table, ck))
+    val exact = rows / 2
+    val err = math.abs(resumed.estimate.toDouble - exact) / exact
+    println(f"SCALE resumed built=${resumed.partitionsBuilt.size} " +
+      f"resumed=${resumed.partitionsResumed.size} sec=$sec2%.1f " +
+      f"totalRows=${resumed.totalRows} estimate=${resumed.estimate} err=${err * 100}%.3f%%")
+    val thr = rows / (sec1 + sec2)
+    println(f"SCALE build_throughput_rows_per_sec=$thr%.0f bound_ok=${err <= 1.04 / math.sqrt(1 << 14)}")
+    spark.stop()
+  }
+}

@@ -98,7 +98,8 @@ object SketchBuild {
       valueCol: String = "url",
       p: Int = 14,
       maxPartitionsThisRun: Int = Int.MaxValue,
-      io: TableIO = ParquetLayoutIO): BuildResult = {
+      io: TableIO = ParquetLayoutIO,
+      concurrency: Int = 4): BuildResult = {
     val ckDir = Paths.get(checkpointDir)
     Files.createDirectories(ckDir)
     val partitions = enumeratePartitions(inputPath, io)
@@ -113,7 +114,11 @@ object SketchBuild {
       }
     }
 
-    val built = todo.take(maxPartitionsThisRun).map { pid =>
+    // partition jobs share nothing, so submit several concurrently from
+    // the driver (Spark's scheduler interleaves their tasks) — keeps the
+    // cluster busy when single partitions are too small to fill it.
+    // Checkpoint writes are per-partition atomic renames: thread-safe.
+    def buildOne(pid: String): PartitionCheckpoint = {
       val t0 = System.currentTimeMillis()
       // partition-pruned scan: only this partition is read
       val df = io.readPartition(spark, inputPath, pid)
@@ -127,6 +132,19 @@ object SketchBuild {
       writeCheckpoint(ckDir, cp)
       cp
     }
+    val work = todo.take(maxPartitionsThisRun).toSeq
+    val built: Seq[PartitionCheckpoint] =
+      if (concurrency <= 1 || work.size <= 1) work.map(buildOne)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(concurrency)
+        try {
+          val futures = work.map(pid =>
+            pool.submit(new java.util.concurrent.Callable[PartitionCheckpoint] {
+              override def call(): PartitionCheckpoint = buildOne(pid)
+            }))
+          futures.map(_.get())
+        } finally pool.shutdown()
+      }
 
     val all = (resumed ++ built).sortBy(_.partitionId)
     require(all.size == partitions.size || built.size == maxPartitionsThisRun,
