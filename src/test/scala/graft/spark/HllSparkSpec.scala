@@ -109,7 +109,31 @@ class HllSparkSpec extends AnyFunSuite with SparkTestBase {
     }
     val a = build(1)
     val b = build(7)
-    assert(a == b)
+    val c = build(32)
+    assert(a == b && b == c)
+  }
+
+  test("empty input: estimate 0, empty synopsis, NaN quantiles") {
+    import spark.implicits._
+    val empty = spark.range(0).toDF("v")
+    assert(empty.agg(gf.hll_approx_count_distinct(F.col("v"), 14))
+      .collect().head.getLong(0) == 0L)
+    val syn = empty.agg(gf.hll_create_synopsis(F.col("v"), 14))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(syn.length == 8, "empty sketch serializes as header-only sparse")
+    assert(HllCodec.deserialize(14, syn).estimate == 0L)
+    val td = empty.agg(graft.spark.sketchFunctions.tdigest_sketch(F.col("v")))
+      .collect().head.getAs[Array[Byte]](0)
+    assert(graft.core.TDigest.deserialize(td).quantile(0.5).isNaN)
+  }
+
+  test("physical plan: partial/final ObjectHashAggregate around one exchange") {
+    val plan = pages.groupBy("lang")
+      .agg(gf.hll_create_synopsis(F.col("url"), 14))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"))
+    assert("partial_hll_create_synopsis".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
   test("parity: Spark aggregate output equals core sketch on same data") {
