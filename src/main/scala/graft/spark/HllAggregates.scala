@@ -127,7 +127,7 @@ case class HllSketchAgg(
 
   /** Shuffle codec: the reference wire format, sparse-if-smaller. */
   override def serialize(buffer: HllSketch): Array[Byte] =
-    HllCodec.serializeAuto(buffer, HllFormat.Normal)
+    HllCodec.serializeAuto(buffer, HllFormat.Dense6)
 
   override def deserialize(bytes: Array[Byte]): HllSketch =
     HllCodec.deserialize(p, bytes, hashSeed)
