@@ -304,6 +304,41 @@ object SparkEntry {
       agg.crossJoin(invariant)
     }),
 
+    // Structured Streaming: windowed synopsis aggregation over a memory
+    // stream — two fixed windows of 500 users each, overlapping by 250;
+    // per-window estimates and the cross-window batch fold must hit the
+    // p=14 LC-regime accuracy (deterministic)
+    "q_streaming_window" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+      val events = input.toDF().toDF("ts", "user_id", "site")
+      val agg = graft.streaming.StreamingSketch.windowedSynopsis(
+        events, "ts", "user_id", Seq("site"), "1 minute", "2 minutes", p = 14)
+      val qn = "q_streaming_sink_" + System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("update").start()
+      try {
+        val base = 1700000040000L // minute-aligned fixed epoch
+        def ts(min: Int, sec: Int) = new java.sql.Timestamp(base + (min * 60 + sec) * 1000L)
+        input.addData((0 until 500).map(i => (ts(0, i % 60), (i + 1).toLong, "a")): _*)
+        input.addData((0 until 500).map(i => (ts(1, i % 60), (i + 251).toLong, "a")): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val latest = s.table(qn)
+        .groupBy(col("window_start"), col("site"))
+        .agg(max("rows").as("n_rows"), max("estimate").as("est"), max("syn").as("syn"))
+      latest.select(
+          (unix_timestamp(col("window_start"))).as("window_epoch"),
+          col("n_rows"),
+          withinBound(col("est"), lit(500L), boundP14).as("within_bound"))
+        .unionAll(
+          latest.agg(gf.hll_distinct_count(col("syn"), 14).as("total"))
+            .select(lit(-1L).as("window_epoch"), lit(750L).as("n_rows"),
+              withinBound(col("total"), lit(750L), boundP14).as("within_bound")))
+    }),
+
     // all four dense formats rebuild the same registers: 8/6-bit exactly,
     // 5/4-bit within offset-clipping (estimates equal here since register
     // spread fits the 5-bit window and 4-bit clipping is checked ±1%)
@@ -416,6 +451,9 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_hll_formats" ->
       "SELECT TRUE AS eq_8_6, TRUE AS eq_8_5, TRUE AS close_8_4, TRUE AS sizes_ok",
+    "q_streaming_window" ->
+      """SELECT * FROM (VALUES (1700000040, 500, TRUE), (1700000100, 500, TRUE),
+        | (-1, 750, TRUE)) t(window_epoch, n_rows, within_bound)""".stripMargin,
     "q_ann_top1" ->
       """SELECT query_id, neighbor_id FROM (
         | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
