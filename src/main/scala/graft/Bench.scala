@@ -137,7 +137,7 @@ object Bench {
     * (vCPU-throttled, co-tenanted) sandbox.
     */
   private def burnThroughput(threads: Int): Double = {
-    val per = 400000000L
+    val per = 1500000000L // ~1s+ per burn: long enough to average co-tenant noise
     val ts = (0 until threads).map { _ =>
       new Thread(() => {
         var h = 0L; var i = 0L
