@@ -99,6 +99,12 @@ object GraftExtensions {
     "kll_quantile" -> { args =>
       SketchScalarExpr(args(0), args(1), SketchScalarExpr.KllQuantile) },
     "kll_rank" -> { args => SketchScalarExpr(args(0), args(1), SketchScalarExpr.KllRank) },
+    "hll_union_estimate" -> { args =>
+      HllSetOpExpr(args(0), args(1), precision(args, 2), HllSetOpExpr.Union) },
+    "hll_intersection_estimate" -> { args =>
+      HllSetOpExpr(args(0), args(1), precision(args, 2), HllSetOpExpr.Intersection) },
+    "hll_jaccard_estimate" -> { args =>
+      HllSetOpExpr(args(0), args(1), precision(args, 2), HllSetOpExpr.Jaccard) },
     // ---- text kernels ----
     "simhash64" -> { args => TextKernelExpr(args.head, TextKernelExpr.SimHash) },
     "lang_id" -> { args => TextKernelExpr(args.head, TextKernelExpr.LangId) },

@@ -171,6 +171,14 @@ object functions {
   def hll_approx_count_distinct(col: Column, p: Int = 12): Column =
     agg(expr(col), p, HllFormat.Dense6, HllAggMode.DistinctCountFromValues)
 
+  /** Set-operation estimates over two stored synopses. */
+  def hll_union_estimate(a: Column, b: Column, p: Int = 12): Column =
+    Bridge.column(HllSetOpExpr(expr(a), expr(b), p, HllSetOpExpr.Union))
+  def hll_intersection_estimate(a: Column, b: Column, p: Int = 12): Column =
+    Bridge.column(HllSetOpExpr(expr(a), expr(b), p, HllSetOpExpr.Intersection))
+  def hll_jaccard_estimate(a: Column, b: Column, p: Int = 12): Column =
+    Bridge.column(HllSetOpExpr(expr(a), expr(b), p, HllSetOpExpr.Jaccard))
+
   /** Scalar: estimate a single stored synopsis without aggregation. */
   def hll_estimate(col: Column, p: Int = 12): Column =
     Bridge.column(HllEstimateExpr(expr(col), p, beta = false))

@@ -1,0 +1,80 @@
+package graft.spark
+
+import graft.core.{HllCodec, HllSketch}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, LongType}
+
+/** Set-operation estimates over two stored synopses — the roll-up algebra
+  * users of mergeable sketches expect beyond the reference's union-only
+  * surface: |A∪B| by max-merge, |A∩B| by inclusion–exclusion, and Jaccard.
+  * Intersection via inclusion–exclusion inherits HLL error proportional to
+  * |A∪B| (documented; fine for the common high-overlap rollup case).
+  */
+case class HllSetOpExpr(left: Expression, right: Expression, p: Int, op: Int)
+  extends BinaryExpression {
+
+  import HllSetOpExpr._
+
+  require(p >= HllSketch.MinPrecision && p <= HllSketch.MaxPrecision,
+    "precision has to be between 4 and 18")
+
+  override def prettyName: String = nameOf(op)
+
+  override def dataType: DataType = op match {
+    case Jaccard => DoubleType
+    case _ => LongType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two binary synopsis columns")
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    dispatch(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]], p, op)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cast = dataType match {
+      case LongType => "((java.lang.Long)%s).longValue()"
+      case DoubleType => "((java.lang.Double)%s).doubleValue()"
+    }
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("setOpRes")
+      s"""Object $tmp = graft.spark.HllSetOpExpr.dispatch($a, $b, $p, $op);
+         |${ev.value} = ${cast.format(tmp)};""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HllSetOpExpr =
+    copy(left = l, right = r)
+}
+
+object HllSetOpExpr {
+  final val Union = 0
+  final val Intersection = 1
+  final val Jaccard = 2
+
+  def nameOf(op: Int): String = op match {
+    case Union => "hll_union_estimate"
+    case Intersection => "hll_intersection_estimate"
+    case Jaccard => "hll_jaccard_estimate"
+  }
+
+  def dispatch(a: Array[Byte], b: Array[Byte], p: Int, op: Int): Any = {
+    val sa = HllCodec.deserialize(p, a)
+    val ea = sa.estimate
+    val eb = HllCodec.deserialize(p, b).estimate
+    HllCodec.foldInto(sa, b) // sa is now the union
+    val union = sa.estimate
+    op match {
+      case Union => union
+      case Intersection => math.max(0L, ea + eb - union)
+      case Jaccard =>
+        if (union == 0L) 1.0
+        else math.max(0L, ea + eb - union).toDouble / union.toDouble
+    }
+  }
+}

@@ -113,6 +113,28 @@ class HllSparkSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b && b == c)
   }
 
+  test("set-op estimates: union/intersection/jaccard over stored synopses") {
+    import spark.implicits._
+    // A = 0..59999, B = 40000..99999 → |A∩B| = 20000, |A∪B| = 100000
+    val a = spark.range(0L, 60000L).toDF("v")
+      .agg(gf.hll_create_synopsis(F.col("v"), 14).as("syn")).collect().head.getAs[Array[Byte]](0)
+    val b = spark.range(40000L, 100000L).toDF("v")
+      .agg(gf.hll_create_synopsis(F.col("v"), 14).as("syn")).collect().head.getAs[Array[Byte]](0)
+    val df = Seq((a, b)).toDF("a", "b")
+    val row = df.select(
+      gf.hll_union_estimate(F.col("a"), F.col("b"), 14).as("u"),
+      gf.hll_intersection_estimate(F.col("a"), F.col("b"), 14).as("i"),
+      gf.hll_jaccard_estimate(F.col("a"), F.col("b"), 14).as("j")).collect().head
+    assert(math.abs(row.getAs[Long]("u") - 100000L) < 2000L)
+    assert(math.abs(row.getAs[Long]("i") - 20000L) < 3000L)
+    assert(math.abs(row.getAs[Double]("j") - 0.2) < 0.03)
+    // SQL names registered
+    df.createOrReplaceTempView("setops")
+    val viaSql = spark.sql(
+      "SELECT hll_intersection_estimate(a, b, 14) FROM setops").collect().head.getLong(0)
+    assert(viaSql == row.getAs[Long]("i"))
+  }
+
   test("empty input: estimate 0, empty synopsis, NaN quantiles") {
     import spark.implicits._
     val empty = spark.range(0).toDF("v")
