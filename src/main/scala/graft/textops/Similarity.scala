@@ -98,6 +98,92 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer trained with a few
+    * Lloyd iterations, vectors bucketed by nearest centroid, queries probe
+    * the `nprobe` nearest cells and re-rank exactly.
+    *
+    * Deterministic throughout: centroids initialize from the first K
+    * vectors by hash order. The per-iteration shuffle is one
+    * groupBy(cluster, dim) mean over posexploded components; centroids
+    * (K×dim doubles) live on the driver and broadcast into the assignment
+    * expression — at 10^9 vectors the train step runs on a deterministic
+    * sample and only the two bucket-join scans touch the full corpus.
+    */
+  def ivfTopK(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 3,
+      trainSample: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = vectors.sparkSession
+
+    // ---- train: deterministic sample → driver-side Lloyd over DataFrames
+    val sample = vectors
+      .orderBy(xxhash64(col(idCol)))
+      .limit(trainSample)
+      .select(col(vecCol).as("__v"))
+      .cache()
+    var centroids: Array[Seq[Double]] = sample.limit(nLists).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    var iter = 0
+    while (iter < lloydIters) {
+      val cdf = broadcast(spark.createDataFrame(
+        centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+        .toDF("__cid", "__c"))
+      val assigned = sample.crossJoin(cdf)
+        .withColumn("__sim", cosine(col("__v"), col("__c")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__v").orderBy(col("__sim").desc, col("__cid").asc)))
+        .filter(col("__rn") === 1)
+      val means = assigned
+        .select(col("__cid"), posexplode(col("__v")).as(Seq("__d", "__x")))
+        .groupBy("__cid", "__d").agg(avg(col("__x")).as("__m"))
+        .collect()
+      val dim = centroids.head.size
+      val next = Array.fill(nLists)(new Array[Double](dim))
+      val seen = Array.fill(nLists)(false)
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2); seen(r.getInt(0)) = true
+      }
+      centroids = centroids.indices.map { i =>
+        if (seen(i)) next(i).toSeq else centroids(i) // keep empty cells
+      }.toArray
+      iter += 1
+    }
+    sample.unpersist()
+
+    val cdf = broadcast(spark.createDataFrame(
+      centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
+      .toDF("__cid", "__c"))
+
+    // ---- index + probe: bucket join on cell id, exact re-rank
+    def assign(df: DataFrame, id: String, probes: Int): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"))
+        .crossJoin(cdf)
+        .withColumn("__sim", cosine(col(s"__v_$id"), col("__c")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(id).orderBy(col("__sim").desc, col("__cid").asc)))
+        .filter(col("__rn") <= probes)
+        .select(col(id), col(s"__v_$id"), col("__cid"))
+    val indexed = assign(vectors, "neighbor_id", probes = 1)
+    val probed = assign(queries, "query_id", probes = nProbe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probed.join(indexed, "__cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__v_query_id"), col("__v_neighbor_id")).as("cosine"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * (the embedding analog of Dedup.nearDuplicates).
     */

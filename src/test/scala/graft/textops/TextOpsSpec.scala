@@ -111,6 +111,23 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.7, s"ANN recall@10 = $recall")
   }
 
+  test("IVF ANN: recall@10 >= 0.6 with nprobe=4 of 8 lists; full probe == brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.limit(20)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", queries,
+      k = 10, nLists = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall@10 = $recall")
+    // probing every list degenerates to exact search
+    val full = Similarity.ivfTopK(emb, "vec_id", "embedding", queries,
+      k = 10, nLists = 8, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, "nProbe == nLists must equal brute force")
+  }
+
   test("cosine near-duplicates find planted duplicate vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val planted = emb.unionAll(
