@@ -85,15 +85,12 @@ object Multimodal {
   /** Metadata struct column from the binary header (cheap: reads 16 bytes,
     * never touches the payload — at scale this is the column you persist
     * alongside the blob so planning queries never read media bytes).
+    * Native codegen'd expression, not a UDF.
     */
-  def withMeta(df: DataFrame, mediaCol: String, metaCol: String = "meta"): DataFrame = {
-    val metaUdf = udf((blob: Array[Byte]) => {
-      val m = parseMeta(blob)
-      (m.kind, m.width, m.height, m.channels, m.sampleRate, m.frames, m.payloadBytes)
-    })
-    df.withColumn(metaCol, metaUdf(col(mediaCol)).cast(
-      "struct<kind:int,width:int,height:int,channels:int,sampleRate:int,frames:int,payloadBytes:int>"))
-  }
+  def withMeta(df: DataFrame, mediaCol: String, metaCol: String = "meta"): DataFrame =
+    df.withColumn(metaCol, org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.spark.MediaMetaExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col(mediaCol)))))
 
   // ---------------------------------------------------------------------
   // STUBBED media kernels — deterministic fakes with real batch plumbing

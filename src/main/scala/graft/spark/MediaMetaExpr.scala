@@ -1,0 +1,52 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Header-only media-blob metadata as a native struct expression — parses
+  * 16 bytes, never touches the payload, stays inside whole-stage codegen
+  * (no UDF boxing on the planning-query path).
+  */
+case class MediaMetaExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "media_meta"
+
+  override def dataType: DataType = MediaMetaExpr.schema
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a binary media column, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    MediaMetaExpr.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b =>
+      s"${ev.value} = graft.spark.MediaMetaExpr.parse($b);")
+
+  override protected def withNewChildInternal(c: Expression): MediaMetaExpr =
+    copy(child = c)
+}
+
+object MediaMetaExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("kind", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("sampleRate", IntegerType, nullable = false),
+    StructField("frames", IntegerType, nullable = false),
+    StructField("payloadBytes", IntegerType, nullable = false)))
+
+  /** Codegen + interpreted entry point. */
+  def parse(blob: Array[Byte]): InternalRow = {
+    val m = graft.multimodal.Multimodal.parseMeta(blob)
+    new GenericInternalRow(Array[Any](
+      m.kind, m.width, m.height, m.channels, m.sampleRate, m.frames, m.payloadBytes))
+  }
+}
