@@ -228,16 +228,45 @@ object SparkEntry {
         (min(col("jaccard")) >= 0.7).as("all_above_threshold"))
     }),
 
-    // simhash: 20 planted identical copies must collide at 64 matching bits
+    // simhash near-dup, three gates: (1) 20 planted identical copies
+    // collide at 64 matching bits; (2) the HD≤3 blocking GUARANTEE — every
+    // brute-force pair within Hamming distance 3 on a 320-doc sample is in
+    // the candidate set; (3) the hot-bucket quarantine still connects a
+    // planted 31-row duplicate cluster via star-linking at maxBucket=5
     "q_simhash_dedup" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val planted = docs.limit(20).select(
         (col("doc_id") + 50000L).as("doc_id"), col("text"))
-      graft.textops.Dedup.simhashCandidates(
-          docs.unionAll(planted), "doc_id", "text")
-        .agg(sum(when(col("matching_bits") === 64 &&
+      val all = docs.unionAll(planted)
+      val cands = graft.textops.Dedup.simhashCandidates(all, "doc_id", "text")
+      val identical = cands.agg(
+        sum(when(col("matching_bits") === 64 &&
           col("id_b") === col("id_a") + 50000L, 1L).otherwise(0L))
           .as("n_identical_found"))
+      // (2) brute-force HD≤3 ground truth on a bounded sample
+      val sample = docs.orderBy("doc_id").limit(300).unionAll(planted)
+        .select(col("doc_id"),
+          tf.simhash64(col("text")).as("__sim"))
+      val brute = sample.as("a").join(sample.as("b"),
+          col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.__sim").bitwiseXOR(col("b.__sim"))) <= 3)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val missed = brute.join(cands, Seq("id_a", "id_b"), "left_anti").count()
+      // (3) hot-bucket star-linking: 30 copies of one doc force every
+      // bucket holding them past the cap; each copy must still reach the
+      // cluster's representative through a 64-matching-bits star pair
+      val base = docs.orderBy("doc_id").limit(1)
+      val copies = base.crossJoin(
+          s.range(1, 31).select((col("id") + 90000L).as("__cid")))
+        .select(col("__cid").as("doc_id"), col("text"))
+      val hotPairs = graft.textops.Dedup.simhashCandidates(
+        docs.unionAll(copies), "doc_id", "text", maxBucket = 5)
+      val clusterIds = hotPairs
+        .filter(col("matching_bits") === 64 && col("id_b") > 90000L)
+        .agg(countDistinct(col("id_b")).as("n"))
+      identical
+        .withColumn("hd3_recall_complete", lit(missed == 0L))
+        .crossJoin(clusterIds.select((col("n") === 30L).as("hot_bucket_connected")))
     }),
 
     // document fingerprinting (winnowing min-hash): fp is a pure function
@@ -257,12 +286,33 @@ object SparkEntry {
             .as("fp_pure_function"))
     }),
 
-    // language-ID over documents text (heuristic; no SQL oracle — the
-    // driver records a rows-only check). Detected languages per lang label.
-    "q_lang_id" -> ((s, d) =>
+    // language-ID, fully gated: the driver table's `text` is English-vocab
+    // filler for every `lang` label, so real text per language is derived
+    // deterministically FROM the label (fixed sentence, repeated 1-3×
+    // by doc_id) — detection must then recover the label on every row,
+    // which DuckDB verifies as exact per-lang counts + TRUE
+    "q_lang_id" -> ((s, d) => {
+      val sample = map(
+        lit("en"), lit("the house was near the river and the children were " +
+          "playing in the garden while the old man was reading his book in the evening"),
+        lit("de"), lit("die kinder spielten im garten und der alte mann las ein " +
+          "buch während die sonne über dem fluss unterging und die stadt leuchtete"),
+        lit("es"), lit("la casa estaba cerca del río y los niños jugaban en el " +
+          "jardín mientras el hombre mayor leía su libro con la luz de la tarde"),
+        lit("fr"), lit("la maison était près de la rivière et les enfants jouaient " +
+          "dans le jardin pendant que le vieil homme lisait son livre le soir"),
+        lit("zh"), lit("这个城市的孩子们在花园里玩耍，老人在河边看书，晚上的时候" +
+          "大家都回到了自己的家里，他们说这是一个很好的地方"))
       t(s, d, "documents")
-        .groupBy(tf.lang_id(col("text")).as("detected"))
-        .agg(count(lit(1)).as("cnt_docs"))),
+        .withColumn("__t", concat_ws(" ", array_repeat(
+          element_at(sample, col("lang")), (col("doc_id") % 3 + 1).cast("int"))))
+        .withColumn("__detected", tf.lang_id(col("__t")))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt_docs"),
+          sum(when(col("__detected") === col("lang"), 1L).otherwise(0L)).as("__hits"))
+        .select(col("lang"), col("cnt_docs"),
+          (col("__hits") === col("cnt_docs")).as("all_detected"))
+    }),
 
     // text quality scoring distribution (deterministic formula; DuckDB
     // replicates it exactly on integer-char counts)
@@ -430,9 +480,14 @@ object SparkEntry {
       """SELECT least(count(*), 50) AS n_planted_found, TRUE AS all_above_threshold
         |FROM documents""".stripMargin,
     "q_simhash_dedup" ->
-      "SELECT least(count(*), 20) AS n_identical_found FROM documents",
+      """SELECT least(count(*), 20) AS n_identical_found,
+        | TRUE AS hd3_recall_complete, TRUE AS hot_bucket_connected
+        |FROM documents""".stripMargin,
     "q_fingerprint" ->
       """SELECT lang, count(DISTINCT text) AS dc_texts, TRUE AS fp_pure_function
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_lang_id" ->
+      """SELECT lang, count(*) AS cnt_docs, TRUE AS all_detected
         |FROM documents GROUP BY 1""".stripMargin,
     "q_quality" ->
       """SELECT lang,

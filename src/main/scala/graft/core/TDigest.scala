@@ -43,6 +43,12 @@ final class TDigest private (
   def merge(other: TDigest): this.type = {
     require(other.compression == compression, "TDigests are in different format")
     other.flushBuffer()
+    // account the incoming weight BEFORE copying centroids: a mid-loop
+    // flushBuffer normalizes ranks by `total`, and a stale (too small)
+    // total would push q past 1 and over-merge the tail
+    total += other.total
+    if (other.minV < minV) minV = other.minV
+    if (other.maxV > maxV) maxV = other.maxV
     var i = 0
     while (i < other.nCentroids) {
       if (nBuf == bufMeans.length) flushBuffer()
@@ -51,9 +57,6 @@ final class TDigest private (
       nBuf += 1
       i += 1
     }
-    total += other.total
-    if (other.minV < minV) minV = other.minV
-    if (other.maxV > maxV) maxV = other.maxV
     this
   }
 

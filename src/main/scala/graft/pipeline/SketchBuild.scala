@@ -43,7 +43,10 @@ object SketchBuild {
       sketch: Array[Byte],
       totalRows: Long,
       partitionsBuilt: Seq[String],
-      partitionsResumed: Seq[String])
+      partitionsResumed: Seq[String],
+      /** false when the run stopped at `maxPartitionsThisRun`: estimate /
+        * sketch / totalRows then cover only the built+resumed subset. */
+      complete: Boolean)
 
   val CodeVersion = "graft-0.1.0"
 
@@ -157,7 +160,8 @@ object SketchBuild {
       sketch = HllCodec.serializeAuto(acc, HllFormat.Dense6),
       totalRows = all.map(_.rowCount).sum,
       partitionsBuilt = built.map(_.partitionId).toSeq,
-      partitionsResumed = resumed.map(_.partitionId).toSeq)
+      partitionsResumed = resumed.map(_.partitionId).toSeq,
+      complete = all.size == partitions.size)
   }
 }
 

@@ -29,9 +29,14 @@ object ParquetLayoutIO extends TableIO {
 
   override def listPartitions(table: String): Seq[String] = {
     val root = Paths.get(table)
-    def dirs(p: Path): Seq[Path] =
-      Files.list(p).iterator().asScala.filter(Files.isDirectory(_))
+    // Files.list holds a directory handle until closed — collect eagerly
+    // under try/finally so repeated planning never leaks descriptors
+    def dirs(p: Path): Seq[Path] = {
+      val stream = Files.list(p)
+      try stream.iterator().asScala.filter(Files.isDirectory(_))
         .filter(_.getFileName.toString.contains("=")).toSeq
+      finally stream.close()
+    }
     val first = dirs(root)
     val leaves = first.flatMap { d =>
       val sub = dirs(d)

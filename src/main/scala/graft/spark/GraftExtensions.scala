@@ -43,6 +43,16 @@ object GraftExtensions {
         s"$name must be an integer literal, got $other")
     } else default
 
+  // Long-ranged variant for parameters like bloom numBits (up to 2^36),
+  // which an Int would silently cap at ~2.1e9
+  private def longArg(args: Seq[Expression], idx: Int, default: Long, name: String): Long =
+    if (args.length > idx) args(idx) match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name must be an integer literal, got $other")
+    } else default
+
   private def precision(args: Seq[Expression], idx: Int): Int = {
     val p = intArg(args, idx, 12, "hllLeadingBits")
     if (p < 1 || p > 16) throw new IllegalArgumentException(
@@ -81,10 +91,10 @@ object GraftExtensions {
     "cms_estimate" -> { args => SketchScalarExpr(args(0), args(1), SketchScalarExpr.CmsEstimate) },
     "cms_total" -> { args => SketchScalarExpr(args(0), args(0), SketchScalarExpr.CmsTotal) },
     "bloom_sketch" -> { args =>
-      BloomAgg(args.head, intArg(args, 1, 1 << 20, "numBits").toLong,
+      BloomAgg(args.head, longArg(args, 1, 1L << 20, "numBits"),
         intArg(args, 2, 5, "numHashes")) },
     "bloom_merge" -> { args =>
-      BloomAgg(args.head, intArg(args, 1, 1 << 20, "numBits").toLong,
+      BloomAgg(args.head, longArg(args, 1, 1L << 20, "numBits"),
         intArg(args, 2, 5, "numHashes"), merging = true) },
     "bloom_contains" -> { args =>
       SketchScalarExpr(args(0), args(1), SketchScalarExpr.BloomContains) },

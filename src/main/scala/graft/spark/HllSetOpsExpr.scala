@@ -63,11 +63,18 @@ object HllSetOpExpr {
     case Jaccard => "hll_jaccard_estimate"
   }
 
+  /** Per-row cost: two wire parses + three estimate passes over 2^p
+    * registers (~50 KB of work at p=14). Fine for rollup tables of
+    * thousands-to-millions of sketch rows; for a billion-row sketch-pair
+    * scan, pre-aggregate with hll_combine first so set ops run on the
+    * already-merged group sketches.
+    */
   def dispatch(a: Array[Byte], b: Array[Byte], p: Int, op: Int): Any = {
     val sa = HllCodec.deserialize(p, a)
+    val sb = HllCodec.deserialize(p, b)
     val ea = sa.estimate
-    val eb = HllCodec.deserialize(p, b).estimate
-    HllCodec.foldInto(sa, b) // sa is now the union
+    val eb = sb.estimate
+    sa.merge(sb) // sa is now the union (single parse of each side)
     val union = sa.estimate
     op match {
       case Union => union

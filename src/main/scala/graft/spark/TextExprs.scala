@@ -148,22 +148,22 @@ object LangProfiles {
     "fr" -> Seq("_de", "de_", "es_", "_le", "le_", "ent", "nt_", "et_", "_et", "la_",
       "_la", "ion", "on_", "re_", "_pa", "que", "_qu", "ue_", "ait", "les"),
     "es" -> Seq("_de", "de_", "os_", "_la", "la_", "el_", "_el", "en_", "_en", "as_",
-      "ión", "que", "_qu", "ue_", "es_", "_co", "ión", "ado", "con", "nte"),
+      "ión", "que", "_qu", "ue_", "es_", "_co", "ara", "ado", "con", "nte"),
     "it" -> Seq("_di", "di_", "to_", "la_", "_la", "re_", "_co", "che", "_ch", "he_",
       "no_", "ato", "one", "_pe", "per", "er_", "ion", "ne_", "lla", "del"),
     "pt" -> Seq("_de", "de_", "os_", "_co", "ão_", "ção", "da_", "_da", "em_", "_em",
-      "que", "_qu", "ue_", "ado", "ar_", "os_", "nto", "com", "_se", "ra_"),
+      "que", "_qu", "ue_", "ado", "ar_", "ões", "nto", "com", "_se", "ra_"),
     "nl" -> Seq("en_", "_de", "de_", "an_", "_va", "van", "et_", "_he", "het", "_ee",
       "een", "er_", "ng_", "ing", "ver", "_ge", "aar", "ijk", "sch", "den"),
-    "pl" -> Seq("ie_", "nie", "_ni", "_po", "_prz", "prz", "rze", "ych", "ego", "ch_",
+    "pl" -> Seq("ie_", "nie", "_ni", "_po", "_pr", "prz", "rze", "ych", "ego", "ch_",
       "em_", "ość", "ani", "owa", "_na", "na_", "do_", "_do", "sta", "ać_"),
     "ru" -> Seq("_пр", "ого", "го_", "_по", "ть_", "ать", "ени", "ние", "ие_", "_на",
       "на_", "ост", "_со", "ств", "ова", "_не", "не_", "_ко", "их_", "ста"),
-    "ja" -> Seq("した", "ていр", "ます", "です", "この", "それ", "ない", "して", "とい", "れた",
+    "ja" -> Seq("した", "ている", "ます", "です", "この", "それ", "ない", "して", "とい", "れた",
       "から", "こと", "もの", "ある", "いる", "った", "れる", "など", "には", "される"),
     "zh" -> Seq("的", "了", "在", "和", "有", "我", "他", "这", "是", "中",
       "大", "来", "上", "国", "个", "到", "说", "们", "为", "子"),
-    "tr" -> Seq("lar", "ler", "_bi", "bir", "ir_", "_ka", "an_", "_ol", "nda", "an_",
+    "tr" -> Seq("lar", "ler", "_bi", "bir", "ir_", "_ka", "an_", "_ol", "nda", "_ve",
       "dı_", "en_", "in_", "eri", "ini", "_ya", "ara", "ile", "_il", "arı"))
 
   private val langNames: Array[String] = profiles.map(_._1).toArray
@@ -173,16 +173,23 @@ object LangProfiles {
     * are kept in separate maps to bound substring work per position.
     */
   private val byLen: Array[java.util.HashMap[String, Array[Long]]] = {
+    // data-quality guard: a gram outside 1..3 chars would be silently
+    // unreachable, and a duplicate would double-count its weight
+    profiles.foreach { case (lang, grams) =>
+      grams.foreach(g => require(g.length >= 1 && g.length <= 3,
+        s"lang profile '$lang': gram '$g' must be 1-3 chars"))
+      require(grams.distinct.size == grams.size,
+        s"lang profile '$lang' has duplicate grams: " +
+          grams.diff(grams.distinct).mkString(","))
+    }
     val maps = Array.fill(3)(new java.util.HashMap[String, Array[Long]]())
     profiles.zipWithIndex.foreach { case ((_, grams), li) =>
       grams.zipWithIndex.foreach { case (g, r) =>
         val w = grams.size - r
-        if (g.length >= 1 && g.length <= 3) {
-          val m = maps(g.length - 1)
-          val packed = (li.toLong << 32) | w.toLong
-          val prev = m.get(g)
-          m.put(g, if (prev == null) Array(packed) else prev :+ packed)
-        }
+        val m = maps(g.length - 1)
+        val packed = (li.toLong << 32) | w.toLong
+        val prev = m.get(g)
+        m.put(g, if (prev == null) Array(packed) else prev :+ packed)
       }
     }
     maps

@@ -54,9 +54,12 @@ object Dedup {
     val rows = numHashes / bands
     val sig = df.select(col(idCol).as("__id"),
       minhashSignature(col(textCol), numHashes, shingleSize).as("__sig"))
+    // 64-bit band keys: 32-bit keys birthday-collide at ~2^16 docs per
+    // band value, inflating the candidate set at billions of docs (the
+    // exact-Jaccard verify stays correct, but pays for the false pairs)
     val banded = sig.select(col("__id"),
       posexplode(array((0 until bands).map { b =>
-        hash(slice(col("__sig"), b * rows + 1, rows).cast("string"), lit(b))
+        xxhash64(slice(col("__sig"), b * rows + 1, rows).cast("string"), lit(b))
       }: _*)).as(Seq("__band", "__key")))
     banded.as("a").join(banded.as("b"),
         col("a.__band") === col("b.__band") &&
@@ -109,23 +112,84 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** SimHash-based near-dup candidates: 64-bit simhash, banded into four
-    * 16-bit chunks (two docs within Hamming distance ≤ 3 of each other
-    * collide in ≥1 chunk by pigeonhole).
+  /** Exact dedup when only the winning id per text is needed: a plain
+    * hash aggregate (partial min map-side, one shuffle, no per-partition
+    * sort) — cheaper than the window form above, which exists to carry
+    * all OTHER columns of the winning row through.
     */
-  def simhashCandidates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def exactDedupIds(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol).as(textCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol, textCol)
+
+  /** SimHash-based near-dup candidates with the Hamming-distance-≤3
+    * guarantee AND bounded bucket joins.
+    *
+    * Blocking (Manku et al., WWW'07 "Detecting Near-Duplicates for Web
+    * Crawling" §3): the 64-bit simhash splits into `blocks` chunks; every
+    * (blocks−3)-subset of chunks becomes one concatenated key. Any two
+    * hashes within HD ≤ 3 differ in ≤ 3 chunks, so they agree on some
+    * (blocks−3)-subset and collide in ≥ 1 key. With the default blocks=6
+    * that is C(6,3)=20 keys of ~33 bits — buckets shrink by ~2^17 vs the
+    * naive 4×16-bit banding, whose 65,536 distinct values per band force
+    * Θ(N²/2^16) join pairs at web scale.
+    *
+    * Buckets larger than `maxBucket` (pathological mass-duplication: parked
+    * domains, boilerplate) are quarantined out of the quadratic self-join
+    * and STAR-LINKED instead: every member pairs with the bucket's min-id
+    * row, linear in bucket size. Exact duplicates inside a hot bucket stay
+    * fully connected through the representative (matching_bits = 64);
+    * HD 1–3 pairs whose representative drifted past the caller's threshold
+    * can be lost there — a documented tradeoff confined to buckets that
+    * would otherwise contribute > maxBucket² join pairs.
+    *
+    * Output: (id_a, id_b, matching_bits) with id_a < id_b, distinct.
+    */
+  def simhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocks: Int = 6,
+      maxBucket: Int = 10000): DataFrame = {
+    require(blocks >= 4 && blocks <= 16, "blocks must be in [4,16]")
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    val width = (64 + blocks - 1) / blocks
+    def chunk(b: Int): Column = {
+      val lo = b * width
+      val bits = math.min(64, lo + width) - lo
+      shiftRightUnsigned(col("__sim"), lo).bitwiseAND(lit((1L << bits) - 1L))
+    }
+    // one key per (blocks-3)-subset of chunks, packed into a long
+    val keys: Seq[Column] = (0 until blocks).combinations(blocks - 3).map { combo =>
+      combo.foldLeft(lit(0L): Column)((acc, b) => shiftLeft(acc, width) + chunk(b))
+    }.toSeq
+
     val sh = df.select(col(idCol).as("__id"),
       graft.spark.textFunctions.simhash64(col(textCol)).as("__sim"))
     val banded = sh.select(col("__id"), col("__sim"),
-      posexplode(array((0 until 4).map { b =>
-        shiftRight(col("__sim"), b * 16).bitwiseAND(lit(0xffffL))
-      }: _*)).as(Seq("__band", "__key")))
-    banded.as("a").join(banded.as("b"),
+      posexplode(array(keys: _*)).as(Seq("__band", "__key")))
+    // bucket sizes + min-id representative in ONE partial-aggregated pass
+    // (a window would sort the hot bucket on a single task; groupBy
+    // combines map-side and AQE can split the skewed join below)
+    val stats = banded.groupBy("__band", "__key")
+      .agg(count(lit(1)).as("__bs"),
+        min(struct(col("__id"), col("__sim"))).as("__rep"))
+    val tagged = banded.join(stats, Seq("__band", "__key"))
+    val cold = tagged.filter(col("__bs") <= maxBucket)
+      .select(col("__band"), col("__key"), col("__id"), col("__sim"))
+    val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.__band") === col("b.__band") &&
         col("a.__key") === col("b.__key") &&
         col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        (lit(64) - bit_count(col("a.__sim").bitwiseXOR(col("b.__sim")))).as("matching_bits"))
+      .select(col("a.__id").as("id_a"), col("a.__sim").as("__sa"),
+        col("b.__id").as("id_b"), col("b.__sim").as("__sb"))
+    val hotPairs = tagged
+      .filter(col("__bs") > maxBucket && col("__rep.__id") < col("__id"))
+      .select(col("__rep.__id").as("id_a"), col("__rep.__sim").as("__sa"),
+        col("__id").as("id_b"), col("__sim").as("__sb"))
+    coldPairs.unionAll(hotPairs)
+      .select(col("id_a"), col("id_b"),
+        (lit(64) - bit_count(col("__sa").bitwiseXOR(col("__sb")))).as("matching_bits"))
       .distinct()
   }
 }

@@ -103,6 +103,27 @@ class SketchFamilySpec extends AnyFunSuite {
     assert(back.count == data.length.toDouble)
   }
 
+  test("t-digest: merge into a digest with a nearly-full add buffer keeps rank accuracy") {
+    // regression: merge() used to copy the other digest's centroids into
+    // the buffer BEFORE adding other.total, so a mid-loop flush compacted
+    // with a stale (too small) total, clamping q>1 and over-merging tails
+    val r = new Random(17)
+    val data = Array.fill(120000)(r.nextDouble() * 100.0)
+    val half = data.length / 2
+    val a = TDigest.empty(100)
+    val b = TDigest.empty(100)
+    (0 until half).foreach(i => a.add(data(i)))
+    (half until data.length).foreach(i => b.add(data(i)))
+    // leave a's buffer nearly full so the copy loop must flush mid-merge
+    val merged = a.merge(b)
+    assert(merged.count == data.length.toDouble)
+    val sorted = data.sorted
+    for (q <- Seq(0.01, 0.5, 0.99)) {
+      val err = rankError(sorted, merged.quantile(q), q)
+      assert(err <= 0.015, s"post-merge rank error $err at q=$q")
+    }
+  }
+
   test("kll: rank error under 2/k bound; merge within bound; serde") {
     val r = new Random(13)
     val data = Array.fill(200000)(r.nextDouble() * 1000.0)

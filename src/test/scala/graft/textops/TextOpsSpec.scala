@@ -57,6 +57,49 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("simhash blocking guarantee: all brute-force HD<=3 pairs are candidates") {
+    val sample = docs.select($"doc_id", $"text").limit(300)
+      .unionAll(docs.limit(25).select(($"doc_id" + 4000L).as("doc_id"), $"text"))
+    sample.cache(); sample.count()
+    val sims = sample.select($"doc_id", tf.simhash64($"text").as("sim"))
+    val brute = sims.as("a").join(sims.as("b"),
+        $"a.doc_id" < $"b.doc_id" &&
+        F.bit_count($"a.sim".bitwiseXOR($"b.sim")) <= 3)
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+    val cands = Dedup.simhashCandidates(sample, "doc_id", "text")
+    assert(brute.count() >= 25, "sanity: planted HD-0 pairs exist")
+    assert(brute.join(cands, Seq("id_a", "id_b"), "left_anti").count() == 0,
+      "a brute-force HD<=3 pair was missed by the blocking scheme")
+    sample.unpersist()
+  }
+
+  test("simhash hot-bucket quarantine star-links oversized duplicate clusters") {
+    val base = docs.select($"doc_id", $"text").limit(1)
+    val copies = base.crossJoin(
+        spark.range(1, 41).select(($"id" + 7000L).as("cid")))
+      .select($"cid".as("doc_id"), $"text")
+    val corpus = docs.select($"doc_id", $"text").unionAll(copies)
+    val pairs = Dedup.simhashCandidates(corpus, "doc_id", "text", maxBucket = 5)
+    // every copy reaches the representative with 64 matching bits
+    val connected = pairs.filter($"matching_bits" === 64 && $"id_b" > 7000L)
+      .select("id_b").distinct().count()
+    assert(connected == 40L, s"star-linking connected only $connected/40 copies")
+    // and the quarantine actually bounds the pair count: star pairs are
+    // linear (not 41*40/2 quadratic) in the cluster
+    val clusterPairs = pairs.filter($"id_a" > 7000L && $"id_b" > 7000L).count()
+    assert(clusterPairs == 0L, "quarantined bucket must not self-join quadratically")
+  }
+
+  test("exactDedupIds matches the window-based exactDedup winners") {
+    val doubled = docs.select($"doc_id", $"text")
+      .unionAll(docs.select(($"doc_id" + 500L).as("doc_id"), $"text"))
+    val winners = Dedup.exactDedup(doubled, "doc_id", "text")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val ids = Dedup.exactDedupIds(doubled, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ids == winners)
+  }
+
   test("lang_id detects major languages on real sentences") {
     val samples = Seq(
       ("the quick brown fox jumps over the lazy dog and runs into the woods", "en"),
