@@ -65,6 +65,39 @@ object Bench {
       name -> sec
     }
 
+    // ---- part 1b: accuracy-vs-cardinality table (reference README
+    // accuracy rows, hll_benchmark.cpp sweep w/ per-repeat seed) ----
+    val accJson = (10 to 15).map { p =>
+      val st = graft.core.AccuracySweep.stats(p, 2, 22, reps = 5)
+      f""""p$p":{"mean_pct":${st.meanPct}%.4f,"std_pct":${st.stddevPct}%.4f,"max_pct":${st.maxPct}%.4f}"""
+    }.mkString("{", ",", "}")
+
+    // ---- part 1c: dedup ops at size (no correctness-gate sampling):
+    // the minhash LSH band join over the FULL documents table, and the
+    // simhash candidate join over a pathologically skewed corpus (one
+    // 2000-row duplicate cluster) to show the hot-bucket quarantine keeps
+    // candidate counts sub-quadratic
+    val docsFull = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nDocs = docsFull.count()
+    val planted = docsFull.limit(50).select(
+      (col("doc_id") + 10000000L).as("doc_id"),
+      concat(col("text"), lit(" extra")).as("text"))
+    val corpus = docsFull.unionAll(planted)
+    val (minhashCands, minhashSec) = timed {
+      graft.textops.Dedup.nearDuplicates(corpus, "doc_id", "text",
+        threshold = 0.7, numHashes = 32, bands = 8).count()
+    }
+    val hotBase = docsFull.orderBy("doc_id").limit(1)
+    val hotCopies = hotBase.crossJoin(
+        spark.range(1, 2001).select((col("id") + 20000000L).as("__cid")))
+      .select(col("__cid").as("doc_id"), col("text"))
+    val skewCorpus = docsFull.unionAll(hotCopies)
+    val (simhashCands, simhashSec) = timed {
+      graft.textops.Dedup.simhashCandidates(skewCorpus, "doc_id", "text",
+        maxBucket = 100).count()
+    }
+
     // ---- part 2: scaling experiment on identical deterministic input ----
     // (throughput = generated input rows / wall-clock of the full job:
     // generate → partial agg → shuffle → final merge → estimate)
@@ -122,6 +155,11 @@ object Bench {
     val pairHi = s"${scaling(1)._1}_to_${scaling(2)._1}"
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir"""" +
+      s""","accuracy_by_precision":$accJson""" +
+      s""","minhash_full_docs":${nDocs + 50},"minhash_full_pairs":$minhashCands""" +
+      s""","minhash_full_sec":${f"$minhashSec%.3f"}""" +
+      s""","simhash_skew_docs":${nDocs + 2000},"simhash_skew_pairs":$simhashCands""" +
+      s""","simhash_skew_sec":${f"$simhashSec%.3f"}""" +
       s""","hll_url_rows":$scaleRows,$scaleJson""" +
       s""","scaling_efficiency":${f"${math.min(relLow, 1.0)}%.3f"}""" +
       s""","job_scaling_${pairLo}":${f"$effLowPair%.3f"}""" +

@@ -125,6 +125,79 @@ object SparkEntry {
           withinBound(col("rolled_dc"), col("exact_dc"), boundP16).as("within_bound"))
     }),
 
+    // the reference's integration acceptance sweep (tests/hll-criteo/
+    // data_gen.cpp + 06_create_hll.sql + check_error.py): power-of-two
+    // group sizes 2^2..2^18, sketch estimate vs known exact cardinality,
+    // gated on (a) per-group error <= 5% wherever dc > 50 and (b) MEAN
+    // error across all groups <= 1.5%, at the reference's p=14 default.
+    // Group k's values are disjoint (k<<40 offset) so each group is an
+    // independent error sample across the LC/bias/raw estimator regimes.
+    "q_hll_sweep" -> ((s, d) => {
+      val ks = 2 to 18
+      val data = ks.map { k =>
+        s.range(1L << k).select(lit(k).as("k"),
+          (col("id") + (k.toLong << 40)).as("v"))
+      }.reduce(_ unionAll _)
+      val perGroup = data.groupBy("k")
+        .agg(count(lit(1)).as("exact_dc"),
+          gf.hll_approx_count_distinct(col("v"), p = 14).as("est"))
+        .withColumn("err",
+          abs(col("est").cast("double") - col("exact_dc").cast("double")) /
+            col("exact_dc").cast("double"))
+      val rows = perGroup.select(col("k"), col("exact_dc"),
+        (col("exact_dc") <= 50L || col("err") <= 0.05).as("within_gate"))
+      val meanRow = perGroup.agg(avg("err").as("mean_err"))
+        .select(lit(-1).as("k"), lit(0L).as("exact_dc"),
+          (col("mean_err") <= 0.015).as("within_gate"))
+      rows.unionAll(meanRow)
+    }),
+
+    // hll_combine as its own gated operator (the reference's third UDAF,
+    // HllCombine.cpp: synopsis in → merged synopsis out): combining
+    // per-status synopses must be BYTE-identical to building one synopsis
+    // directly over the same rows, and estimate within bound of exact
+    "q_hll_combine" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val combined = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("syn"))
+        .groupBy("l_returnflag")
+        .agg(gf.hll_combine(col("syn"), p = 16).as("csyn"))
+      val direct = li.groupBy("l_returnflag")
+        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("dsyn"),
+          countDistinct("l_orderkey").as("exact_dc"))
+      combined.join(direct, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_dc"),
+          (col("csyn") === col("dsyn")).as("combine_byte_identical"),
+          withinBound(gf.hll_estimate(col("csyn"), p = 16), col("exact_dc"),
+            boundP16).as("within_bound"))
+    }),
+
+    // set-operation estimates over two stored synopses (union / inclusion-
+    // exclusion intersection / Jaccard) against DuckDB's exact set algebra
+    // on the partially-overlapping A/N orderkey sets (~58% Jaccard)
+    "q_hll_setops" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val a = li.filter(col("l_returnflag") === "A")
+        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("sa"),
+          countDistinct("l_orderkey").as("exact_a"))
+      val b = li.filter(col("l_returnflag") === "N")
+        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("sb"),
+          countDistinct("l_orderkey").as("exact_b"))
+      val u = li.filter(col("l_returnflag").isin("A", "N"))
+        .agg(countDistinct("l_orderkey").as("exact_union"))
+      a.crossJoin(b).crossJoin(u)
+        .withColumn("exact_inter", col("exact_a") + col("exact_b") - col("exact_union"))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
+          withinBound(gf.hll_union_estimate(col("sa"), col("sb"), p = 16),
+            col("exact_union"), boundP16).as("union_within_bound"),
+          // inclusion-exclusion inherits ~3 sketch errors scaled by u/i
+          withinBound(gf.hll_intersection_estimate(col("sa"), col("sb"), p = 16),
+            col("exact_inter"), 0.05).as("inter_within_5pct"),
+          (abs(gf.hll_jaccard_estimate(col("sa"), col("sb"), p = 16) -
+            col("exact_inter").cast("double") / col("exact_union").cast("double"))
+            <= lit(0.05)).as("jaccard_within_5pct"))
+    }),
+
     // ---- training-data pipeline ops over documents ----
     "q_dedup_exact" -> ((s, d) =>
       t(s, d, "documents")
@@ -333,6 +406,57 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
     }),
 
+    // LSH ANN (random-hyperplane) recall@10 against the in-Spark brute
+    // force (which q_ann_top1 already proves equal to DuckDB's oracle)
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(20)
+      val exact = graft.textops.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, k = 10).select("query_id", "neighbor_id")
+      val approx = graft.textops.Similarity.lshTopK(
+        emb, "vec_id", "embedding", queries, k = 10, tables = 32, bitsPerTable = 4)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val total = exact.count()
+      s.range(1).select(lit(20L).as("n_queries"),
+        lit(hits.toDouble / total >= 0.7).as("recall_ok"))
+    }),
+
+    // IVF ANN: recall@10 with nprobe=4/8 lists via the zero-shuffle
+    // nearest-centroid assignment, and full probe must equal brute force
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.orderBy("vec_id").limit(20)
+      val exact = graft.textops.Similarity.bruteForceTopK(
+        emb, "vec_id", "embedding", queries, k = 10).select("query_id", "neighbor_id")
+      val ivf = graft.textops.Similarity.ivfTopK(
+        emb, "vec_id", "embedding", queries, k = 10, nLists = 8, nProbe = 4)
+        .select("query_id", "neighbor_id")
+      val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
+      val total = exact.count()
+      val full = graft.textops.Similarity.ivfTopK(
+        emb, "vec_id", "embedding", queries, k = 10, nLists = 8, nProbe = 8)
+        .select("query_id", "neighbor_id")
+      val fullExact = full.unionAll(exact).distinct().count() == total &&
+        full.count() == total
+      s.range(1).select(lit(20L).as("n_queries"),
+        lit(hits.toDouble / total >= 0.6).as("recall_ok"),
+        lit(fullExact).as("fullprobe_exact"))
+    }),
+
+    // embedding-cosine near-duplicates: 10 planted duplicate vectors must
+    // all surface through the LSH bucket join at threshold 0.999
+    "q_embed_neardup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.orderBy("vec_id").limit(10).select(
+        (col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      graft.textops.Similarity.cosineNearDuplicates(
+          emb.unionAll(planted), "vec_id", "embedding", threshold = 0.999)
+        .agg(sum(when(col("id_b") === col("id_a") + 900000L, 1L).otherwise(0L))
+          .as("n_planted_found"),
+          (min(col("cosine")) >= 0.999).as("all_above_threshold"))
+    }),
+
     // multimodal plumbing: blob header metadata is a pure function of the
     // key, so DuckDB can recompute the aggregate from doc_id alone; the
     // batched embed stage must be batch-size invariant
@@ -456,6 +580,35 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_dc,
         | TRUE AS merge_consistent, TRUE AS within_bound
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_hll_sweep" ->
+      """SELECT CAST(k AS INT) AS k, CAST(2 ** k AS BIGINT) AS exact_dc,
+        | TRUE AS within_gate
+        |FROM (SELECT unnest(generate_series(2, 18)) AS k)
+        |UNION ALL SELECT -1, 0, TRUE""".stripMargin,
+    "q_hll_combine" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_dc,
+        | TRUE AS combine_byte_identical, TRUE AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_hll_setops" ->
+      """SELECT
+        | (SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE l_returnflag = 'A') AS exact_a,
+        | (SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE l_returnflag = 'N') AS exact_b,
+        | (SELECT count(DISTINCT l_orderkey) FROM lineitem WHERE l_returnflag IN ('A','N')) AS exact_union,
+        | (SELECT count(*) FROM (
+        |    SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'A'
+        |    INTERSECT
+        |    SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'N')) AS exact_inter,
+        | TRUE AS union_within_bound, TRUE AS inter_within_5pct,
+        | TRUE AS jaccard_within_5pct""".stripMargin,
+    "q_ann_lsh" ->
+      "SELECT least(count(*), 20) AS n_queries, TRUE AS recall_ok FROM embeddings",
+    "q_ann_ivf" ->
+      """SELECT least(count(*), 20) AS n_queries, TRUE AS recall_ok,
+        | TRUE AS fullprobe_exact
+        |FROM embeddings""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT least(count(*), 10) AS n_planted_found, TRUE AS all_above_threshold
+        |FROM embeddings""".stripMargin,
     "q_dedup_exact" ->
       """SELECT lang, count(*) AS cnt_docs, count(DISTINCT md5(text)) AS dc_texts,
         | count(DISTINCT source) AS dc_sources

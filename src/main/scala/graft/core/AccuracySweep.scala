@@ -1,0 +1,42 @@
+package graft.core
+
+/** Synthetic-cardinality error sweep — the JVM-native port of the
+  * reference's acceptance harness: `tests/hll-criteo/data_gen.cpp:8-52`
+  * builds power-of-two-sized value groups, `06_create_hll.sql` joins sketch
+  * estimates to exact counts, `check_error.py:8-41` gates mean/spike error,
+  * and `hll_benchmark.cpp:44-119` repeats with varying seed to produce the
+  * per-precision accuracy table in README.md:299-320.
+  *
+  * Group k holds exactly 2^k distinct longs, disjoint across (k, rep), so
+  * every (p, k, rep) estimate is an independent error sample spanning the
+  * LinearCounting / bias-correction / raw-estimate regimes.
+  */
+object AccuracySweep {
+
+  /** (k, relativeError) for groups of 2^k distinct values, k in
+    * [kMin, kMax], at precision `p`. `rep` offsets the value universe —
+    * the seed-variation analog of the reference benchmark's per-repeat
+    * seed — without touching the (golden-vector-locked) hash seed.
+    */
+  def errors(p: Int, kMin: Int, kMax: Int, rep: Int = 0): Seq[(Int, Double)] =
+    (kMin to kMax).map { k =>
+      val sk = HllSketch.empty(p)
+      val n = 1L << k
+      val base = (k.toLong << 40) + (rep.toLong << 32)
+      var i = 0L
+      while (i < n) { sk.addLong(base + i); i += 1 }
+      (k, math.abs(sk.estimate - n).toDouble / n)
+    }
+
+  final case class Stats(p: Int, meanPct: Double, stddevPct: Double, maxPct: Double)
+
+  /** Reference-README-comparable accuracy row: mean/stddev/max relative
+    * error (percent) over `reps` repeats of the k-sweep at precision `p`.
+    */
+  def stats(p: Int, kMin: Int, kMax: Int, reps: Int): Stats = {
+    val errs = (0 until reps).flatMap(r => errors(p, kMin, kMax, r).map(_._2))
+    val mean = errs.sum / errs.size
+    val variance = errs.map(e => (e - mean) * (e - mean)).sum / errs.size
+    Stats(p, mean * 100.0, math.sqrt(variance) * 100.0, errs.max * 100.0)
+  }
+}

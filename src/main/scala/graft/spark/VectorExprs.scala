@@ -108,6 +108,111 @@ case class LshSignaturesExpr(child: Expression, tables: Int, bits: Int)
     copy(child = c)
 }
 
+/** Top-`probes` nearest centroids (by cosine, ties → lower cell id) for a
+  * vector, as a codegen'd per-row argmax over the broadcast centroid
+  * matrix. This is the IVF assignment kernel: the crossJoin(centroids) +
+  * row_number() window it replaces shuffles and sorts N×K rows — a full
+  * extra exchange over the corpus — where this is a zero-shuffle scalar
+  * projection (K×dim doubles ride along inside the serialized expression,
+  * exactly like any broadcast variable).
+  *
+  * Centroids are unit-normalized once at construction so the per-row score
+  * is a plain dot product — same ranking as cosine since |v| is constant
+  * across candidates for one row.
+  */
+case class NearestCentroidsExpr(child: Expression, centroids: Seq[Seq[Double]], probes: Int)
+  extends UnaryExpression {
+
+  require(centroids.nonEmpty, "centroids must be non-empty")
+  require(probes >= 1 && probes <= centroids.size,
+    s"probes must be in [1, ${centroids.size}]")
+
+  override def prettyName: String = "nearest_centroids"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  private lazy val isDouble = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val normalized: Array[Array[Double]] =
+    NearestCentroidsExpr.normalize(centroids)
+
+  protected override def nullSafeEval(v: Any): Any =
+    NearestCentroidsExpr.nearest(v.asInstanceOf[ArrayData], normalized, probes, isDouble)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", normalized, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)" +
+        s"graft.spark.NearestCentroidsExpr.nearest($v, $cents, $probes, $isDouble);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): NearestCentroidsExpr =
+    copy(child = c)
+}
+
+object NearestCentroidsExpr {
+
+  def normalize(centroids: Seq[Seq[Double]]): Array[Array[Double]] =
+    centroids.map { c =>
+      val a = c.toArray
+      var n = 0.0
+      var i = 0
+      while (i < a.length) { n += a(i) * a(i); i += 1 }
+      val norm = math.sqrt(n)
+      if (norm > 0.0) { i = 0; while (i < a.length) { a(i) /= norm; i += 1 } }
+      a
+    }.toArray
+
+  def nearest(v: ArrayData, cents: Array[Array[Double]], probes: Int,
+      isDouble: Boolean): GenericArrayData = {
+    val dim = v.numElements()
+    val x = new Array[Double](dim)
+    var d = 0
+    while (d < dim) {
+      x(d) = if (isDouble) v.getDouble(d) else v.getFloat(d).toDouble
+      d += 1
+    }
+    val k = cents.length
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val w = cents(c)
+      val n = math.min(dim, w.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += x(i) * w(i); i += 1 }
+      scores(c) = dot
+      c += 1
+    }
+    // partial selection: probes is small (1..K), K is small (IVF cell count)
+    val out = new Array[Int](probes)
+    val taken = new Array[Boolean](k)
+    var s = 0
+    while (s < probes) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        if (!taken(c) && scores(c) > bestScore) { best = c; bestScore = scores(c) }
+        c += 1
+      }
+      taken(best) = true
+      out(s) = best
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object LshSignaturesExpr {
 
   /** Per-executor cache of the deterministic hash-sign hyperplanes:

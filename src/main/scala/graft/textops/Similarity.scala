@@ -98,16 +98,26 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Top-`probes` nearest IVF cells for a vector — the codegen'd per-row
+    * argmax over the (driver-held, expression-embedded) centroid matrix.
+    * Zero shuffle: the crossJoin×window form this replaced exchanged and
+    * sorted N×K rows over the full corpus.
+    */
+  def nearestCentroids(vec: Column, centroids: Seq[Seq[Double]], probes: Int): Column =
+    bridge.column(graft.spark.NearestCentroidsExpr(
+      bridge.expression(vec), centroids, probes))
+
   /** IVF (inverted-file) ANN: k-means coarse quantizer trained with a few
     * Lloyd iterations, vectors bucketed by nearest centroid, queries probe
     * the `nprobe` nearest cells and re-rank exactly.
     *
     * Deterministic throughout: centroids initialize from the first K
     * vectors by hash order. The per-iteration shuffle is one
-    * groupBy(cluster, dim) mean over posexploded components; centroids
-    * (K×dim doubles) live on the driver and broadcast into the assignment
-    * expression — at 10^9 vectors the train step runs on a deterministic
-    * sample and only the two bucket-join scans touch the full corpus.
+    * groupBy(cluster, dim) mean over posexploded components of the sample;
+    * centroids (K×dim doubles) live on the driver and ride inside the
+    * assignment expression — at 10^9 vectors the train step runs on a
+    * deterministic sample, and the full-corpus index/probe scans are plain
+    * projections (no exchange, no window) into the bucket join.
     */
   def ivfTopK(
       vectors: DataFrame,
@@ -120,26 +130,19 @@ object Similarity {
       lloydIters: Int = 3,
       trainSample: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = vectors.sparkSession
 
-    // ---- train: deterministic sample → driver-side Lloyd over DataFrames
+    // ---- train: deterministic sample → driver-side Lloyd iterations
     val sample = vectors
       .orderBy(xxhash64(col(idCol)))
       .limit(trainSample)
       .select(col(vecCol).as("__v"))
       .cache()
-    var centroids: Array[Seq[Double]] = sample.limit(nLists).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble))
+    var centroids: Seq[Seq[Double]] = sample.limit(nLists).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     var iter = 0
     while (iter < lloydIters) {
-      val cdf = broadcast(spark.createDataFrame(
-        centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
-        .toDF("__cid", "__c"))
-      val assigned = sample.crossJoin(cdf)
-        .withColumn("__sim", cosine(col("__v"), col("__c")))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("__v").orderBy(col("__sim").desc, col("__cid").asc)))
-        .filter(col("__rn") === 1)
+      val assigned = sample.select(col("__v"),
+        nearestCentroids(col("__v"), centroids, 1).getItem(0).as("__cid"))
       val means = assigned
         .select(col("__cid"), posexplode(col("__v")).as(Seq("__d", "__x")))
         .groupBy("__cid", "__d").agg(avg(col("__x")).as("__m"))
@@ -152,24 +155,16 @@ object Similarity {
       }
       centroids = centroids.indices.map { i =>
         if (seen(i)) next(i).toSeq else centroids(i) // keep empty cells
-      }.toArray
+      }
       iter += 1
     }
     sample.unpersist()
 
-    val cdf = broadcast(spark.createDataFrame(
-      centroids.toSeq.zipWithIndex.map { case (c, i) => (i, c) })
-      .toDF("__cid", "__c"))
-
-    // ---- index + probe: bucket join on cell id, exact re-rank
+    // ---- index + probe: zero-shuffle cell assignment, bucket join on
+    // cell id, exact re-rank
     def assign(df: DataFrame, id: String, probes: Int): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"))
-        .crossJoin(cdf)
-        .withColumn("__sim", cosine(col(s"__v_$id"), col("__c")))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(id).orderBy(col("__sim").desc, col("__cid").asc)))
-        .filter(col("__rn") <= probes)
-        .select(col(id), col(s"__v_$id"), col("__cid"))
+      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+        explode(nearestCentroids(col(vecCol), centroids, probes)).as("__cid"))
     val indexed = assign(vectors, "neighbor_id", probes = 1)
     val probed = assign(queries, "query_id", probes = nProbe)
     val w = Window.partitionBy("query_id")

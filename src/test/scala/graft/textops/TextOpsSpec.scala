@@ -171,6 +171,25 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(full == exact, "nProbe == nLists must equal brute force")
   }
 
+  test("IVF assignment is a zero-shuffle projection (no Exchange, no Window)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val centroids = emb.limit(8).collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toSeq).toSeq
+    val assigned = emb.select($"vec_id",
+      F.explode(Similarity.nearestCentroids($"embedding", centroids, 2)).as("cid"))
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"assignment must not window-sort:\n$plan")
+    // and it actually evaluates: every row gets 2 distinct cells in [0,8)
+    val rows = assigned.groupBy("vec_id")
+      .agg(F.countDistinct("cid").as("n"), F.max("cid").as("mx"), F.min("cid").as("mn"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2L)
+      assert(r.getInt(2) < 8 && r.getInt(3) >= 0)
+    }
+  }
+
   test("cosine near-duplicates find planted duplicate vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val planted = emb.unionAll(
