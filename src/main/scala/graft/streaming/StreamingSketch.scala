@@ -1,8 +1,10 @@
 package graft.streaming
 
+import graft.core.BloomFilter
 import graft.spark.{functions => gf}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming surface for the sketch library.
   *
@@ -41,5 +43,60 @@ object StreamingSketch {
         ++ groupCols.map(col)
         ++ Seq(col("syn"), col("rows"),
           gf.hll_estimate(col("syn"), p).as("estimate"))): _*)
+  }
+
+  /** EXACT streaming dedup, state bounded by the watermark horizon: keeps
+    * the first row per distinct `textCol` seen within the horizon. State
+    * is one 64-bit hash per distinct doc (dropDuplicatesWithinWatermark
+    * evicts keys older than the watermark) — the right tool when
+    * duplicates arrive close together (crawl re-fetches, retries).
+    */
+  def streamingDedup(
+      events: DataFrame,
+      tsCol: String,
+      textCol: String,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("__dedup_key", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__dedup_key")
+      .drop("__dedup_key")
+
+  /** APPROXIMATE unbounded-horizon streaming dedup with fixed memory:
+    * per-shard Bloom filters in `flatMapGroupsWithState`. Keys shard by
+    * doc-hash so state parallelizes across executors; each shard's filter
+    * is `numBits` bits FOREVER (no watermark eviction), trading a bounded
+    * false-positive rate (≈ first-occurrence drops at the Bloom FPR) for
+    * O(shards × numBits/8) total state on an infinite stream — the classic
+    * web-crawl "have I seen this URL/doc" shape.
+    *
+    * Rows are (id, text); output is the deduplicated subset, exactly-first
+    * within a shard up to Bloom false positives.
+    */
+  def bloomDedup(
+      docs: Dataset[(Long, String)],
+      shards: Int = 64,
+      numBits: Long = 1L << 22,
+      numHashes: Int = 5): Dataset[(Long, String)] = {
+    import docs.sparkSession.implicits._
+    require(shards >= 1, "shards must be >= 1")
+    docs
+      .groupByKey { case (_, text) =>
+        math.floorMod(graft.core.Murmur64A.hashString(text), shards.toLong)
+      }
+      .flatMapGroupsWithState[Array[Byte], (Long, String)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, String)], state: GroupState[Array[Byte]]) =>
+          val bloom =
+            if (state.exists) BloomFilter.deserialize(state.get)
+            else BloomFilter.empty(numBits, numHashes)
+          val out = rows.filter { case (_, text) =>
+            val fresh = !bloom.mightContainString(text)
+            if (fresh) bloom.addString(text)
+            fresh
+          }.toVector
+          state.update(bloom.serialize())
+          out.iterator
+      }
   }
 }

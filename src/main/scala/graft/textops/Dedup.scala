@@ -39,9 +39,48 @@ object Dedup {
       graft.spark.MinHashSigExpr(
         org.apache.spark.sql.graftbridge.Bridge.expression(text), shingleSize, numHashes))
 
+  /** Self-join of banded rows `(__id, __band, __key, extra…)` on the
+    * bucket key, with hot-bucket quarantine shared by the minhash and
+    * simhash paths: buckets larger than `maxBucket` (mass duplication —
+    * parked domains, boilerplate) skip the quadratic self-join and
+    * STAR-LINK every member to the bucket's min-id row instead (linear).
+    * Exact duplicates stay fully connected through the representative;
+    * weaker near-dup edges inside a pathological bucket can be lost —
+    * the documented tradeoff for bounding a bucket's pair count by its
+    * size instead of its square. Bucket stats come from a partial-
+    * aggregated groupBy (a window would sort each hot bucket on one task).
+    *
+    * Output columns: id_a, id_b (id_a < id_b) and `extra` suffixed _a/_b.
+    */
+  private[textops] def bucketJoin(
+      banded: DataFrame, extra: Seq[String], maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, "maxBucket must be >= 2")
+    val stats = banded.groupBy("__band", "__key")
+      .agg(count(lit(1)).as("__bs"),
+        min(struct((col("__id") +: extra.map(col)): _*)).as("__rep"))
+    val tagged = banded.join(stats, Seq("__band", "__key"))
+    val cold = tagged.filter(col("__bs") <= maxBucket)
+      .select((Seq("__band", "__key", "__id") ++ extra).map(col): _*)
+    def side(s: String, suffix: String): Seq[Column] =
+      col(s"$s.__id").as(s"id$suffix") +:
+        extra.map(c => col(s"$s.$c").as(s"$c$suffix"))
+    val coldPairs = cold.as("a").join(cold.as("b"),
+        col("a.__band") === col("b.__band") &&
+        col("a.__key") === col("b.__key") &&
+        col("a.__id") < col("b.__id"))
+      .select(side("a", "_a") ++ side("b", "_b"): _*)
+    val hotPairs = tagged
+      .filter(col("__bs") > maxBucket && col("__rep.__id") < col("__id"))
+      .select((col("__rep.__id").as("id_a") +:
+          extra.map(c => col(s"__rep.$c").as(s"${c}_a"))) ++
+        (col("__id").as("id_b") +:
+          extra.map(c => col(c).as(s"${c}_b"))): _*)
+    coldPairs.unionAll(hotPairs)
+  }
+
   /** Candidate pairs whose minhash signatures collide in ≥1 of `bands`
-    * bands (rows per band = numHashes/bands). Output: (id_a, id_b) with
-    * id_a < id_b, distinct.
+    * bands (rows per band = numHashes/bands), hot buckets quarantined via
+    * [[bucketJoin]]. Output: (id_a, id_b) with id_a < id_b, distinct.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -49,7 +88,8 @@ object Dedup {
       textCol: String,
       numHashes: Int = 32,
       bands: Int = 8,
-      shingleSize: Int = 3): DataFrame = {
+      shingleSize: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df.select(col(idCol).as("__id"),
@@ -61,11 +101,8 @@ object Dedup {
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("__sig"), b * rows + 1, rows).cast("string"), lit(b))
       }: _*)).as(Seq("__band", "__key")))
-    banded.as("a").join(banded.as("b"),
-        col("a.__band") === col("b.__band") &&
-        col("a.__key") === col("b.__key") &&
-        col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    bucketJoin(banded, Nil, maxBucket)
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 
@@ -87,8 +124,10 @@ object Dedup {
       threshold: Double = 0.8,
       numHashes: Int = 32,
       bands: Int = 8,
-      shingleSize: Int = 3): DataFrame = {
-    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize)
+      shingleSize: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, numHashes, bands,
+      shingleSize, maxBucket)
     val sh = df.select(col(idCol).as("__jid"),
       shingles(col(textCol), shingleSize).as("__sh"))
     cands
@@ -168,28 +207,9 @@ object Dedup {
       graft.spark.textFunctions.simhash64(col(textCol)).as("__sim"))
     val banded = sh.select(col("__id"), col("__sim"),
       posexplode(array(keys: _*)).as(Seq("__band", "__key")))
-    // bucket sizes + min-id representative in ONE partial-aggregated pass
-    // (a window would sort the hot bucket on a single task; groupBy
-    // combines map-side and AQE can split the skewed join below)
-    val stats = banded.groupBy("__band", "__key")
-      .agg(count(lit(1)).as("__bs"),
-        min(struct(col("__id"), col("__sim"))).as("__rep"))
-    val tagged = banded.join(stats, Seq("__band", "__key"))
-    val cold = tagged.filter(col("__bs") <= maxBucket)
-      .select(col("__band"), col("__key"), col("__id"), col("__sim"))
-    val coldPairs = cold.as("a").join(cold.as("b"),
-        col("a.__band") === col("b.__band") &&
-        col("a.__key") === col("b.__key") &&
-        col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("a.__sim").as("__sa"),
-        col("b.__id").as("id_b"), col("b.__sim").as("__sb"))
-    val hotPairs = tagged
-      .filter(col("__bs") > maxBucket && col("__rep.__id") < col("__id"))
-      .select(col("__rep.__id").as("id_a"), col("__rep.__sim").as("__sa"),
-        col("__id").as("id_b"), col("__sim").as("__sb"))
-    coldPairs.unionAll(hotPairs)
+    bucketJoin(banded, Seq("__sim"), maxBucket)
       .select(col("id_a"), col("id_b"),
-        (lit(64) - bit_count(col("__sa").bitwiseXOR(col("__sb")))).as("matching_bits"))
+        (lit(64) - bit_count(col("__sim_a").bitwiseXOR(col("__sim_b")))).as("matching_bits"))
       .distinct()
   }
 }

@@ -39,11 +39,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       maxPartitionsThisRun = 7)
     assert(aborted.partitionsBuilt.size == 7)
     assert(aborted.partitionsResumed.isEmpty)
+    assert(!aborted.complete, "aborted run must flag its partial estimate")
 
     // resumed run: must build exactly the remaining 13, resume 7
     val resumed = SketchBuild.buildResumable(spark, layoutDir, ck)
     assert(resumed.partitionsResumed.size == 7)
     assert(resumed.partitionsBuilt.size == 13)
+    assert(resumed.complete)
     assert(resumed.partitionsBuilt.toSet.intersect(
       aborted.partitionsBuilt.toSet).isEmpty, "rescanned a completed partition")
 

@@ -50,4 +50,55 @@ class StreamingSketchSpec extends AnyFunSuite with SparkTestBase {
       assert(math.abs(total - 750L) <= 8L, s"cross-window fold estimate $total vs 750")
     } finally q.stop()
   }
+
+  test("streamingDedup: first occurrence survives, watermark-horizon dups drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StreamingSketch.streamingDedup(events, "ts", "text", "10 minutes")
+    val q = deduped.writeStream.format("memory")
+      .queryName("stream_dedup").outputMode("append").start()
+    try {
+      val base = 1700000040000L
+      def ts(s: Int) = new Timestamp(base + s * 1000L)
+      input.addData((0 until 50).map(i => (ts(i), i.toLong, s"doc-${i % 20}")): _*)
+      q.processAllAvailable()
+      // second batch: all repeats within the horizon
+      input.addData((0 until 20).map(i => (ts(60 + i), (100 + i).toLong, s"doc-$i")): _*)
+      q.processAllAvailable()
+      // watermark must advance past the buffered rows before append emits
+      input.addData((ts(3600), 999L, "flush-marker"))
+      q.processAllAvailable()
+      val out = spark.table("stream_dedup").filter($"doc_id" < 999L).collect()
+      assert(out.length == 20, s"expected 20 first occurrences, got ${out.length}")
+      assert(out.map(_.getAs[String]("text")).toSet.size == 20)
+      // the survivors are the FIRST arrivals (doc_id < 20)
+      assert(out.map(_.getAs[Long]("doc_id")).forall(_ < 20L))
+    } finally q.stop()
+  }
+
+  test("bloomDedup: fixed-memory stateful dedup across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = StreamingSketch.bloomDedup(
+      input.toDS(), shards = 8, numBits = 1L << 16, numHashes = 5)
+    val q = deduped.writeStream.format("memory")
+      .queryName("bloom_dedup").outputMode("update").start()
+    try {
+      input.addData((0 until 300).map(i => (i.toLong, s"page-${i % 100}")): _*)
+      q.processAllAvailable()
+      input.addData((0 until 100).map(i => (1000L + i, s"page-$i")): _*) // all repeats
+      input.addData((0 until 50).map(i => (2000L + i, s"fresh-$i")): _*)
+      q.processAllAvailable()
+      val out = spark.table("bloom_dedup").as[(Long, String)].collect()
+      val texts = out.map(_._2)
+      assert(texts.toSet.size == texts.length, "no text may be emitted twice")
+      // at 150 distinct keys in 2^16-bit shards the FPR is ~0: all 150 distinct
+      // texts must surface exactly once, and only first arrivals survive
+      assert(texts.toSet.size == 150)
+      assert(out.filter(_._2.startsWith("page-")).forall(_._1 < 100L))
+    } finally q.stop()
+  }
 }

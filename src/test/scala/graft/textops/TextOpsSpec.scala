@@ -90,6 +90,21 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(clusterPairs == 0L, "quarantined bucket must not self-join quadratically")
   }
 
+  test("minhash hot-bucket quarantine keeps exact-dup clusters connected at jaccard 1.0") {
+    val base = docs.select($"doc_id", $"text").limit(1)
+    val copies = base.crossJoin(
+        spark.range(1, 31).select(($"id" + 8000L).as("cid")))
+      .select($"cid".as("doc_id"), $"text")
+    val corpus = docs.select($"doc_id", $"text").unionAll(copies)
+    val nd = Dedup.nearDuplicates(corpus, "doc_id", "text",
+      threshold = 0.99, maxBucket = 5)
+    val connected = nd.filter($"jaccard" >= 0.999 && $"id_b" > 8000L)
+      .select("id_b").distinct().count()
+    assert(connected == 30L, s"star-linking connected only $connected/30 copies")
+    // quarantine keeps the cluster's pair count linear, not 31*30/2
+    assert(nd.filter($"id_a" > 8000L && $"id_b" > 8000L).count() == 0L)
+  }
+
   test("exactDedupIds matches the window-based exactDedup winners") {
     val doubled = docs.select($"doc_id", $"text")
       .unionAll(docs.select(($"doc_id" + 500L).as("doc_id"), $"text"))
