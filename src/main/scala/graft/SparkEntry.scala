@@ -406,6 +406,34 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
     }),
 
+    // the resumable partitioned sketch build, end-to-end: documents written
+    // to a Hive-layout table partitioned by source, build aborted after 7
+    // partitions, resumed to completion — gates abort flagging, zero
+    // rescans on resume, and the final estimate against the p=14 bound
+    // (DuckDB recomputes partition count, row total, and exact distinct)
+    "q_resumable_build" -> ((s, d) => {
+      val tmp = s"/tmp/graft_q_resumable_${System.nanoTime()}"
+      t(s, d, "documents").write.partitionBy("source").parquet(s"$tmp/table")
+      val aborted = graft.pipeline.SketchBuild.buildResumable(
+        s, s"$tmp/table", s"$tmp/ck", valueCol = "text", p = 14,
+        maxPartitionsThisRun = 7)
+      val resumed = graft.pipeline.SketchBuild.buildResumable(
+        s, s"$tmp/table", s"$tmp/ck", valueCol = "text", p = 14)
+      val exactDc = t(s, d, "documents")
+        .agg(countDistinct("text")).first().getLong(0)
+      val err = math.abs(resumed.estimate - exactDc).toDouble / exactDc
+      s.range(1).select(
+        lit(resumed.partitionsBuilt.size + resumed.partitionsResumed.size)
+          .cast("long").as("n_partitions"),
+        lit(resumed.totalRows).as("total_rows"),
+        lit(!aborted.complete && aborted.partitionsBuilt.size == 7)
+          .as("aborted_incomplete"),
+        lit(resumed.complete).as("resumed_complete"),
+        lit(resumed.partitionsBuilt.toSet
+          .intersect(aborted.partitionsBuilt.toSet).isEmpty).as("zero_rescans"),
+        lit(err <= boundP14).as("within_bound"))
+    }),
+
     // LSH ANN (random-hyperplane) recall@10 against the in-Spark brute
     // force (which q_ann_top1 already proves equal to DuckDB's oracle)
     "q_ann_lsh" -> ((s, d) => {
@@ -600,6 +628,11 @@ object SparkEntry {
         |    SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'N')) AS exact_inter,
         | TRUE AS union_within_bound, TRUE AS inter_within_5pct,
         | TRUE AS jaccard_within_5pct""".stripMargin,
+    "q_resumable_build" ->
+      """SELECT count(DISTINCT source) AS n_partitions, count(*) AS total_rows,
+        | TRUE AS aborted_incomplete, TRUE AS resumed_complete,
+        | TRUE AS zero_rescans, TRUE AS within_bound
+        |FROM documents""".stripMargin,
     "q_ann_lsh" ->
       "SELECT least(count(*), 20) AS n_queries, TRUE AS recall_ok FROM embeddings",
     "q_ann_ivf" ->

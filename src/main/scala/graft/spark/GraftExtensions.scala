@@ -118,7 +118,26 @@ object GraftExtensions {
     // ---- text kernels ----
     "simhash64" -> { args => TextKernelExpr(args.head, TextKernelExpr.SimHash) },
     "lang_id" -> { args => TextKernelExpr(args.head, TextKernelExpr.LangId) },
-    "doc_fingerprint" -> { args => TextKernelExpr(args.head, TextKernelExpr.Fingerprint) })
+    "doc_fingerprint" -> { args => TextKernelExpr(args.head, TextKernelExpr.Fingerprint) },
+    // ---- vector kernels ----
+    "cosine_sim" -> { args => CosineSimExpr(args(0), args(1)) },
+    "minhash_signature" -> { args =>
+      MinHashSigExpr(args.head, intArg(args, 2, 3, "shingleSize"),
+        intArg(args, 1, 32, "numHashes")) },
+    "lsh_signatures" -> { args =>
+      LshSignaturesExpr(args.head, intArg(args, 1, 8, "tables"),
+        intArg(args, 2, 12, "bitsPerTable")) },
+    // ---- columnar text metrics (compositions of built-ins; registered so
+    // the SQL surface matches the Column API one-to-one) ----
+    "token_count" -> composed(textFunctions.token_count),
+    "subword_count" -> composed(textFunctions.subword_count),
+    "quality_score" -> composed(textFunctions.quality_score))
+
+  private def composed(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Builder =
+    { args =>
+      org.apache.spark.sql.graftbridge.Bridge.resolvedExpression(
+        f(org.apache.spark.sql.graftbridge.Bridge.column(args.head)))
+    }
 
   private def descriptions = builders.map { case (name, builder) =>
     (FunctionIdentifier(name),

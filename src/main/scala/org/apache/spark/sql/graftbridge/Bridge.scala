@@ -11,4 +11,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Full ColumnNode→Expression conversion via the active session's
+    * converter. `expression` above only unwraps expression-backed Columns
+    * (compositions of `functions._` stay as Unevaluable ColumnNode
+    * wrappers); this one lowers ANY Column into catalyst nodes the
+    * analyzer can resolve — needed to register Column-level compositions
+    * as SQL functions.
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
 }

@@ -115,6 +115,33 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(ids == winners)
   }
 
+  test("SQL surface: vector/text kernels registered and consistent with Column API") {
+    graft.spark.GraftExtensions.register(spark)
+    docs.limit(50).createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT doc_id, simhash64(text) AS sh, doc_fingerprint(text) AS fp,
+        |  token_count(text) AS tc, subword_count(text) AS sc,
+        |  quality_score(text) AS qs,
+        |  minhash_signature(text, 16, 3) AS sig
+        |FROM docs_sql""".stripMargin).collect()
+    val viaCol = docs.limit(50).select($"doc_id",
+      tf.simhash64($"text").as("sh"), tf.doc_fingerprint($"text").as("fp"),
+      tf.token_count($"text").as("tc"), tf.subword_count($"text").as("sc"),
+      tf.quality_score($"text").as("qs"),
+      Dedup.minhashSignature($"text", 16, 3).as("sig")).collect()
+    assert(viaSql.map(_.toString).sorted.sameElements(viaCol.map(_.toString).sorted))
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .limit(20).createOrReplaceTempView("emb_sql")
+    val cos = spark.sql(
+      """SELECT a.vec_id, cosine_sim(a.embedding, b.embedding) AS c,
+        |  lsh_signatures(a.embedding, 4, 8) AS sig
+        |FROM emb_sql a JOIN emb_sql b ON a.vec_id = b.vec_id""".stripMargin).collect()
+    cos.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, "self-cosine must be 1")
+      assert(r.getSeq[Long](2).length == 4)
+    }
+  }
+
   test("lang_id detects major languages on real sentences") {
     val samples = Seq(
       ("the quick brown fox jumps over the lazy dog and runs into the woods", "en"),
