@@ -406,6 +406,73 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
     }),
 
+    // the opt-in optimizer rule: a stock approx_count_distinct call is
+    // rewritten to this library's reference-exact HLL (plan-verified), so
+    // its estimate equals the library aggregate's at the derived precision
+    "q_rewrite_acd" -> ((s, d) => {
+      graft.spark.GraftExtensions.register(s)
+      s.conf.set(graft.spark.RewriteApproxCountDistinct.ConfKey, "true")
+      // the rule reads its conf at OPTIMIZATION time, so this query runs
+      // eagerly inside the conf window and returns materialized rows
+      val rows = try {
+        val rsd = 1.04 / math.sqrt((1 << 16).toDouble) // derives p=16
+        val rewritten = t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_orderkey"), rsd).as("est"),
+            countDistinct("l_orderkey").as("exact_dc"))
+        val fired = rewritten.queryExecution.optimizedPlan.toString
+          .contains("hll_approx_count_distinct")
+        val lib = t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("lib_est"))
+        rewritten.join(lib, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_dc"),
+            lit(fired).as("rewrite_fired"),
+            (col("est") === col("lib_est")).as("estimates_equal"),
+            withinBound(col("est"), col("exact_dc"), boundP16).as("within_bound"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+            r.getBoolean(3), r.getBoolean(4)))
+      } finally s.conf.set(graft.spark.RewriteApproxCountDistinct.ConfKey, "false")
+      import s.implicits._
+      rows.toDF("l_returnflag", "exact_dc", "rewrite_fired",
+        "estimates_equal", "within_bound")
+    }),
+
+    // explicit two-level skew salting: the salted per-lang synopsis must be
+    // BYTE-identical to the direct single-level build (merge algebra), with
+    // exact counts DuckDB recomputes
+    "q_salted" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val salted = graft.pipeline.Salting.saltedSynopsis(
+        docs, Seq("lang"), "text", p = 14, saltBuckets = 8)
+      val direct = docs.groupBy("lang")
+        .agg(gf.hll_create_synopsis(col("text"), p = 14).as("dsyn"),
+          countDistinct("text").as("exact_dc"))
+      // LC-regime gate: at dc of a few hundred the estimate quantizes in
+      // whole counts, so a pure 1-sigma relative bound flips on a +/-1
+      // deviation — allow max(2 absolute, 2 sigma relative)
+      salted.join(direct, "lang")
+        .select(col("lang"), col("exact_dc"),
+          (col("syn") === col("dsyn")).as("salted_byte_identical"),
+          (abs(gf.hll_estimate(col("syn"), p = 14) - col("exact_dc")) <=
+            greatest(lit(2.0), col("exact_dc") * (2 * boundP14)))
+            .as("within_bound"))
+    }),
+
+    // composed training-data pipeline with a fully EXACT oracle: quality
+    // filter -> exact dedup (min doc_id wins, its row carries through) ->
+    // per-lang doc counts and token sums; DuckDB replays every stage
+    "q_pipeline_compose" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("qs", tf.quality_score(col("text")))
+        .filter(col("qs") >= 0.5)
+      val deduped = graft.textops.Dedup.exactDedup(docs, "doc_id", "text")
+      deduped.groupBy("lang")
+        .agg(count(lit(1)).as("cnt_docs"),
+          sum(tf.token_count(col("text")).cast("long")).as("sum_tokens"),
+          min("doc_id").as("min_doc_id"))
+    }),
+
     // the resumable partitioned sketch build, end-to-end: documents written
     // to a Hive-layout table partitioned by source, build aborted after 7
     // partitions, resumed to completion — gates abort flagging, zero
@@ -628,6 +695,28 @@ object SparkEntry {
         |    SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'N')) AS exact_inter,
         | TRUE AS union_within_bound, TRUE AS inter_within_5pct,
         | TRUE AS jaccard_within_5pct""".stripMargin,
+    "q_rewrite_acd" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_dc,
+        | TRUE AS rewrite_fired, TRUE AS estimates_equal, TRUE AS within_bound
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_salted" ->
+      """SELECT lang, count(DISTINCT text) AS exact_dc,
+        | TRUE AS salted_byte_identical, TRUE AS within_bound
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_pipeline_compose" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, lang,
+        |    round(least(len(regexp_split_to_array(trim(text), '\s+')) / 50.0, 1.0)
+        |      * greatest(0.0, 1.0 - 4.0 * (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))) / length(text))
+        |      * greatest(0.0, 1.0 - 4.0 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text)), 6) AS qs
+        |  FROM documents
+        |), f AS (SELECT * FROM q WHERE qs >= 0.5),
+        |d AS (SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, text
+        |      FROM f GROUP BY text)
+        |SELECT lang, count(*) AS cnt_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS min_doc_id
+        |FROM d GROUP BY 1""".stripMargin,
     "q_resumable_build" ->
       """SELECT count(DISTINCT source) AS n_partitions, count(*) AS total_rows,
         | TRUE AS aborted_incomplete, TRUE AS resumed_complete,
