@@ -230,6 +230,27 @@ object SparkEntry {
             .as("within_eps"))
     }),
 
+    // misra-gries frequent items: at k >= distinct sources the two-level
+    // (per-lang sketch -> freq_merge) counts are EXACT per source; at k=4
+    // the underestimate-only and n/(k+1) bounds hold for every source
+    "q_freq_sources" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val merged = docs.groupBy("lang")
+        .agg(sketch.freq_sketch(col("source"), 64).as("pf"))
+        .agg(sketch.freq_merge(col("pf"), 64).as("fs"))
+      val small = docs.agg(sketch.freq_sketch(col("source"), 4).as("fs4"))
+      val exact = docs.groupBy("source").agg(count(lit(1)).as("exact_cnt"))
+      exact.crossJoin(broadcast(merged)).crossJoin(broadcast(small))
+        .select(col("source"), col("exact_cnt"),
+          (sketch.freq_estimate(col("fs"), col("source")) === col("exact_cnt"))
+            .as("exact_at_k64"),
+          (sketch.freq_estimate(col("fs4"), col("source")) <= col("exact_cnt"))
+            .as("no_overestimate"),
+          (sketch.freq_estimate(col("fs4"), col("source")) >=
+            col("exact_cnt") - sketch.freq_error_bound(col("fs4")))
+            .as("within_bound"))
+    }),
+
     // bloom: every present user is contained (no false negatives) and the
     // false-positive rate on a disjoint key set stays under 5x target
     "q_bloom_users" -> ((s, d) => {
@@ -743,6 +764,10 @@ object SparkEntry {
     "q_cms_sources" ->
       """SELECT source, count(*) AS exact_cnt, TRUE AS no_underestimate,
         | TRUE AS within_eps
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_freq_sources" ->
+      """SELECT source, count(*) AS exact_cnt, TRUE AS exact_at_k64,
+        | TRUE AS no_overestimate, TRUE AS within_bound
         |FROM documents GROUP BY 1""".stripMargin,
     "q_bloom_users" ->
       """SELECT count(*) AS n_clicks, TRUE AS no_false_negatives

@@ -1,0 +1,140 @@
+package graft.core
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Misra–Gries frequent-items summary (Misra & Gries, "Finding repeated
+  * elements", 1982) with the mergeability construction of Agarwal et al.,
+  * "Mergeable Summaries" (PODS 2012, §3): merging two k-counter summaries
+  * is a pointwise counter sum followed by subtracting the (k+1)-th largest
+  * count and dropping non-positives.
+  *
+  * Guarantees after ANY interleaving of adds and merges over total weight n:
+  *   trueFreq(x) − n/(k+1)  ≤  estimate(x)  ≤  trueFreq(x)
+  * (underestimate-only — the mirror of count-min's overestimate-only), and
+  * every x with trueFreq(x) > n/(k+1) holds a counter. This is the
+  * heavy-hitters companion to count-min: CMS answers point queries over an
+  * unbounded key space; Misra–Gries RETURNS the heavy keys themselves.
+  */
+final class FreqSketch private (
+    val k: Int,
+    private val counts: java.util.HashMap[String, Long],
+    private var totalW: Long) extends Serializable {
+
+  def total: Long = totalW
+  def size: Int = counts.size
+
+  /** n/(k+1): the maximum undercount of any estimate. */
+  def errorBound: Long = totalW / (k + 1)
+
+  /** Weighted add — identical to merging a singleton summary: bump the
+    * counter, and when k+1 counters exist subtract the (k+1)-th largest
+    * (the minimum) from all, dropping non-positives. The total subtracted
+    * mass over any run is ≤ n/(k+1) (k+1 counters shrink together), which
+    * is exactly the undercount bound.
+    */
+  def add(item: String, weight: Long = 1L): Unit = {
+    require(weight >= 0, "weight must be >= 0")
+    if (weight == 0) return
+    totalW += weight
+    val cur = counts.get(item)
+    counts.put(item, cur + weight)
+    if (counts.size > k) {
+      var min = Long.MaxValue
+      val it0 = counts.values().iterator()
+      while (it0.hasNext) { val v = it0.next(); if (v < min) min = v }
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue - min
+        if (nv <= 0L) it.remove() else e.setValue(nv)
+      }
+    }
+  }
+
+  /** Estimate (underestimate-only); 0 for untracked items. */
+  def estimate(item: String): Long = {
+    val v = counts.get(item)
+    if (v == 0L && !counts.containsKey(item)) 0L else v
+  }
+
+  /** Agarwal et al. merge: pointwise sum, then reduce to ≤ k counters by
+    * subtracting the (k+1)-th largest count. Commutative and associative
+    * in the guarantee (counter SETS can differ by merge order; the
+    * deterministic serialized order makes equal-content sketches
+    * byte-equal, and the error bound holds regardless).
+    */
+  def merge(other: FreqSketch): this.type = {
+    require(other.k == k, "FreqSketches are in different format")
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cur = counts.get(e.getKey)
+      counts.put(e.getKey, cur + e.getValue)
+    }
+    totalW += other.totalW
+    if (counts.size > k) {
+      val sorted = counts.values().toArray(new Array[java.lang.Long](0))
+        .map(_.longValue()).sorted(Ordering[Long].reverse)
+      val cut = sorted(k) // (k+1)-th largest
+      val it2 = counts.entrySet().iterator()
+      while (it2.hasNext) {
+        val e = it2.next()
+        val nv = e.getValue - cut
+        if (nv <= 0L) it2.remove() else e.setValue(nv)
+      }
+    }
+    this
+  }
+
+  /** Counters sorted by (count desc, item asc) — deterministic. */
+  def topItems: Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    counts.asScala.toSeq.sortBy { case (item, c) => (-c, item) }
+  }
+
+  def serialize(): Array[Byte] = {
+    val items = topItems
+    val itemBytes = items.map { case (s, c) => (s.getBytes(StandardCharsets.UTF_8), c) }
+    val size = 4 + 4 + 8 + 4 + itemBytes.map(_._1.length + 4 + 8).sum
+    val buf = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(FreqSketch.Magic)
+    buf.putInt(k)
+    buf.putLong(totalW)
+    buf.putInt(itemBytes.size)
+    itemBytes.foreach { case (b, c) =>
+      buf.putInt(b.length); buf.put(b); buf.putLong(c)
+    }
+    buf.array()
+  }
+}
+
+object FreqSketch {
+  private[core] val Magic = 0x46524551 // "FREQ"
+
+  def empty(k: Int): FreqSketch = {
+    require(k >= 1 && k <= 65536, "k must be in [1, 65536]")
+    new FreqSketch(k, new java.util.HashMap[String, Long](), 0L)
+  }
+
+  def deserialize(bytes: Array[Byte]): FreqSketch = {
+    require(bytes.length >= 20, "Unable to parse FreqSketch: too short")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(buf.getInt() == Magic, "Unable to parse FreqSketch: bad magic")
+    val k = buf.getInt()
+    val total = buf.getLong()
+    val n = buf.getInt()
+    require(n >= 0 && n <= k, "Unable to parse FreqSketch: corrupt item count")
+    val m = new java.util.HashMap[String, Long]()
+    var i = 0
+    while (i < n) {
+      val len = buf.getInt()
+      require(len >= 0 && len <= buf.remaining(), "Unable to parse FreqSketch: corrupt item")
+      val b = new Array[Byte](len)
+      buf.get(b)
+      m.put(new String(b, StandardCharsets.UTF_8), buf.getLong())
+      i += 1
+    }
+    new FreqSketch(k, m, total)
+  }
+}

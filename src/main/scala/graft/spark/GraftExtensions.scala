@@ -104,6 +104,15 @@ object GraftExtensions {
       TDigestAgg(args.head, intArg(args, 1, 100, "compression").toDouble, merging = true) },
     "tdigest_quantile" -> { args =>
       SketchScalarExpr(args(0), args(1), SketchScalarExpr.TDigestQuantile) },
+    "freq_sketch" -> { args => FreqAgg(args.head, intArg(args, 1, 64, "k")) },
+    "freq_merge" -> { args =>
+      FreqAgg(args.head, intArg(args, 1, 64, "k"), merging = true) },
+    "freq_estimate" -> { args =>
+      SketchScalarExpr(args(0), args(1), SketchScalarExpr.FreqEstimate) },
+    "freq_error_bound" -> { args =>
+      SketchScalarExpr(args(0), args(0), SketchScalarExpr.FreqErrorBound) },
+    "freq_top_items" -> { args =>
+      SketchScalarExpr(args(0), args(1), SketchScalarExpr.FreqTopItems) },
     "kll_sketch" -> { args => KllAgg(args.head, intArg(args, 1, 200, "k")) },
     "kll_merge" -> { args => KllAgg(args.head, intArg(args, 1, 200, "k"), merging = true) },
     "kll_quantile" -> { args =>

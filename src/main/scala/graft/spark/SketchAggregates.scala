@@ -179,6 +179,34 @@ case class KllAgg(
   override protected def withNewChildInternal(c: Expression): KllAgg = copy(child = c)
 }
 
+/** Misra–Gries frequent-items UDAF (see graft.core.FreqSketch): binary
+  * summary out, re-aggregable with merging=true. Items are kept as strings
+  * (the sketch must RETURN keys, unlike the hashed-key CMS/Bloom);
+  * non-string keys cast explicitly at the call site.
+  */
+case class FreqAgg(
+    child: Expression,
+    k: Int = 64,
+    merging: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends SketchAggBase[FreqSketch] {
+
+  override def prettyName: String = if (merging) "freq_merge" else "freq_sketch"
+  override def createAggregationBuffer(): FreqSketch = FreqSketch.empty(k)
+  protected def rawTypeOk(dt: DataType): Boolean = dt == StringType
+  protected def updateRaw(b: FreqSketch, v: Any, dt: DataType): Unit =
+    b.add(v.asInstanceOf[UTF8String].toString)
+  protected def mergeSerialized(b: FreqSketch, bytes: Array[Byte]): Unit =
+    b.merge(FreqSketch.deserialize(bytes))
+  override def merge(b: FreqSketch, o: FreqSketch): FreqSketch = b.merge(o)
+  override def eval(b: FreqSketch): Any = b.serialize()
+  override def serialize(b: FreqSketch): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): FreqSketch = FreqSketch.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): FreqAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): FreqAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): FreqAgg = copy(child = c)
+}
+
 /** Column API for the sketch family. */
 object sketchFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -208,6 +236,17 @@ object sketchFunctions {
     agg(TDigestAgg(x(col), compression, merging = true))
   def tdigest_quantile(sketch: Column, q: Column): Column =
     c(SketchScalarExpr(x(sketch), x(q), SketchScalarExpr.TDigestQuantile))
+
+  def freq_sketch(col: Column, k: Int = 64): Column =
+    agg(FreqAgg(x(col), k))
+  def freq_merge(col: Column, k: Int = 64): Column =
+    agg(FreqAgg(x(col), k, merging = true))
+  def freq_estimate(sketch: Column, item: Column): Column =
+    c(SketchScalarExpr(x(sketch), x(item), SketchScalarExpr.FreqEstimate))
+  def freq_error_bound(sketch: Column): Column =
+    c(SketchScalarExpr(x(sketch), x(sketch), SketchScalarExpr.FreqErrorBound))
+  def freq_top_items(sketch: Column, n: Column): Column =
+    c(SketchScalarExpr(x(sketch), x(n), SketchScalarExpr.FreqTopItems))
 
   def kll_sketch(col: Column, k: Int = 200): Column =
     agg(KllAgg(x(col), k))

@@ -20,9 +20,12 @@ case class SketchScalarExpr(left: Expression, right: Expression, op: Int)
   override def prettyName: String = nameOf(op)
 
   override def dataType: DataType = op match {
-    case CmsEstimate | CmsTotal => LongType
+    case CmsEstimate | CmsTotal | FreqEstimate | FreqErrorBound => LongType
     case BloomContains => BooleanType
     case TDigestQuantile | KllQuantile | KllRank => DoubleType
+    case FreqTopItems => ArrayType(StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("est", LongType, nullable = false))), containsNull = false)
   }
 
   override def checkInputDataTypes(): TypeCheckResult = {
@@ -34,7 +37,12 @@ case class SketchScalarExpr(left: Expression, right: Expression, op: Int)
         case LongType | IntegerType | ShortType | ByteType | StringType | BinaryType => true
         case _ => false
       }
-      case CmsTotal => true
+      case CmsTotal | FreqErrorBound => true
+      case FreqEstimate => right.dataType == StringType
+      case FreqTopItems => right.dataType match {
+        case LongType | IntegerType => true
+        case _ => false
+      }
       case _ => right.dataType match {
         case DoubleType | FloatType | LongType | IntegerType => true
         case _ => false
@@ -53,6 +61,7 @@ case class SketchScalarExpr(left: Expression, right: Expression, op: Int)
       case LongType => "((java.lang.Long)%s).longValue()"
       case BooleanType => "((java.lang.Boolean)%s).booleanValue()"
       case DoubleType => "((java.lang.Double)%s).doubleValue()"
+      case _: ArrayType => "(org.apache.spark.sql.catalyst.util.GenericArrayData)%s"
     }
     nullSafeCodeGen(ctx, ev, (s, a) => {
       val tmp = ctx.freshName("sketchRes")
@@ -72,6 +81,9 @@ object SketchScalarExpr {
   final val TDigestQuantile = 3
   final val KllQuantile = 4
   final val KllRank = 5
+  final val FreqEstimate = 6
+  final val FreqErrorBound = 7
+  final val FreqTopItems = 8
 
   def nameOf(op: Int): String = op match {
     case CmsEstimate => "cms_estimate"
@@ -80,6 +92,9 @@ object SketchScalarExpr {
     case TDigestQuantile => "tdigest_quantile"
     case KllQuantile => "kll_quantile"
     case KllRank => "kll_rank"
+    case FreqEstimate => "freq_estimate"
+    case FreqErrorBound => "freq_error_bound"
+    case FreqTopItems => "freq_top_items"
   }
 
   private def keyHash(arg: Any): Long = arg match {
@@ -109,5 +124,19 @@ object SketchScalarExpr {
     case TDigestQuantile => TDigest.deserialize(sketch).quantile(toD(arg))
     case KllQuantile => KllSketch.deserialize(sketch).quantile(toD(arg))
     case KllRank => KllSketch.deserialize(sketch).rank(toD(arg))
+    case FreqEstimate =>
+      FreqSketch.deserialize(sketch).estimate(arg.asInstanceOf[UTF8String].toString)
+    case FreqErrorBound => FreqSketch.deserialize(sketch).errorBound
+    case FreqTopItems =>
+      val n = arg match {
+        case l: java.lang.Long => l.intValue()
+        case i: java.lang.Integer => i.intValue()
+        case other => throw new IllegalArgumentException(s"unsupported count $other")
+      }
+      val rows: Array[Any] = FreqSketch.deserialize(sketch).topItems.take(n).map {
+        case (item, est) => org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(item), est): Any
+      }.toArray
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 }

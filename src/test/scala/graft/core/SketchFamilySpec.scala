@@ -124,6 +124,56 @@ class SketchFamilySpec extends AnyFunSuite {
     }
   }
 
+  test("misra-gries: underestimate-only within n/(k+1); heavy items present; mergeable; serde") {
+    val r = new Random(23)
+    // skewed stream over ~1000 items (hot head, long tail)
+    val data = Array.fill(200000)("item" + math.min(r.nextInt(1 << (r.nextInt(10) + 1)), 999))
+    val exact = data.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+
+    val fs = FreqSketch.empty(64)
+    data.foreach(fs.add(_))
+    assert(fs.total == data.length.toLong)
+    val bound = fs.errorBound
+    assert(bound == data.length.toLong / 65)
+    fs.topItems.foreach { case (item, est) =>
+      assert(est <= exact(item), s"$item overestimated: $est > ${exact(item)}")
+      assert(est >= exact(item) - bound, s"$item undercounted past bound")
+    }
+    val tracked = fs.topItems.map(_._1).toSet
+    exact.foreach { case (item, cnt) =>
+      if (cnt > bound) assert(tracked.contains(item), s"heavy item $item missing (freq $cnt > $bound)")
+    }
+
+    // sharded build + random-order merge keeps both guarantees
+    val shards = (0 until 8).map { s =>
+      val t = FreqSketch.empty(64)
+      data.indices.filter(_ % 8 == s).foreach(i => t.add(data(i)))
+      t
+    }
+    val merged = FreqSketch.empty(64)
+    Random.shuffle((0 until 8).toList).foreach(i => merged.merge(shards(i)))
+    assert(merged.total == data.length.toLong)
+    val mBound = merged.errorBound
+    merged.topItems.foreach { case (item, est) =>
+      assert(est <= exact(item))
+      assert(est >= exact(item) - mBound)
+    }
+    exact.foreach { case (item, cnt) =>
+      if (cnt > mBound) assert(merged.topItems.exists(_._1 == item))
+    }
+
+    // serde roundtrip is content-identical
+    val back = FreqSketch.deserialize(fs.serialize())
+    assert(back.topItems == fs.topItems && back.total == fs.total)
+    assert(java.util.Arrays.equals(back.serialize(), fs.serialize()))
+    // k >= distinct items => exact counts, deterministically
+    val small = FreqSketch.empty(1024)
+    data.foreach(small.add(_))
+    small.topItems.foreach { case (item, est) => assert(est == exact(item)) }
+    assertThrows[IllegalArgumentException](
+      FreqSketch.empty(8).merge(FreqSketch.empty(16)))
+  }
+
   test("kll: rank error under 2/k bound; merge within bound; serde") {
     val r = new Random(13)
     val data = Array.fill(200000)(r.nextDouble() * 1000.0)

@@ -100,4 +100,25 @@ class SketchSparkSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(math.abs(exactRank - 0.5) <= 0.03, s"KLL median exact rank $exactRank")
   }
+
+  test("misra-gries via SQL: two-level merge exact at k >= distinct; top items ordered") {
+    pages.createOrReplaceTempView("pages_freq")
+    val exact = pages.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = spark.sql(
+      """WITH sk AS (
+        |  SELECT freq_merge(s, 64) AS s FROM (
+        |    SELECT text_len % 4 AS shard, freq_sketch(lang, 64) AS s
+        |    FROM pages_freq GROUP BY 1
+        |  )
+        |)
+        |SELECT freq_top_items(s, 100) AS top, freq_error_bound(s) AS eb FROM sk""".stripMargin)
+      .collect().head
+    val top = rows.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.getLong(1) == pages.count() / 65L, "error bound must be n/(k+1)")
+    assert(top.map(_._2) == top.map(_._2).sorted.reverse, "top items must be count-desc")
+    top.foreach { case (lang, est) => assert(est == exact(lang), s"$lang: $est != ${exact(lang)}") }
+    assert(top.map(_._1).toSet == exact.keySet)
+  }
 }
