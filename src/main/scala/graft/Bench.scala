@@ -56,14 +56,22 @@ object Bench {
     val spark = session(cpus)
     // JIT/IO warm-up on the smallest sf, untimed
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+      try fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
+      catch { case _: Throwable => }
     }
     // best-of-2 per query: this VM's co-tenants can throttle a single
     // measurement by 10-20x (observed); the min of two runs discards the
-    // worst of that noise at modest cost
+    // worst of that noise at modest cost.
+    // Execute via queryExecution.toRdd so the query's OWN physical plan
+    // runs whole — df.count() re-optimizes and PRUNES unused aggregate
+    // expressions (a count over groupBy().agg(sketch…) would silently skip
+    // the sketch work and time only the group count).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = (1 to 2).map { _ =>
-        timed { try fn(spark, sfDir).count() catch { case _: Throwable => -1L } }._2
+        timed {
+          try fn(spark, sfDir).queryExecution.toRdd.count()
+          catch { case _: Throwable => -1L }
+        }._2
       }
       name -> secs.min
     }

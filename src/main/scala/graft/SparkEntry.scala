@@ -87,25 +87,37 @@ object SparkEntry {
         .agg(countDistinct("l_partkey").as("dc_parts"))),
 
     // ---- the reference library itself (SURVEY.md §2.1) ----
-    // per-group estimate vs exact, within the published bound
-    "q_hll_orders" -> ((s, d) =>
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(countDistinct("l_orderkey").as("exact_dc"),
-          gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("est_dc"))
+    // per-group estimate vs exact, within the published bound.
+    // NOTE (scale): the sketch aggregate and countDistinct run in SEPARATE
+    // aggregations joined on the group key — mixing a
+    // TypedImperativeAggregate with a distinct aggregate in ONE agg() makes
+    // Spark's single-distinct planning evaluate the OBJECT partials at the
+    // (group × distinct-key) grain: one 2^p-byte buffer per distinct value
+    // (measured 70 s vs ~1 s on 600k rows at p=16; fatal at corpus scale).
+    "q_hll_orders" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val est = li.groupBy("l_returnflag")
+        .agg(gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("est_dc"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct("l_orderkey").as("exact_dc"))
+      est.join(exact, "l_returnflag")
         .select(col("l_returnflag"), col("exact_dc"),
-          withinBound(col("est_dc"), col("exact_dc"), boundP16).as("within_bound"))),
+          withinBound(col("est_dc"), col("exact_dc"), boundP16).as("within_bound"))
+    }),
 
-    "q_hll_users" -> ((s, d) =>
-      t(s, d, "events")
-        .groupBy("event_type")
-        .agg(countDistinct("user_id").as("exact_dc"),
-          gf.hll_approx_count_distinct(col("user_id"), p = 14).as("est_dc"),
+    "q_hll_users" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val est = ev.groupBy("event_type")
+        .agg(gf.hll_approx_count_distinct(col("user_id"), p = 14).as("est_dc"),
           gf.hll_create_synopsis(col("user_id"), p = 14).as("syn"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("exact_dc"))
+      est.join(exact, "event_type")
         .select(col("event_type"), col("exact_dc"),
           withinBound(col("est_dc"), col("exact_dc"), boundP14).as("within_bound"),
           withinBound(gf.loglogbeta_estimate(col("syn"), p = 14), col("exact_dc"),
-            boundP14).as("beta_within_bound"))),
+            boundP14).as("beta_within_bound"))
+    }),
 
     // build synopses per (flag, status), roll up per flag (the reference's
     // README.md:284-292 re-aggregation pattern), assert: rollup == direct
@@ -116,9 +128,12 @@ object SparkEntry {
         .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("syn"))
       val rolled = perStatus.groupBy("l_returnflag")
         .agg(gf.hll_distinct_count(col("syn"), p = 16).as("rolled_dc"))
+      // sketch agg and countDistinct in separate aggregations (see
+      // q_hll_orders note: mixing them plans object partials per key)
       val direct = li.groupBy("l_returnflag")
-        .agg(gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("direct_dc"),
-          countDistinct("l_orderkey").as("exact_dc"))
+        .agg(gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("direct_dc"))
+        .join(li.groupBy("l_returnflag")
+          .agg(countDistinct("l_orderkey").as("exact_dc")), "l_returnflag")
       rolled.join(direct, "l_returnflag")
         .select(col("l_returnflag"), col("exact_dc"),
           (col("rolled_dc") === col("direct_dc")).as("merge_consistent"),
@@ -163,8 +178,9 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(gf.hll_combine(col("syn"), p = 16).as("csyn"))
       val direct = li.groupBy("l_returnflag")
-        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("dsyn"),
-          countDistinct("l_orderkey").as("exact_dc"))
+        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("dsyn"))
+        .join(li.groupBy("l_returnflag")
+          .agg(countDistinct("l_orderkey").as("exact_dc")), "l_returnflag")
       combined.join(direct, "l_returnflag")
         .select(col("l_returnflag"), col("exact_dc"),
           (col("csyn") === col("dsyn")).as("combine_byte_identical"),
@@ -177,14 +193,17 @@ object SparkEntry {
     // on the partially-overlapping A/N orderkey sets (~58% Jaccard)
     "q_hll_setops" -> ((s, d) => {
       val li = t(s, d, "lineitem")
+      // synopses in one pass; exact counts in a separate distinct-only agg
+      // (mixing object + distinct aggs plans object partials per key)
       val a = li.filter(col("l_returnflag") === "A")
-        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("sa"),
-          countDistinct("l_orderkey").as("exact_a"))
+        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("sa"))
       val b = li.filter(col("l_returnflag") === "N")
-        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("sb"),
-          countDistinct("l_orderkey").as("exact_b"))
-      val u = li.filter(col("l_returnflag").isin("A", "N"))
-        .agg(countDistinct("l_orderkey").as("exact_union"))
+        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("sb"))
+      val u = li.agg(
+        countDistinct(when(col("l_returnflag") === "A", col("l_orderkey"))).as("exact_a"),
+        countDistinct(when(col("l_returnflag") === "N", col("l_orderkey"))).as("exact_b"),
+        countDistinct(when(col("l_returnflag").isin("A", "N"), col("l_orderkey")))
+          .as("exact_union"))
       a.crossJoin(b).crossJoin(u)
         .withColumn("exact_inter", col("exact_a") + col("exact_b") - col("exact_union"))
         .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
@@ -437,15 +456,18 @@ object SparkEntry {
       // eagerly inside the conf window and returns materialized rows
       val rows = try {
         val rsd = 1.04 / math.sqrt((1 << 16).toDouble) // derives p=16
+        // the rewritten agg, the exact counts, and the library agg run as
+        // three separate aggregations (see q_hll_orders scale note)
         val rewritten = t(s, d, "lineitem")
           .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_orderkey"), rsd).as("est"),
-            countDistinct("l_orderkey").as("exact_dc"))
+          .agg(approx_count_distinct(col("l_orderkey"), rsd).as("est"))
         val fired = rewritten.queryExecution.optimizedPlan.toString
           .contains("hll_approx_count_distinct")
+        val exact = t(s, d, "lineitem").groupBy("l_returnflag")
+          .agg(countDistinct("l_orderkey").as("exact_dc"))
         val lib = t(s, d, "lineitem").groupBy("l_returnflag")
           .agg(gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("lib_est"))
-        rewritten.join(lib, "l_returnflag")
+        rewritten.join(exact, "l_returnflag").join(lib, "l_returnflag")
           .select(col("l_returnflag"), col("exact_dc"),
             lit(fired).as("rewrite_fired"),
             (col("est") === col("lib_est")).as("estimates_equal"),
@@ -467,8 +489,9 @@ object SparkEntry {
       val salted = graft.pipeline.Salting.saltedSynopsis(
         docs, Seq("lang"), "text", p = 14, saltBuckets = 8)
       val direct = docs.groupBy("lang")
-        .agg(gf.hll_create_synopsis(col("text"), p = 14).as("dsyn"),
-          countDistinct("text").as("exact_dc"))
+        .agg(gf.hll_create_synopsis(col("text"), p = 14).as("dsyn"))
+        .join(docs.groupBy("lang")
+          .agg(countDistinct("text").as("exact_dc")), "lang")
       // LC-regime gate: at dc of a few hundred the estimate quantizes in
       // whole counts, so a pure 1-sigma relative bound flips on a +/-1
       // deviation — allow max(2 absolute, 2 sigma relative)
@@ -627,6 +650,37 @@ object SparkEntry {
           latest.agg(gf.hll_distinct_count(col("syn"), 14).as("total"))
             .select(lit(-1L).as("window_epoch"), lit(750L).as("n_rows"),
               withinBound(col("total"), lit(750L), boundP14).as("within_bound")))
+    }),
+
+    // streaming dedup over a memory stream: 50 rows over 20 distinct texts
+    // in batch 1, 20 repeats in batch 2 — exactly the 20 first arrivals
+    // survive (exact counts DuckDB states as literals)
+    "q_streaming_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+      val events = input.toDF().toDF("ts", "doc_id", "text")
+      val deduped = graft.streaming.StreamingSketch.streamingDedup(
+        events, "ts", "text", "10 minutes")
+      val qn = "q_streaming_dedup_sink_" + System.nanoTime()
+      val q = deduped.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val base = 1700000040000L
+        def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+        input.addData((0 until 50).map(i => (ts(i), i.toLong, s"doc-${i % 20}")): _*)
+        q.processAllAvailable()
+        input.addData((0 until 20).map(i => (ts(60 + i), (100 + i).toLong, s"doc-$i")): _*)
+        q.processAllAvailable()
+        // advance the watermark far enough to flush the append buffer
+        input.addData((ts(3600), 999L, "flush-marker"))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).filter(col("doc_id") < 999L)
+        .agg(count(lit(1)).as("n_survivors"),
+          countDistinct("text").as("dc_texts"),
+          (max("doc_id") < 20L).as("first_arrivals_won"))
     }),
 
     // all four dense formats rebuild the same registers: 8/6-bit exactly,
@@ -809,6 +863,9 @@ object SparkEntry {
     "q_streaming_window" ->
       """SELECT * FROM (VALUES (1700000040, 500, TRUE), (1700000100, 500, TRUE),
         | (-1, 750, TRUE)) t(window_epoch, n_rows, within_bound)""".stripMargin,
+    "q_streaming_dedup" ->
+      """SELECT CAST(20 AS BIGINT) AS n_survivors, CAST(20 AS BIGINT) AS dc_texts,
+        | TRUE AS first_arrivals_won""".stripMargin,
     "q_ann_top1" ->
       """SELECT query_id, neighbor_id FROM (
         | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -51,6 +51,12 @@ object Dedup {
     * aggregated groupBy (a window would sort each hot bucket on one task).
     *
     * Output columns: id_a, id_b (id_a < id_b) and `extra` suffixed _a/_b.
+    *
+    * Plan note: the banded relation feeds both sides of the self-join plus
+    * the hot branch, so Catalyst materializes its subtree up to three times
+    * (identical Exchanges are deduped by AQE reuse). For one-shot runs over
+    * very large corpora, persist or checkpoint the input `banded` frame
+    * first so the signature kernel runs once per row.
     */
   private[textops] def bucketJoin(
       banded: DataFrame, extra: Seq[String], maxBucket: Int): DataFrame = {

@@ -40,6 +40,24 @@ class AcceptanceSweepSpec extends AnyFunSuite {
     }
   }
 
+  test("acd + beta within 1% at {100,200,1k,100k,500k} for p=14..18 (hll_test.cpp:208-240)") {
+    val checkpoints = Set(100L, 200L, 1000L, 100000L, 500000L)
+    for (p <- 14 to 18) {
+      val sk = HllSketch.empty(p)
+      var i = 1L
+      while (i <= 500000L) {
+        sk.addLong(i)
+        if (checkpoints(i)) {
+          val acdErr = math.abs(sk.estimate - i).toDouble / i
+          val betaErr = math.abs(sk.betaEstimate - i).toDouble / i
+          assert(acdErr <= 0.01, f"p=$p card=$i acd err ${acdErr * 100}%.3f%%")
+          assert(betaErr <= 0.01, f"p=$p card=$i beta err ${betaErr * 100}%.3f%%")
+        }
+        i += 1
+      }
+    }
+  }
+
   test("small-cardinality groups (dc <= 50) are exact in the LC regime") {
     for (p <- Seq(12, 14, 16); (k, e) <- AccuracySweep.errors(p, 2, 5)) {
       assert(e == 0.0, s"p=$p k=$k expected exact, err=$e")
