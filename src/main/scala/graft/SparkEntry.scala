@@ -614,7 +614,12 @@ object SparkEntry {
       val invariant = e1.withColumnRenamed("media_embedding", "a")
         .join(e2.withColumnRenamed("media_embedding", "b"), "doc_id")
         .agg(min(col("a") === col("b")).as("batch_invariant"))
-      agg.crossJoin(invariant)
+      // frame sampling: every 4th frame of frames=8+doc_id%24 -> the
+      // sampled count is ceil(frames/4), recomputable from doc_id alone
+      val frames = graft.multimodal.Multimodal.sampleFrames(
+          s, media, "doc_id", "media", everyNth = 4)
+        .agg(count(lit(1)).as("n_frames_sampled"))
+      agg.crossJoin(invariant).crossJoin(frames)
     }),
 
     // Structured Streaming: windowed synopsis aggregation over a memory
@@ -856,7 +861,8 @@ object SparkEntry {
       """SELECT count(*) AS n_docs,
         | CAST(sum(300 + doc_id % 1000) AS BIGINT) AS sum_width,
         | CAST(sum(8 + doc_id % 24) AS BIGINT) AS sum_frames,
-        | TRUE AS batch_invariant
+        | TRUE AS batch_invariant,
+        | CAST(sum((8 + doc_id % 24 + 3) // 4) AS BIGINT) AS n_frames_sampled
         |FROM documents""".stripMargin,
     "q_hll_formats" ->
       "SELECT TRUE AS eq_8_6, TRUE AS eq_8_5, TRUE AS close_8_4, TRUE AS sizes_ok",
