@@ -427,6 +427,21 @@ object SparkEntry {
           (col("__hits") === col("cnt_docs")).as("all_detected"))
     }),
 
+    // deterministic sampling: per-lang stratified bottom-10 by md5(text)
+    // plus a global bottom-100, both exactly replayable in DuckDB (same
+    // hash, same ordering, same tie-break)
+    "q_sample" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val strat = graft.textops.Sampling.stratifiedBottomK(
+          docs, "lang", md5(col("text")), k = 10, tieBreak = col("doc_id"))
+        .select(col("lang"), col("sample_rank"), col("doc_id"))
+      val global = graft.textops.Sampling.bottomK(
+          docs, md5(col("text")), k = 100, tieBreak = col("doc_id"))
+        .withColumn("sample_rank", lit(0))
+        .select(lit("__all").as("lang"), col("sample_rank"), col("doc_id"))
+      strat.unionAll(global)
+    }),
+
     // text quality scoring distribution (deterministic formula; DuckDB
     // replicates it exactly on integer-char counts)
     "q_quality" -> ((s, d) =>
@@ -848,6 +863,14 @@ object SparkEntry {
     "q_lang_id" ->
       """SELECT lang, count(*) AS cnt_docs, TRUE AS all_detected
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_sample" ->
+      """SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id FROM (
+        |  SELECT lang, row_number() OVER (
+        |    PARTITION BY lang ORDER BY md5(text), doc_id) AS sample_rank, doc_id
+        |  FROM documents) WHERE sample_rank <= 10
+        |UNION ALL
+        |SELECT '__all' AS lang, 0 AS sample_rank, doc_id FROM (
+        |  SELECT doc_id FROM documents ORDER BY md5(text), doc_id LIMIT 100)""".stripMargin,
     "q_quality" ->
       """SELECT lang,
         | CAST(sum(CASE WHEN

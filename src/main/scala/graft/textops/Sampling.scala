@@ -1,0 +1,44 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Random sampling (`df.sample`) is neither reproducible across cluster
+  * sizes nor joinable against an oracle; hash-order statistics are. A
+  * bottom-k by a uniform content hash IS a uniform k-sample of the
+  * distinct contents, it is the same k rows on any partitioning or
+  * executor count, and any other engine can reproduce it exactly.
+  *
+  * Scale shapes:
+  *   - [[bottomK]] plans as TakeOrderedAndProject: per-partition top-k
+  *     heaps + driver merge of k×partitions rows — no global sort shuffle.
+  *   - [[stratifiedBottomK]] is one window per stratum: a single shuffle
+  *     by the stratum key; rank truncation happens map-side via Spark's
+  *     WindowGroupLimit pushdown.
+  */
+object Sampling {
+
+  /** Deterministic k-row sample: the k rows with the smallest
+    * `hashCol` values (break ties on `tieBreak` for full determinism).
+    */
+  def bottomK(df: DataFrame, hashCol: Column, k: Int, tieBreak: Column): DataFrame =
+    df.orderBy(hashCol.asc, tieBreak.asc).limit(k)
+
+  /** Deterministic k-rows-per-stratum sample with the sample rank exposed
+    * as `rankCol` (1-based within the stratum).
+    */
+  def stratifiedBottomK(
+      df: DataFrame,
+      strataCol: String,
+      hashCol: Column,
+      k: Int,
+      tieBreak: Column,
+      rankCol: String = "sample_rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCol).orderBy(hashCol.asc, tieBreak.asc)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+}
