@@ -66,14 +66,14 @@ object Bench {
     // runs whole — df.count() re-optimizes and PRUNES unused aggregate
     // expressions (a count over groupBy().agg(sketch…) would silently skip
     // the sketch work and time only the group count).
+    // a failed query must surface as -1, never as a plausible-looking
+    // elapsed-until-failure number summed into the total
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val secs = (1 to 2).map { _ =>
-        timed {
-          try fn(spark, sfDir).queryExecution.toRdd.count()
-          catch { case _: Throwable => -1L }
-        }._2
+        try timed(fn(spark, sfDir).queryExecution.toRdd.count())._2
+        catch { case _: Throwable => Double.NaN }
       }
-      name -> secs.min
+      name -> (if (secs.exists(_.isNaN)) -1.0 else secs.min)
     }
 
     // ---- part 1b: accuracy-vs-cardinality table (reference README
@@ -158,7 +158,7 @@ object Bench {
     val relHigh = effHighPair / math.min(1.0, ceilHigh)
 
     val qJson = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     val scaleJson = scaling.map { case (c, thr, sec, _, _) =>
       s""""hll_url_throughput_rps_c$c":${f"$thr%.0f"},"hll_url_sec_c$c":${f"$sec%.3f"}"""
     }.mkString(",")

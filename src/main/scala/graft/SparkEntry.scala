@@ -153,18 +153,24 @@ object SparkEntry {
         s.range(1L << k).select(lit(k).as("k"),
           (col("id") + (k.toLong << 40)).as("v"))
       }.reduce(_ unionAll _)
+      // one aggregation pass: collect the 17 per-k errors and derive both
+      // the per-k spike rows and the mean row from the same result
+      // (unionAll of two lazy consumers would run the sweep twice)
       val perGroup = data.groupBy("k")
         .agg(count(lit(1)).as("exact_dc"),
           gf.hll_approx_count_distinct(col("v"), p = 14).as("est"))
         .withColumn("err",
           abs(col("est").cast("double") - col("exact_dc").cast("double")) /
             col("exact_dc").cast("double"))
-      val rows = perGroup.select(col("k"), col("exact_dc"),
-        (col("exact_dc") <= 50L || col("err") <= 0.05).as("within_gate"))
-      val meanRow = perGroup.agg(avg("err").as("mean_err"))
-        .select(lit(-1).as("k"), lit(0L).as("exact_dc"),
-          (col("mean_err") <= 0.015).as("within_gate"))
-      rows.unionAll(meanRow)
+        .select("k", "exact_dc", "err")
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      val meanErr = perGroup.map(_._3).sum / perGroup.size
+      val out = perGroup.map { case (k, dc, err) =>
+        (k, dc, dc <= 50L || err <= 0.05)
+      } :+ ((-1, 0L, meanErr <= 0.015))
+      import s.implicits._
+      out.toDF("k", "exact_dc", "within_gate")
     }),
 
     // hll_combine as its own gated operator (the reference's third UDAF,
@@ -416,6 +422,11 @@ object SparkEntry {
           "dans le jardin pendant que le vieil homme lisait son livre le soir"),
         lit("zh"), lit("这个城市的孩子们在花园里玩耍，老人在河边看书，晚上的时候" +
           "大家都回到了自己的家里，他们说这是一个很好的地方"))
+      val known = Set("en", "de", "es", "fr", "zh")
+      val present = t(s, d, "documents").select("lang").distinct()
+        .collect().map(_.getString(0)).toSet
+      require(present.subsetOf(known), // fail fast with the real cause
+        s"q_lang_id sample map lacks langs ${present -- known}; extend it")
       t(s, d, "documents")
         .withColumn("__t", concat_ws(" ", array_repeat(
           element_at(sample, col("lang")), (col("doc_id") % 3 + 1).cast("int"))))
@@ -466,7 +477,9 @@ object SparkEntry {
     // its estimate equals the library aggregate's at the derived precision
     "q_rewrite_acd" -> ((s, d) => {
       graft.spark.GraftExtensions.register(s)
-      s.conf.set(graft.spark.RewriteApproxCountDistinct.ConfKey, "true")
+      val confKey = graft.spark.RewriteApproxCountDistinct.ConfKey
+      val prior = s.conf.getOption(confKey) // restore, don't clobber
+      s.conf.set(confKey, "true")
       // the rule reads its conf at OPTIMIZATION time, so this query runs
       // eagerly inside the conf window and returns materialized rows
       val rows = try {
@@ -490,7 +503,10 @@ object SparkEntry {
           .collect().toSeq
           .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
             r.getBoolean(3), r.getBoolean(4)))
-      } finally s.conf.set(graft.spark.RewriteApproxCountDistinct.ConfKey, "false")
+      } finally prior match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
       import s.implicits._
       rows.toDF("l_returnflag", "exact_dc", "rewrite_fired",
         "estimates_equal", "within_bound")
@@ -539,12 +555,20 @@ object SparkEntry {
     // (DuckDB recomputes partition count, row total, and exact distinct)
     "q_resumable_build" -> ((s, d) => {
       val tmp = s"/tmp/graft_q_resumable_${System.nanoTime()}"
-      t(s, d, "documents").write.partitionBy("source").parquet(s"$tmp/table")
-      val aborted = graft.pipeline.SketchBuild.buildResumable(
-        s, s"$tmp/table", s"$tmp/ck", valueCol = "text", p = 14,
-        maxPartitionsThisRun = 7)
-      val resumed = graft.pipeline.SketchBuild.buildResumable(
-        s, s"$tmp/table", s"$tmp/ck", valueCol = "text", p = 14)
+      val (aborted, resumed) = try {
+        t(s, d, "documents").write.partitionBy("source").parquet(s"$tmp/table")
+        val ab = graft.pipeline.SketchBuild.buildResumable(
+          s, s"$tmp/table", s"$tmp/ck", valueCol = "text", p = 14,
+          maxPartitionsThisRun = 7)
+        val re = graft.pipeline.SketchBuild.buildResumable(
+          s, s"$tmp/table", s"$tmp/ck", valueCol = "text", p = 14)
+        (ab, re)
+      } finally { // everything needed lives in the returned case classes
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+        }
+        rm(new java.io.File(tmp))
+      }
       val exactDc = t(s, d, "documents")
         .agg(countDistinct("text")).first().getLong(0)
       val err = math.abs(resumed.estimate - exactDc).toDouble / exactDc
@@ -697,10 +721,13 @@ object SparkEntry {
         input.addData((ts(3600), 999L, "flush-marker"))
         q.processAllAvailable()
       } finally q.stop()
+      // which of a key's batch-1 rows wins is shuffle-order-dependent (not
+      // guaranteed by Spark), but batch-2 repeats MUST lose to batch-1
+      // state — gate on the batch boundary, not intra-batch order
       s.table(qn).filter(col("doc_id") < 999L)
         .agg(count(lit(1)).as("n_survivors"),
           countDistinct("text").as("dc_texts"),
-          (max("doc_id") < 20L).as("first_arrivals_won"))
+          (max("doc_id") < 100L).as("from_first_batch"))
     }),
 
     // all four dense formats rebuild the same registers: 8/6-bit exactly,
@@ -894,7 +921,7 @@ object SparkEntry {
         | (-1, 750, TRUE)) t(window_epoch, n_rows, within_bound)""".stripMargin,
     "q_streaming_dedup" ->
       """SELECT CAST(20 AS BIGINT) AS n_survivors, CAST(20 AS BIGINT) AS dc_texts,
-        | TRUE AS first_arrivals_won""".stripMargin,
+        | TRUE AS from_first_batch""".stripMargin,
     "q_ann_top1" ->
       """SELECT query_id, neighbor_id FROM (
         | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -205,6 +205,12 @@ object NearestCentroidsExpr {
         if (!taken(c) && scores(c) > bestScore) { best = c; bestScore = scores(c) }
         c += 1
       }
+      if (best < 0) {
+        // all remaining scores are NaN (malformed vector): fall back to the
+        // lowest untaken cell id instead of crashing the job
+        c = 0
+        while (best < 0 && c < k) { if (!taken(c)) best = c; c += 1 }
+      }
       taken(best) = true
       out(s) = best
       s += 1

