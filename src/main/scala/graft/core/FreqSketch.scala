@@ -117,7 +117,7 @@ object FreqSketch {
     new FreqSketch(k, new java.util.HashMap[String, Long](), 0L)
   }
 
-  def deserialize(bytes: Array[Byte]): FreqSketch = {
+  def deserialize(bytes: Array[Byte]): FreqSketch = try {
     require(bytes.length >= 20, "Unable to parse FreqSketch: too short")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.getInt() == Magic, "Unable to parse FreqSketch: bad magic")
@@ -129,12 +129,16 @@ object FreqSketch {
     var i = 0
     while (i < n) {
       val len = buf.getInt()
-      require(len >= 0 && len <= buf.remaining(), "Unable to parse FreqSketch: corrupt item")
+      require(len >= 0 && len + 8 <= buf.remaining(), // item bytes + count long
+        "Unable to parse FreqSketch: corrupt item")
       val b = new Array[Byte](len)
       buf.get(b)
       m.put(new String(b, StandardCharsets.UTF_8), buf.getLong())
       i += 1
     }
     new FreqSketch(k, m, total)
+  } catch {
+    case _: java.nio.BufferUnderflowException =>
+      throw new IllegalArgumentException("Unable to parse FreqSketch: truncated")
   }
 }

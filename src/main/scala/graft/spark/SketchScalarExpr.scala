@@ -115,25 +115,56 @@ object SketchScalarExpr {
     case other => throw new IllegalArgumentException(s"unsupported numeric $other")
   }
 
+  /** Per-thread parse cache: the overwhelmingly common shape is ONE stored
+    * sketch probed against many rows (crossJoin(broadcast(agg)) or a
+    * WHERE bloom_contains(...) filter), where the binary value is a fresh
+    * copy every row — re-deserializing a 2^17-byte Bloom filter per row
+    * costs an allocation + copy per row (gigabytes of garbage per million
+    * rows). A content-equality hit costs one compare pass, no allocation.
+    * Thread-local, so the cached sketch is never shared across tasks; the
+    * probe ops are read-only (t-digest's lazy flush is idempotent).
+    */
+  private val lastParsed = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](4)
+  }
+
+  private def cachedParse[T <: AnyRef](op: Int, bytes: Array[Byte],
+      parse: Array[Byte] => T): T = {
+    val slot = lastParsed.get()
+    val hit = slot(0).asInstanceOf[Array[Byte]]
+    if (slot(1) == Integer.valueOf(op) && hit != null &&
+        java.util.Arrays.equals(hit, bytes)) {
+      slot(2).asInstanceOf[T]
+    } else {
+      val p = parse(bytes)
+      slot(0) = bytes
+      slot(1) = Integer.valueOf(op)
+      slot(2) = p
+      p
+    }
+  }
+
   /** Codegen + interpreted entry point. */
   def dispatch(sketch: Array[Byte], arg: Any, op: Int): Any = op match {
-    case CmsEstimate => CountMinSketch.deserialize(sketch).estimateLong(keyHash(arg))
-    case CmsTotal => CountMinSketch.deserialize(sketch).totalCount
+    case CmsEstimate =>
+      cachedParse(op, sketch, CountMinSketch.deserialize).estimateLong(keyHash(arg))
+    case CmsTotal => cachedParse(op, sketch, CountMinSketch.deserialize).totalCount
     case BloomContains =>
-      BloomFilter.deserialize(sketch).mightContainLong(keyHash(arg))
-    case TDigestQuantile => TDigest.deserialize(sketch).quantile(toD(arg))
-    case KllQuantile => KllSketch.deserialize(sketch).quantile(toD(arg))
-    case KllRank => KllSketch.deserialize(sketch).rank(toD(arg))
+      cachedParse(op, sketch, BloomFilter.deserialize).mightContainLong(keyHash(arg))
+    case TDigestQuantile => cachedParse(op, sketch, TDigest.deserialize).quantile(toD(arg))
+    case KllQuantile => cachedParse(op, sketch, KllSketch.deserialize).quantile(toD(arg))
+    case KllRank => cachedParse(op, sketch, KllSketch.deserialize).rank(toD(arg))
     case FreqEstimate =>
-      FreqSketch.deserialize(sketch).estimate(arg.asInstanceOf[UTF8String].toString)
-    case FreqErrorBound => FreqSketch.deserialize(sketch).errorBound
+      cachedParse(op, sketch, FreqSketch.deserialize)
+        .estimate(arg.asInstanceOf[UTF8String].toString)
+    case FreqErrorBound => cachedParse(op, sketch, FreqSketch.deserialize).errorBound
     case FreqTopItems =>
       val n = arg match {
         case l: java.lang.Long => l.intValue()
         case i: java.lang.Integer => i.intValue()
         case other => throw new IllegalArgumentException(s"unsupported count $other")
       }
-      val rows: Array[Any] = FreqSketch.deserialize(sketch).topItems.take(n).map {
+      val rows: Array[Any] = cachedParse(op, sketch, FreqSketch.deserialize).topItems.take(n).map {
         case (item, est) => org.apache.spark.sql.catalyst.InternalRow(
           UTF8String.fromString(item), est): Any
       }.toArray

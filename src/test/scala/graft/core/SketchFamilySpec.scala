@@ -205,6 +205,20 @@ class SketchFamilySpec extends AnyFunSuite {
     assert(back.count == merged.count)
   }
 
+  test("freq sketch: corrupted wire bytes are rejected, never mis-parsed") {
+    val fs = FreqSketch.empty(8)
+    Seq("a", "b", "a", "c").foreach(fs.add(_))
+    val bytes = fs.serialize()
+    def rejects(b: Array[Byte]): Boolean =
+      try { FreqSketch.deserialize(b); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("Unable to parse") }
+    assert(rejects(Array[Byte](1, 2, 3)), "too short")
+    assert(rejects { val c = bytes.clone(); c(0) = 'X'.toByte; c }, "bad magic")
+    assert(rejects(bytes.take(bytes.length - 4)), "truncated item")
+    val roundtrip = FreqSketch.deserialize(bytes)
+    assert(roundtrip.topItems == fs.topItems)
+  }
+
   test("format guards: mismatched params refuse to merge") {
     intercept[IllegalArgumentException](
       CountMinSketch.empty(5, 1024).merge(CountMinSketch.empty(5, 2048)))
