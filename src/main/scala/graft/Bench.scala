@@ -126,17 +126,28 @@ object Bench {
       hllUrlJob(w, scaleRows); hllUrlJob(w, scaleRows)
       w.stop()
     }
-    val scaling = levels.map { cores =>
-      val s = session(cores)
-      hllUrlJob(s, scaleRows) // per-session warm-up, untimed
-      val runs = (1 to 4).map(_ => timed(hllUrlJob(s, scaleRows)))
-      val sec = runs.map(_._2).min // best-of-4 damps scheduler/GC noise
-      val est = runs.head._1
-      s.stop()
-      // raw-CPU burn at the same thread count, measured at the same moment
-      // as the job so co-tenant load affects both equally
-      val burnOps = (1 to 3).map(_ => burnThroughput(cores)).max
-      (cores, scaleRows / sec, sec, est, burnOps)
+    // two full passes over the level ladder, keeping each level's best
+    // throughput and burn: a co-tenant throttle window that hits ONE
+    // level of ONE pass (observed: 2x swings within minutes) would
+    // otherwise corrupt the scaling ratio between levels
+    val passes = (1 to 2).map { _ =>
+      levels.map { cores =>
+        val s = session(cores)
+        hllUrlJob(s, scaleRows) // per-session warm-up, untimed
+        val runs = (1 to 4).map(_ => timed(hllUrlJob(s, scaleRows)))
+        val sec = runs.map(_._2).min // best-of-4 damps scheduler/GC noise
+        val est = runs.head._1
+        s.stop()
+        // raw-CPU burn at the same thread count, measured at the same
+        // moment as the job so co-tenant load affects both equally
+        val burnOps = (1 to 3).map(_ => burnThroughput(cores)).max
+        (cores, scaleRows / sec, sec, est, burnOps)
+      }
+    }
+    val scaling = levels.indices.map { i =>
+      val samples = passes.map(_(i))
+      val best = samples.maxBy(_._2)
+      (best._1, best._2, best._3, best._4, samples.map(_._5).max)
     }
     def eff(lo: (Int, Double, Double, Long, Double),
         hi: (Int, Double, Double, Long, Double)): Double =
