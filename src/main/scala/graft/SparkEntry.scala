@@ -276,6 +276,21 @@ object SparkEntry {
             .as("within_bound"))
     }),
 
+    // misra-gries top-k item LIST — the call a heavy-hitters report
+    // actually makes. At k=64 (>= the distinct sources at both levels of
+    // the two-level build) no counter ever evicts, so every count is exact
+    // and DuckDB states the top-5 verbatim from GROUP BY; ties break by
+    // item asc on both sides (FreqSketch.topItems is (count desc, item asc))
+    "q_freq_top" -> ((s, d) => {
+      val merged = t(s, d, "documents").groupBy("lang")
+        .agg(sketch.freq_sketch(col("source"), 64).as("pf"))
+        .agg(sketch.freq_merge(col("pf"), 64).as("fs"))
+      merged.select(posexplode(sketch.freq_top_items(col("fs"), lit(5)))
+          .as(Seq("__pos", "__item")))
+        .select((col("__pos") + 1).cast("int").as("rnk"),
+          col("__item.item").as("source"), col("__item.est").as("est_cnt"))
+    }),
+
     // bloom: every present user is contained (no false negatives) and the
     // false-positive rate on a disjoint key set stays under 5x target
     "q_bloom_users" -> ((s, d) => {
@@ -483,7 +498,13 @@ object SparkEntry {
       // the rule reads its conf at OPTIMIZATION time, so this query runs
       // eagerly inside the conf window and returns materialized rows
       val rows = try {
-        val rsd = 1.04 / math.sqrt((1 << 16).toDouble) // derives p=16
+        // 2% inside the p=16 boundary: rsd exactly 1.04/256 would put
+        // ceil(2*log2(1.04/rsd)) one float ulp from flipping to 17 on a
+        // different JVM's Math.log; the assert turns any drift into a
+        // clear failure instead of a silent estimate mismatch
+        val rsd = 1.04 / 256.0 * 1.02
+        require(graft.spark.RewriteApproxCountDistinct.precisionFor(rsd) == 16,
+          s"rsd=$rsd must derive p=16")
         // the rewritten agg, the exact counts, and the library agg run as
         // three separate aggregations (see q_hll_orders scale note)
         val rewritten = t(s, d, "lineitem")
@@ -601,19 +622,23 @@ object SparkEntry {
     }),
 
     // IVF ANN: recall@10 with nprobe=4/8 lists via the zero-shuffle
-    // nearest-centroid assignment, and full probe must equal brute force
+    // nearest-centroid assignment, and full probe must equal brute force.
+    // The k-means coarse quantizer trains ONCE (the Lloyd iterations are
+    // the gate's expensive step) and both probe settings reuse it.
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.orderBy("vec_id").limit(20)
       val exact = graft.textops.Similarity.bruteForceTopK(
         emb, "vec_id", "embedding", queries, k = 10).select("query_id", "neighbor_id")
-      val ivf = graft.textops.Similarity.ivfTopK(
-        emb, "vec_id", "embedding", queries, k = 10, nLists = 8, nProbe = 4)
+      val centroids = graft.textops.Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nLists = 8)
+      val ivf = graft.textops.Similarity.ivfTopKWithCentroids(
+        emb, "vec_id", "embedding", queries, centroids, k = 10, nProbe = 4)
         .select("query_id", "neighbor_id")
       val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
       val total = exact.count()
-      val full = graft.textops.Similarity.ivfTopK(
-        emb, "vec_id", "embedding", queries, k = 10, nLists = 8, nProbe = 8)
+      val full = graft.textops.Similarity.ivfTopKWithCentroids(
+        emb, "vec_id", "embedding", queries, centroids, k = 10, nProbe = 8)
         .select("query_id", "neighbor_id")
       val fullExact = full.unionAll(exact).distinct().count() == total &&
         full.count() == total
@@ -728,6 +753,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_survivors"),
           countDistinct("text").as("dc_texts"),
           (max("doc_id") < 100L).as("from_first_batch"))
+    }),
+
+    // fixed-memory streaming dedup — the operator an unbounded crawl
+    // pipeline runs forever: per-shard Bloom filters in
+    // flatMapGroupsWithState (no watermark eviction, O(shards×bits) state).
+    // 1000 distinct texts arrive in batch 1, 500 repeats in batch 2; at
+    // 2^22 bits / 8 shards (~125 keys per shard, 5 hashes) the false-
+    // positive probability is ~1e-15 per key — deterministically zero
+    // first-occurrence drops, so DuckDB states the exact counts as literals
+    "q_bloom_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val input = MemoryStream[(Long, String)]
+      val deduped = graft.streaming.StreamingSketch.bloomDedup(
+        input.toDS(), shards = 8, numBits = 1L << 22, numHashes = 5)
+      val qn = "q_bloom_dedup_sink_" + System.nanoTime()
+      val q = deduped.toDF("doc_id", "text").writeStream.format("memory")
+        .queryName(qn).outputMode("update").start()
+      try {
+        input.addData((0 until 1000).map(i => (i.toLong, s"doc-$i")): _*)
+        q.processAllAvailable()
+        // batch 2: repeats MUST be dropped by batch-1 Bloom state
+        input.addData((0 until 500).map(i => ((2000 + i).toLong, s"doc-$i")): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).agg(count(lit(1)).as("n_survivors"),
+        countDistinct("text").as("dc_texts"),
+        (max("doc_id") < 1000L).as("from_first_batch"))
     }),
 
     // all four dense formats rebuild the same registers: 8/6-bit exactly,
@@ -870,6 +924,11 @@ object SparkEntry {
       """SELECT source, count(*) AS exact_cnt, TRUE AS exact_at_k64,
         | TRUE AS no_overestimate, TRUE AS within_bound
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_freq_top" ->
+      """SELECT CAST(rnk AS INT) AS rnk, source, est_cnt FROM (
+        |  SELECT row_number() OVER (ORDER BY count(*) DESC, source ASC) AS rnk,
+        |    source, count(*) AS est_cnt
+        |  FROM documents GROUP BY source) WHERE rnk <= 5""".stripMargin,
     "q_bloom_users" ->
       """SELECT count(*) AS n_clicks, TRUE AS no_false_negatives
         |FROM events WHERE event_type = 'click'""".stripMargin,
@@ -922,6 +981,9 @@ object SparkEntry {
     "q_streaming_dedup" ->
       """SELECT CAST(20 AS BIGINT) AS n_survivors, CAST(20 AS BIGINT) AS dc_texts,
         | TRUE AS from_first_batch""".stripMargin,
+    "q_bloom_dedup" ->
+      """SELECT CAST(1000 AS BIGINT) AS n_survivors,
+        | CAST(1000 AS BIGINT) AS dc_texts, TRUE AS from_first_batch""".stripMargin,
     "q_ann_top1" ->
       """SELECT query_id, neighbor_id FROM (
         | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -122,6 +122,9 @@ object FreqSketch {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     require(buf.getInt() == Magic, "Unable to parse FreqSketch: bad magic")
     val k = buf.getInt()
+    // same invariant empty() enforces — a forged k=0 sketch would
+    // self-evict on every add and degrade errorBound to total/1
+    require(k >= 1 && k <= 65536, "Unable to parse FreqSketch: bad k")
     val total = buf.getLong()
     val n = buf.getInt()
     require(n >= 0 && n <= k, "Unable to parse FreqSketch: corrupt item count")

@@ -115,34 +115,53 @@ object SketchScalarExpr {
     case other => throw new IllegalArgumentException(s"unsupported numeric $other")
   }
 
-  /** Per-thread parse cache: the overwhelmingly common shape is ONE stored
-    * sketch probed against many rows (crossJoin(broadcast(agg)) or a
-    * WHERE bloom_contains(...) filter), where the binary value is a fresh
-    * copy every row — re-deserializing a 2^17-byte Bloom filter per row
-    * costs an allocation + copy per row (gigabytes of garbage per million
-    * rows). A content-equality hit costs one compare pass, no allocation.
-    * Thread-local, so the cached sketch is never shared across tasks; the
-    * probe ops are read-only (t-digest's lazy flush is idempotent).
+  /** Per-thread, per-op, 2-entry parse cache: the overwhelmingly common
+    * shape is one or TWO stored sketches probed against many rows
+    * (crossJoin(broadcast(agg)) or a WHERE bloom_contains(...) filter;
+    * q_freq_sources probes two freq sketches per row), where the binary
+    * value is a fresh copy every row — re-deserializing a 2^17-byte Bloom
+    * filter per row costs an allocation + copy per row (gigabytes of
+    * garbage per million rows). A content-equality hit costs one compare
+    * pass, no allocation. Keyed per op so distinct probe ops never evict
+    * each other, with two byte-content entries per op (LRU between them)
+    * so a projection alternating between two sketches of the same op stays
+    * fully cached. Thread-local, so the cached sketch is never shared
+    * across tasks; the probe ops are read-only (t-digest's lazy flush is
+    * idempotent).
     */
-  private val lastParsed = new ThreadLocal[Array[AnyRef]] {
-    override def initialValue(): Array[AnyRef] = new Array[AnyRef](4)
+  private final val NumOps = 9
+
+  private val lastParsed = new ThreadLocal[Array[Array[AnyRef]]] {
+    // per op: [bytes0, parsed0, bytes1, parsed1]; slot 4 = LRU entry index
+    override def initialValue(): Array[Array[AnyRef]] =
+      Array.fill(NumOps)(new Array[AnyRef](5))
   }
 
   private def cachedParse[T <: AnyRef](op: Int, bytes: Array[Byte],
       parse: Array[Byte] => T): T = {
-    val slot = lastParsed.get()
-    val hit = slot(0).asInstanceOf[Array[Byte]]
-    if (slot(1) == Integer.valueOf(op) && hit != null &&
-        java.util.Arrays.equals(hit, bytes)) {
-      slot(2).asInstanceOf[T]
+    val slot = lastParsed.get()(op)
+    val b0 = slot(0).asInstanceOf[Array[Byte]]
+    if (b0 != null && java.util.Arrays.equals(b0, bytes)) {
+      slot(4) = Entry1 // entry 1 is now least-recently-used
+      slot(1).asInstanceOf[T]
     } else {
-      val p = parse(bytes)
-      slot(0) = bytes
-      slot(1) = Integer.valueOf(op)
-      slot(2) = p
-      p
+      val b1 = slot(2).asInstanceOf[Array[Byte]]
+      if (b1 != null && java.util.Arrays.equals(b1, bytes)) {
+        slot(4) = Entry0
+        slot(3).asInstanceOf[T]
+      } else {
+        val p = parse(bytes)
+        val victim = if (slot(4) eq Entry0) 0 else 2
+        slot(victim) = bytes
+        slot(victim + 1) = p
+        slot(4) = if (victim == 0) Entry1 else Entry0
+        p
+      }
     }
   }
+
+  private val Entry0 = Integer.valueOf(0)
+  private val Entry1 = Integer.valueOf(2)
 
   /** Codegen + interpreted entry point. */
   def dispatch(sketch: Array[Byte], arg: Any, op: Int): Any = op match {

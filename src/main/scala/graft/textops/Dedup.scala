@@ -54,13 +54,22 @@ object Dedup {
     *
     * Plan note: the banded relation feeds both sides of the self-join plus
     * the hot branch, so Catalyst materializes its subtree up to three times
-    * (identical Exchanges are deduped by AQE reuse). For one-shot runs over
-    * very large corpora, persist or checkpoint the input `banded` frame
-    * first so the signature kernel runs once per row.
+    * (identical Exchanges are deduped by AQE reuse). `persistBanded`
+    * (the default in every public caller) caches the banded frame
+    * MEMORY_AND_DISK so the signature kernel runs ONCE per row — the
+    * cached rows are just (id, band, 8-byte key [+ extra]), far smaller
+    * than recomputing signatures over full texts; pass false to trade
+    * recompute for zero cache footprint, and `spark.catalog.clearCache()`
+    * releases the entries after a one-shot run.
     */
   private[textops] def bucketJoin(
-      banded: DataFrame, extra: Seq[String], maxBucket: Int): DataFrame = {
+      banded0: DataFrame, extra: Seq[String], maxBucket: Int,
+      persistBanded: Boolean = false): DataFrame = {
     require(maxBucket >= 2, "maxBucket must be >= 2")
+    val banded =
+      if (persistBanded)
+        banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else banded0
     val stats = banded.groupBy("__band", "__key")
       .agg(count(lit(1)).as("__bs"),
         min(struct((col("__id") +: extra.map(col)): _*)).as("__rep"))
@@ -95,7 +104,8 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleSize: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      persistBanded: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df.select(col(idCol).as("__id"),
@@ -107,7 +117,7 @@ object Dedup {
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("__sig"), b * rows + 1, rows).cast("string"), lit(b))
       }: _*)).as(Seq("__band", "__key")))
-    bucketJoin(banded, Nil, maxBucket)
+    bucketJoin(banded, Nil, maxBucket, persistBanded)
       .select(col("id_a"), col("id_b"))
       .distinct()
   }
@@ -131,9 +141,10 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleSize: Int = 3,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      persistBanded: Boolean = true): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands,
-      shingleSize, maxBucket)
+      shingleSize, maxBucket, persistBanded)
     val sh = df.select(col(idCol).as("__jid"),
       shingles(col(textCol), shingleSize).as("__sh"))
     cands
@@ -195,7 +206,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       blocks: Int = 6,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000,
+      persistBanded: Boolean = true): DataFrame = {
     require(blocks >= 4 && blocks <= 16, "blocks must be in [4,16]")
     require(maxBucket >= 2, "maxBucket must be >= 2")
     val width = (64 + blocks - 1) / blocks
@@ -213,7 +225,7 @@ object Dedup {
       graft.spark.textFunctions.simhash64(col(textCol)).as("__sim"))
     val banded = sh.select(col("__id"), col("__sim"),
       posexplode(array(keys: _*)).as(Seq("__band", "__key")))
-    bucketJoin(banded, Seq("__sim"), maxBucket)
+    bucketJoin(banded, Seq("__sim"), maxBucket, persistBanded)
       .select(col("id_a"), col("id_b"),
         (lit(64) - bit_count(col("__sim_a").bitwiseXOR(col("__sim_b")))).as("matching_bits"))
       .distinct()

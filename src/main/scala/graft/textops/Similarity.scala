@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   * deterministic seeded hyperplanes; candidates collide in ≥1 table, then
   * are re-ranked by exact cosine. The hyperplanes are generated columnar-ly
   * from xxhash64(seed, dim, bit) — no driver-side state to broadcast.
+  *
+  * Shuffle discipline (uniform across lshTopK / ivfTopK /
+  * cosineNearDuplicates): candidate generation shuffles ONLY (id, bucket
+  * key) pairs — the embedding vectors (4 KB+ at 1k dims) never ride the
+  * bucket-join or distinct exchanges; they are joined back by id for the
+  * exact re-rank, the same shape as Dedup.nearDuplicates.
   */
 object Similarity {
 
@@ -65,9 +71,35 @@ object Similarity {
     bridge.column(graft.spark.LshSignaturesExpr(
       bridge.expression(vec), tables, bitsPerTable))
 
+  /** Re-attach embedding vectors to an id-pair candidate set and re-rank
+    * by exact cosine: the candidates shuffle carries only ids, and the
+    * (large) vectors join back by id afterwards.
+    */
+  private def rerank(
+      cands: DataFrame, // (query_id, neighbor_id), distinct
+      queries: DataFrame,
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val nv = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .join(broadcast(qv), "query_id") // query set is the small side
+      .join(nv, "neighbor_id")
+      .withColumn("cosine", cosine(col("__qv"), col("__nv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** ANN via LSH bucket join + exact cosine re-rank. Output shape matches
     * bruteForceTopK. Recall grows with `tables`; shuffle volume is
-    * tables × (id, 8-byte key) per row — independent of dimension.
+    * tables × (id, 8-byte key) per row — independent of dimension: the
+    * candidate distinct() carries ids only, vectors join back by id.
     */
   def lshTopK(
       vectors: DataFrame,
@@ -77,25 +109,17 @@ object Similarity {
       k: Int = 10,
       tables: Int = 8,
       bitsPerTable: Int = 12): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def banded(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+      df.select(col(idCol).as(id),
         posexplode(lshSignatures(col(vecCol), tables, bitsPerTable))
           .as(Seq("__table", "__sig")))
     val qb = banded(queries, "query_id")
     val vb = banded(vectors, "neighbor_id")
     val cands = qb.join(vb, Seq("__table", "__sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        col("__v_query_id"), col("__v_neighbor_id"))
+      .select("query_id", "neighbor_id")
       .distinct()
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands
-      .withColumn("cosine", cosine(col("__v_query_id"), col("__v_neighbor_id")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rerank(cands, queries, vectors, idCol, vecCol, k)
   }
 
   /** Top-`probes` nearest IVF cells for a vector — the codegen'd per-row
@@ -107,31 +131,25 @@ object Similarity {
     bridge.column(graft.spark.NearestCentroidsExpr(
       bridge.expression(vec), centroids, probes))
 
-  /** IVF (inverted-file) ANN: k-means coarse quantizer trained with a few
-    * Lloyd iterations, vectors bucketed by nearest centroid, queries probe
-    * the `nprobe` nearest cells and re-rank exactly.
+  /** Train the IVF coarse quantizer: deterministic sample (hash order),
+    * driver-side Lloyd iterations, K×dim centroid matrix returned for
+    * reuse across any number of probe calls — training is the expensive
+    * step (lloydIters sequential Spark jobs), so callers probing the same
+    * corpus at several nProbe settings should train ONCE and pass the
+    * result to [[ivfTopKWithCentroids]].
     *
     * Deterministic throughout: centroids initialize from the first K
-    * vectors by hash order. The per-iteration shuffle is one
-    * groupBy(cluster, dim) mean over posexploded components of the sample;
-    * centroids (K×dim doubles) live on the driver and ride inside the
-    * assignment expression — at 10^9 vectors the train step runs on a
-    * deterministic sample, and the full-corpus index/probe scans are plain
-    * projections (no exchange, no window) into the bucket join.
+    * vectors by hash order; the per-iteration shuffle is one
+    * groupBy(cluster, dim) mean over posexploded components of the sample.
+    * At 10^9 vectors the train step still runs on the bounded sample.
     */
-  def ivfTopK(
+  def trainIvfCentroids(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
-      queries: DataFrame,
-      k: Int = 10,
       nLists: Int = 16,
-      nProbe: Int = 4,
       lloydIters: Int = 3,
-      trainSample: Int = 10000): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-
-    // ---- train: deterministic sample → driver-side Lloyd iterations
+      trainSample: Int = 10000): Seq[Seq[Double]] = {
     val sample = vectors
       .orderBy(xxhash64(col(idCol)))
       .limit(trainSample)
@@ -159,28 +177,67 @@ object Similarity {
       iter += 1
     }
     sample.unpersist()
+    centroids
+  }
 
-    // ---- index + probe: zero-shuffle cell assignment, bucket join on
-    // cell id, exact re-rank
+  /** IVF probe phase with pre-trained centroids: vectors bucketed by
+    * nearest centroid, queries probe the `nProbe` nearest cells, exact
+    * re-rank joins vectors back by id. The full-corpus index/probe scans
+    * are plain projections (no exchange, no window — plan-shape-locked in
+    * TextOpsSpec) into a bucket join that shuffles (id, cell) pairs only.
+    */
+  def ivfTopKWithCentroids(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      centroids: Seq[Seq[Double]],
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
     def assign(df: DataFrame, id: String, probes: Int): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(s"__v_$id"),
+      df.select(col(idCol).as(id),
         explode(nearestCentroids(col(vecCol), centroids, probes)).as("__cid"))
     val indexed = assign(vectors, "neighbor_id", probes = 1)
     val probed = assign(queries, "query_id", probes = nProbe)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probed.join(indexed, "__cid")
+    val cands = probed.join(indexed, "__cid")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("__v_query_id"), col("__v_neighbor_id")).as("cosine"))
+      .select("query_id", "neighbor_id")
       .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
+    rerank(cands, queries, vectors, idCol, vecCol, k)
+  }
+
+  /** IVF (inverted-file) ANN, train + probe in one call. Probing the same
+    * corpus repeatedly? Use [[trainIvfCentroids]] + [[ivfTopKWithCentroids]]
+    * to pay the Lloyd iterations once.
+    */
+  def ivfTopK(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queries: DataFrame,
+      k: Int = 10,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      lloydIters: Int = 3,
+      trainSample: Int = 10000): DataFrame = {
+    val centroids = trainIvfCentroids(vectors, idCol, vecCol, nLists,
+      lloydIters, trainSample)
+    ivfTopKWithCentroids(vectors, idCol, vecCol, queries, centroids, k, nProbe)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
-    * (the embedding analog of Dedup.nearDuplicates).
+    * (the embedding analog of Dedup.nearDuplicates), routed through the
+    * shared hot-bucket quarantine: buckets larger than `maxBucket`
+    * (embedding-identical boilerplate, mass-duplicated pages) star-link to
+    * the bucket's min-id representative instead of self-joining, bounding
+    * every bucket's pair count by its size instead of its square — the
+    * same guarantee the text-side minhash/simhash paths have. The banded
+    * shuffle carries (id, band, 8-byte key) only; vectors join back by id
+    * for the exact-cosine verify.
+    *
+    * `bitsPerTable` should grow with log2(corpus size) — at the 10-bit
+    * default a random bucket holds ~N/1024 vectors, so raise it (or lower
+    * `maxBucket`) for 10^8+ corpora.
     */
   def cosineNearDuplicates(
       vectors: DataFrame,
@@ -188,17 +245,19 @@ object Similarity {
       vecCol: String,
       threshold: Double = 0.95,
       tables: Int = 12,
-      bitsPerTable: Int = 10): DataFrame = {
-    val banded = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      bitsPerTable: Int = 10,
+      maxBucket: Int = 10000,
+      persistBanded: Boolean = true): DataFrame = {
+    val banded = vectors.select(col(idCol).as("__id"),
       posexplode(lshSignatures(col(vecCol), tables, bitsPerTable))
-        .as(Seq("__table", "__sig")))
-    banded.as("a").join(banded.as("b"),
-        col("a.__table") === col("b.__table") &&
-        col("a.__sig") === col("b.__sig") &&
-        col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
-        col("a.__v").as("__va"), col("b.__v").as("__vb"))
+        .as(Seq("__band", "__key")))
+    val cands = Dedup.bucketJoin(banded, Nil, maxBucket, persistBanded)
+      .select("id_a", "id_b")
       .distinct()
+    val v = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+    cands
+      .join(v.withColumnRenamed("__vid", "id_a").withColumnRenamed("__v", "__va"), "id_a")
+      .join(v.withColumnRenamed("__vid", "id_b").withColumnRenamed("__v", "__vb"), "id_b")
       .withColumn("cosine", cosine(col("__va"), col("__vb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -215,6 +215,12 @@ class SketchFamilySpec extends AnyFunSuite {
     assert(rejects(Array[Byte](1, 2, 3)), "too short")
     assert(rejects { val c = bytes.clone(); c(0) = 'X'.toByte; c }, "bad magic")
     assert(rejects(bytes.take(bytes.length - 4)), "truncated item")
+    // forged k outside [1, 65536] (k lives at offset 4, little-endian):
+    // k=0 would make every add self-evict and errorBound degenerate
+    assert(rejects { val c = bytes.clone(); c(4) = 0; c(5) = 0; c(6) = 0; c(7) = 0; c },
+      "k = 0")
+    assert(rejects { val c = bytes.clone(); c(4) = 1; c(5) = 0; c(6) = 2; c(7) = 0; c },
+      "k > 65536")
     val roundtrip = FreqSketch.deserialize(bytes)
     assert(roundtrip.topItems == fs.topItems)
   }

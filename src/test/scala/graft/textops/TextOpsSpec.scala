@@ -232,6 +232,47 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("cosine near-dup hot-bucket quarantine star-links oversized vector clusters") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val base = emb.orderBy("vec_id").limit(1)
+    val copies = base.crossJoin(
+        spark.range(1, 41).select(($"id" + 70000L).as("cid")))
+      .select($"cid".as("vec_id"), $"embedding")
+    val pairs = Similarity.cosineNearDuplicates(emb.unionAll(copies),
+      "vec_id", "embedding", threshold = 0.999, maxBucket = 5)
+    // every copy reaches the cluster representative at cosine 1.0
+    val connected = pairs.filter($"cosine" >= 0.999 && $"id_b" > 70000L)
+      .select("id_b").distinct().count()
+    assert(connected == 40L, s"star-linking connected only $connected/40 copies")
+    // and the quarantine bounds the pair count: no quadratic self-join
+    // inside the planted cluster (would be 41*40/2 pairs otherwise)
+    assert(pairs.filter($"id_a" > 70000L && $"id_b" > 70000L).count() == 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("persistBanded caches the banded frame so the signature kernel runs once per row") {
+    // plain (never-cached) input so any InMemoryTableScan in the plan can
+    // only come from the bucketJoin's own persistBanded cache
+    spark.catalog.clearCache()
+    val plain = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text").limit(500)
+    val nd = Dedup.nearDuplicates(plain, "doc_id", "text", threshold = 0.7)
+    nd.queryExecution.toRdd.count() // one action computes + populates the cache
+    // all three banded consumers (bucket stats + both self-join sides) read
+    // the cached (id, band, key) relation instead of re-running the minhash
+    // kernel over full texts
+    val plan = nd.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"banded subtree must be served from cache:\n${plan.take(3000)}")
+    spark.catalog.clearCache()
+    val uncached = Dedup.nearDuplicates(plain, "doc_id", "text",
+      threshold = 0.7, persistBanded = false)
+    uncached.queryExecution.toRdd.count()
+    assert(!uncached.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    spark.catalog.clearCache()
+  }
+
   test("cosine near-duplicates find planted duplicate vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val planted = emb.unionAll(
