@@ -291,6 +291,44 @@ object SparkEntry {
           col("__item.item").as("source"), col("__item.est").as("est_cnt"))
     }),
 
+    // one-pass table profile: all sketch families over 3 columns in a
+    // SINGLE aggregation (fixed-size shuffle independent of row count).
+    // Gates: per string column the HLL estimate within LC slack of exact
+    // AND the Misra-Gries top-1 equals the exact argmax; for the numeric
+    // column the estimated median's exact rank within 3%; null counts and
+    // row counts exact (DuckDB recomputes them)
+    "q_profile" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val prof = graft.pipeline.Profile.profile(
+          docs, Seq("lang", "source"), Seq("n_chars")).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val n = docs.count()
+      def exactTop1(c: String): String = docs.groupBy(c).count()
+        .orderBy(col("count").desc, col(c).asc).first().getString(0)
+      def exactDc(c: String): Long =
+        docs.agg(countDistinct(c)).first().getLong(0)
+      def stringGate(c: String): (String, Long, Long, Boolean) = {
+        val r = prof(c)
+        val est = r.getLong(r.fieldIndex("distinct_est"))
+        val dc = exactDc(c)
+        // LC-regime slack (see q_salted): ±1 quantization at tiny dc
+        val ok = math.abs(est - dc) <= math.max(2.0, dc * 2 * boundP14) &&
+          r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("top_items"))
+            .head.getString(0) == exactTop1(c) &&
+          r.getLong(r.fieldIndex("n_rows")) == n
+        (c, n, r.getLong(r.fieldIndex("n_nulls")), ok)
+      }
+      val nc = prof("n_chars")
+      val q50 = nc.getDouble(nc.fieldIndex("q50"))
+      val rank = docs.filter(col("n_chars") <= q50).count().toDouble / n
+      val ncOk = math.abs(rank - 0.5) <= 0.03 &&
+        nc.getLong(nc.fieldIndex("n_rows")) == n
+      import s.implicits._
+      Seq(stringGate("lang"), stringGate("source"),
+        ("n_chars", n, nc.getLong(nc.fieldIndex("n_nulls")), ncOk))
+        .toDF("column", "n_rows", "n_nulls", "gate_ok")
+    }),
+
     // bloom: every present user is contained (no false negatives) and the
     // false-positive rate on a disjoint key set stays under 5x target
     "q_bloom_users" -> ((s, d) => {
@@ -401,6 +439,23 @@ object SparkEntry {
       identical
         .withColumn("hd3_recall_complete", lit(missed == 0L))
         .crossJoin(clusterIds.select((col("n") === 30L).as("hot_bucket_connected")))
+    }),
+
+    // cluster resolution (pairs -> connected components), the step between
+    // near-dup pair generation and "keep one doc per cluster": a
+    // deterministic chain graph over doc_ids (i links to i+1 except across
+    // multiples of 7) resolves to the 7-blocks, which DuckDB states
+    // arithmetically — 6-hop chains exercise multi-hop transitivity
+    // through the log-round pointer doubling, not just direct pairs
+    "q_dedup_cluster" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val lim = n - n % 7 // whole blocks only, so the oracle is closed-form
+      val edges = docs
+        .filter(col("doc_id") % 7 =!= 6 && col("doc_id") + 1 < lim)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      graft.textops.Clusters.connectedComponents(edges)
+        .select(col("node").as("doc_id"), col("component"))
     }),
 
     // document fingerprinting (winnowing min-hash): fp is a pure function
@@ -929,6 +984,13 @@ object SparkEntry {
         |  SELECT row_number() OVER (ORDER BY count(*) DESC, source ASC) AS rnk,
         |    source, count(*) AS est_cnt
         |  FROM documents GROUP BY source) WHERE rnk <= 5""".stripMargin,
+    "q_profile" ->
+      """SELECT 'lang' AS column, count(*) AS n_rows,
+        | count(*) - count(lang) AS n_nulls, TRUE AS gate_ok FROM documents
+        |UNION ALL SELECT 'source', count(*), count(*) - count(source), TRUE
+        | FROM documents
+        |UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars), TRUE
+        | FROM documents""".stripMargin,
     "q_bloom_users" ->
       """SELECT count(*) AS n_clicks, TRUE AS no_false_negatives
         |FROM events WHERE event_type = 'click'""".stripMargin,
@@ -943,6 +1005,9 @@ object SparkEntry {
       """SELECT least(count(*), 20) AS n_identical_found,
         | TRUE AS hd3_recall_complete, TRUE AS hot_bucket_connected
         |FROM documents""".stripMargin,
+    "q_dedup_cluster" ->
+      """SELECT doc_id, doc_id - doc_id % 7 AS component FROM documents
+        |WHERE doc_id < (SELECT count(*) - count(*) % 7 FROM documents)""".stripMargin,
     "q_fingerprint" ->
       """SELECT lang, count(DISTINCT text) AS dc_texts, TRUE AS fp_pure_function
         |FROM documents GROUP BY 1""".stripMargin,

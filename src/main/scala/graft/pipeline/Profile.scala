@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import graft.spark.{functions => gf, sketchFunctions => sketch}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass table profiling: every sketch family over every requested
+  * column in a SINGLE aggregation job — the "what's in this 100 TB
+  * table?" report query.
+  *
+  * For each string column: HLL distinct-count synopsis (reference wire
+  * format — reusable downstream), Misra-Gries heavy-hitter summary, and
+  * null count. For each numeric column: KLL quantile sketch, min/max, and
+  * null count. All states are fixed-size mergeable objects, so the plan
+  * is one partial ObjectHashAggregate per input partition → a shuffle of
+  * (#string·(2^p+freq) + #numeric·kll) bytes TOTAL (independent of row
+  * count) → one final merge. Profiling a petabyte costs one scan.
+  *
+  * The single aggregated row is localCheckpoint'ed and fanned out into
+  * one output row per column (n_cols projections over 1 cached row — the
+  * scan never re-runs). No distinct aggregates anywhere, so the
+  * object-agg × distinct planning landmine (CLAUDE.md round-2 gotcha)
+  * cannot bite.
+  */
+object Profile {
+
+  private val TopItemsType = "array<struct<item:string,est:bigint>>"
+
+  /** One row per profiled column:
+    * (column, kind, n_rows, n_nulls, distinct_est, top_items,
+    *  q25, q50, q75, min, max, hll_synopsis)
+    * String columns fill distinct_est/top_items/hll_synopsis; numeric
+    * columns fill the quantile/min/max block; the rest is null.
+    */
+  def profile(
+      df: DataFrame,
+      stringCols: Seq[String],
+      numericCols: Seq[String],
+      p: Int = 14,
+      freqK: Int = 64,
+      kllK: Int = 256): DataFrame = {
+    require(stringCols.nonEmpty || numericCols.nonEmpty, "no columns to profile")
+    require(stringCols.intersect(numericCols).isEmpty,
+      "a column cannot be profiled as both string and numeric")
+    val aggs = Seq(count(lit(1)).as("__rows")) ++
+      stringCols.flatMap { c => Seq(
+        gf.hll_create_synopsis(col(c), p).as(s"__syn_$c"),
+        sketch.freq_sketch(col(c), freqK).as(s"__freq_$c"),
+        count(col(c)).as(s"__cnt_$c")) } ++
+      numericCols.flatMap { c => Seq(
+        sketch.kll_sketch(col(c), kllK).as(s"__kll_$c"),
+        min(col(c)).cast("double").as(s"__min_$c"),
+        max(col(c)).cast("double").as(s"__max_$c"),
+        count(col(c)).as(s"__cnt_$c")) }
+    // one scan, one row; checkpoint so the per-column fan-out below never
+    // re-runs the aggregation
+    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    val stringRows = stringCols.map { c =>
+      one.select(
+        lit(c).as("column"), lit("string").as("kind"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__cnt_$c")).as("n_nulls"),
+        gf.hll_estimate(col(s"__syn_$c"), p).as("distinct_est"),
+        sketch.freq_top_items(col(s"__freq_$c"), lit(5)).as("top_items"),
+        lit(null).cast("double").as("q25"),
+        lit(null).cast("double").as("q50"),
+        lit(null).cast("double").as("q75"),
+        lit(null).cast("double").as("min"),
+        lit(null).cast("double").as("max"),
+        col(s"__syn_$c").as("hll_synopsis"))
+    }
+    val numericRows = numericCols.map { c =>
+      one.select(
+        lit(c).as("column"), lit("numeric").as("kind"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__cnt_$c")).as("n_nulls"),
+        lit(null).cast("long").as("distinct_est"),
+        lit(null).cast(TopItemsType).as("top_items"),
+        sketch.kll_quantile(col(s"__kll_$c"), lit(0.25d)).as("q25"),
+        sketch.kll_quantile(col(s"__kll_$c"), lit(0.5d)).as("q50"),
+        sketch.kll_quantile(col(s"__kll_$c"), lit(0.75d)).as("q75"),
+        col(s"__min_$c").as("min"),
+        col(s"__max_$c").as("max"),
+        lit(null).cast("binary").as("hll_synopsis"))
+    }
+    (stringRows ++ numericRows).reduce(_ unionAll _)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import graft.spark.SparkTestBase
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfileSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("one-pass profile: nulls, distinct estimate, heavy hitters, quantiles") {
+    val df = (0 until 1000).map { i =>
+      val s = if (i % 10 == 9) null else s"v${i % 7}"
+      val x: java.lang.Double = if (i % 100 == 50) null else i.toDouble
+      (s, x)
+    }.toDF("s", "x")
+    val prof = Profile.profile(df, Seq("s"), Seq("x"), p = 14)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof.size == 2)
+
+    val sRow = prof("s")
+    assert(sRow.getString(1) == "string")
+    assert(sRow.getLong(2) == 1000L) // n_rows
+    assert(sRow.getLong(3) == 100L)  // n_nulls (every i%10==9)
+    // dc=7 is deep LC regime — estimate is exact
+    assert(sRow.getLong(4) == 7L, s"distinct_est = ${sRow.getLong(4)}")
+    val top = sRow.getSeq[Row](5)
+    assert(top.size == 5)
+    // v0..v6 with v0..v5 at 143-144 occurrences; ties break by item asc,
+    // and at k=64 >= 7 distinct the counts are exact
+    assert(top.head.getString(0) == "v0" || top.head.getLong(1) >= top(1).getLong(1))
+    assert(top.map(_.getLong(1)).sliding(2).forall(p => p.head >= p.last))
+    assert(sRow.getAs[Array[Byte]]("hll_synopsis") != null)
+
+    val xRow = prof("x")
+    assert(xRow.getString(1) == "numeric")
+    assert(xRow.getLong(3) == 10L) // nulls at i%100==50
+    val (q25, q50, q75) = (xRow.getDouble(6), xRow.getDouble(7), xRow.getDouble(8))
+    assert(q25 <= q50 && q50 <= q75)
+    assert(math.abs(q50 - 500.0) <= 40.0, s"median $q50")
+    assert(xRow.getDouble(9) == 0.0 && xRow.getDouble(10) == 999.0) // min/max
+    assert(xRow.isNullAt(4) && xRow.isNullAt(5)) // no string block
+  }
+
+  test("profile rejects overlapping column lists and empty input lists") {
+    val df = Seq(("a", 1.0)).toDF("s", "x")
+    intercept[IllegalArgumentException](Profile.profile(df, Seq("s"), Seq("s")))
+    intercept[IllegalArgumentException](Profile.profile(df, Nil, Nil))
+  }
+
+  test("profile of an all-null numeric column yields NaN quantiles, zero non-null") {
+    val df = Seq.fill(10)(Tuple1(null: java.lang.Double)).toDF("x")
+    val r = Profile.profile(df, Nil, Seq("x")).collect().head
+    assert(r.getLong(2) == 10L && r.getLong(3) == 10L)
+    assert(r.getDouble(7).isNaN)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.textops
+
+import graft.spark.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClustersSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("connected components: 7-chains resolve to the chain minimum in log rounds") {
+    // edges (i, i+1) except across multiples of 7: 980 nodes → 140 chains
+    val edges = spark.range(0, 980)
+      .filter($"id" % 7 =!= 6)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val cc = Clusters.connectedComponents(edges)
+    val rows = cc.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 980)
+    rows.foreach { case (node, comp) =>
+      assert(comp == node - node % 7, s"node $node got component $comp")
+    }
+  }
+
+  test("connected components: mixed topology (star, chain, pair), arbitrary edge direction") {
+    // star 100<-{101..105}; chain 200-201-202-203; pair (301,300); and
+    // edge directions deliberately mixed — the operator symmetrizes
+    val edges = Seq(
+      (101L, 100L), (100L, 102L), (103L, 100L), (100L, 104L), (105L, 100L),
+      (200L, 201L), (202L, 201L), (202L, 203L),
+      (301L, 300L)).toDF("id_a", "id_b")
+    val got = Clusters.connectedComponents(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    (100L to 105L).foreach(n => assert(got(n) == 100L))
+    (200L to 203L).foreach(n => assert(got(n) == 200L))
+    assert(got(300L) == 300L && got(301L) == 300L)
+    assert(got.size == 12)
+  }
+
+  test("connected components: a long chain converges (pointer doubling, not 1 hop/round)") {
+    // a single 300-node chain needs ~300 plain label-prop rounds; pointer
+    // doubling must finish within the 50-iteration cap (O(log n) rounds)
+    val edges = spark.range(0, 299)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val cc = Clusters.connectedComponents(edges, maxIters = 50)
+    assert(cc.filter($"component" =!= 0L).count() == 0L)
+    assert(cc.count() == 300L)
+  }
+
+  test("clusterDedup keeps exactly one doc per near-dup cluster, min id wins") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text").limit(500)
+    docs.cache(); docs.count()
+    // two generations of copies: A≈B and B≈C must collapse transitively
+    val gen1 = docs.limit(20).select(($"doc_id" + 100000L).as("doc_id"),
+      F.concat($"text", F.lit(" extra")).as("text"))
+    val gen2 = docs.limit(20).select(($"doc_id" + 200000L).as("doc_id"),
+      F.concat($"text", F.lit(" extra more")).as("text"))
+    val corpus = docs.unionAll(gen1).unionAll(gen2)
+    val kept = Clusters.clusterDedup(corpus, "doc_id", "text", threshold = 0.7)
+    val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every planted copy loses to its original (the cluster minimum)
+    (0 until 20).foreach { i =>
+      assert(keptIds.contains(i.toLong), s"original $i must survive")
+      assert(!keptIds.contains(i + 100000L), s"gen1 copy of $i must be dropped")
+      assert(!keptIds.contains(i + 200000L), s"gen2 copy of $i must be dropped")
+    }
+    // exact decomposition: the dropped set is precisely the non-minimum
+    // members of the verified-pair connected components (minhash is
+    // deterministic, so the re-derived pair list is identical)
+    val pairs = Dedup.nearDuplicates(corpus, "doc_id", "text", threshold = 0.7)
+    val expectedLosers = Clusters.connectedComponents(pairs)
+      .filter($"node" =!= $"component")
+      .select("node").collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert((corpusIds -- keptIds) == expectedLosers)
+    docs.unpersist()
+    spark.catalog.clearCache()
+  }
+}
