@@ -129,6 +129,18 @@ object Bench {
         threshold = 0.999, maxBucket = 100).count()
     }
     spark.catalog.clearCache()
+    // cluster resolution at size: connected components over a 2^20-node
+    // chain graph (1024-node chains) — plain 1-hop label propagation
+    // would need 1023 rounds; the pointer doubling resolves it in ~12
+    val ccNodes = 1L << 20
+    val ccEdges = spark.range(ccNodes - 1)
+      .filter(col("id") % 1024 =!= 1023)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (ccComponents, ccSec) = timed {
+      graft.textops.Clusters.connectedComponents(ccEdges)
+        .select("component").distinct().count()
+    }
+    spark.catalog.clearCache()
 
     // ---- part 2: scaling experiment on identical deterministic input ----
     // (throughput = generated input rows / wall-clock of the full job:
@@ -207,6 +219,8 @@ object Bench {
       s""","simhash_skew_sec":${f"$simhashSec%.3f"}""" +
       s""","cosine_skew_vecs":${nVecs + 2000},"cosine_skew_pairs":$cosineSkewPairs""" +
       s""","cosine_skew_sec":${f"$cosineSkewSec%.3f"}""" +
+      s""","cc_chain_nodes":$ccNodes,"cc_chain_components":$ccComponents""" +
+      s""","cc_chain_sec":${f"$ccSec%.3f"}""" +
       s""","hll_url_rows":$scaleRows,$scaleJson""" +
       s""","scaling_efficiency":${f"${math.min(relLow, 1.0)}%.3f"}""" +
       s""","job_scaling_${pairLo}":${f"$effLowPair%.3f"}""" +

@@ -776,6 +776,44 @@ object SparkEntry {
               withinBound(col("total"), lit(750L), boundP14).as("within_bound")))
     }),
 
+    // windowed heavy-hitters on a stream: the Misra-Gries summary as
+    // watermark-bounded state (the sketch family generalizes beyond HLL in
+    // the state store). Two deterministic windows with known host mixes;
+    // k=64 >= distinct, so per-window top-2 items and counts are exact
+    "q_streaming_topk" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val input = MemoryStream[(java.sql.Timestamp, String)]
+      val events = input.toDF().toDF("ts", "host")
+      val agg = graft.streaming.StreamingSketch.windowedTopK(
+        events, "ts", "host", Nil, "1 minute", "2 minutes", k = 64, topN = 2)
+      val qn = "q_streaming_topk_sink_" + System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("update").start()
+      try {
+        val base = 1700000040000L // minute-aligned fixed epoch
+        def ts(min: Int, sec: Int) =
+          new java.sql.Timestamp(base + (min * 60 + sec) * 1000L)
+        input.addData(((0 until 30).map(i => (ts(0, i % 60), "a")) ++
+          (0 until 20).map(i => (ts(0, i % 60), "b")) ++
+          (0 until 10).map(i => (ts(0, i % 60), "c"))): _*)
+        input.addData(((0 until 25).map(i => (ts(1, i % 60), "b")) ++
+          (0 until 5).map(i => (ts(1, i % 60), "c"))): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+        .groupBy("window_start")
+        .agg(max("rows").as("n_rows"),
+          max_by(col("top_items"), col("rows")).as("ti"))
+        .select(unix_timestamp(col("window_start")).as("window_epoch"),
+          col("n_rows"),
+          element_at(col("ti"), 1).getField("item").as("top1_item"),
+          element_at(col("ti"), 1).getField("est").as("top1_cnt"),
+          element_at(col("ti"), 2).getField("item").as("top2_item"),
+          element_at(col("ti"), 2).getField("est").as("top2_cnt"))
+    }),
+
     // streaming dedup over a memory stream: 50 rows over 20 distinct texts
     // in batch 1, 20 repeats in batch 2 — exactly the 20 first arrivals
     // survive (exact counts DuckDB states as literals)
@@ -1049,6 +1087,10 @@ object SparkEntry {
     "q_bloom_dedup" ->
       """SELECT CAST(1000 AS BIGINT) AS n_survivors,
         | CAST(1000 AS BIGINT) AS dc_texts, TRUE AS from_first_batch""".stripMargin,
+    "q_streaming_topk" ->
+      """SELECT * FROM (VALUES (1700000040, 60, 'a', 30, 'b', 20),
+        | (1700000100, 30, 'b', 25, 'c', 5))
+        | t(window_epoch, n_rows, top1_item, top1_cnt, top2_item, top2_cnt)""".stripMargin,
     "q_ann_top1" ->
       """SELECT query_id, neighbor_id FROM (
         | SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

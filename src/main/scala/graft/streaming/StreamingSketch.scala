@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.BloomFilter
-import graft.spark.{functions => gf}
+import graft.spark.{functions => gf, sketchFunctions => gf2}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -43,6 +43,66 @@ object StreamingSketch {
         ++ groupCols.map(col)
         ++ Seq(col("syn"), col("rows"),
           gf.hll_estimate(col("syn"), p).as("estimate"))): _*)
+  }
+
+  /** Windowed heavy-hitters: same state-store shape as [[windowedSynopsis]]
+    * but the mergeable state is a Misra-Gries summary — per-window top
+    * items (url hosts, sources) on an infinite stream, k counters per
+    * (window, dims) group forever, watermark-bounded. Emits the summary
+    * itself (re-aggregatable downstream via `freq_merge`) plus the top-k
+    * item list.
+    */
+  def windowedTopK(
+      events: DataFrame,
+      tsCol: String,
+      itemCol: String,
+      groupCols: Seq[String],
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "2 minutes",
+      k: Int = 64,
+      topN: Int = 5): DataFrame = {
+    val keys = window(col(tsCol), windowDuration) +: groupCols.map(col)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(keys: _*)
+      .agg(
+        gf2.freq_sketch(col(itemCol), k).as("freq"),
+        count(lit(1)).as("rows"))
+      .select((Seq(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"))
+        ++ groupCols.map(col)
+        ++ Seq(col("freq"), col("rows"),
+          gf2.freq_top_items(col("freq"), lit(topN)).as("top_items"))): _*)
+  }
+
+  /** Windowed quantiles: KLL sketch as the windowed state — per-window
+    * latency/length distributions on a stream. Emits the sketch
+    * (re-aggregatable via `kll_merge`) plus the requested quantiles.
+    */
+  def windowedQuantiles(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      groupCols: Seq[String],
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "2 minutes",
+      k: Int = 256,
+      quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val keys = window(col(tsCol), windowDuration) +: groupCols.map(col)
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(keys: _*)
+      .agg(
+        gf2.kll_sketch(col(valueCol), k).as("kll"),
+        count(lit(1)).as("rows"))
+      .select((Seq(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"))
+        ++ groupCols.map(col)
+        ++ Seq(col("kll"), col("rows"))
+        ++ quantiles.map(q =>
+          gf2.kll_quantile(col("kll"), lit(q)).as(s"q${(q * 100).round}"))): _*)
   }
 
   /** Streaming dedup, state bounded by the watermark horizon: keeps one

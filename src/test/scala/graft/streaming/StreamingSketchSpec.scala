@@ -51,6 +51,48 @@ class StreamingSketchSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedTopK / windowedQuantiles: freq and KLL as windowed state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "host", "latency")
+    val top = StreamingSketch.windowedTopK(
+      events, "ts", "host", Nil, "1 minute", "2 minutes", k = 64, topN = 3)
+    val quant = StreamingSketch.windowedQuantiles(
+      events, "ts", "latency", Nil, "1 minute", "2 minutes",
+      quantiles = Seq(0.5))
+    val qt = top.writeStream.format("memory").queryName("win_topk")
+      .outputMode("update").start()
+    val qq = quant.writeStream.format("memory").queryName("win_quant")
+      .outputMode("update").start()
+    try {
+      val base = 1700000040000L
+      def ts(sec: Int) = new Timestamp(base + sec * 1000L)
+      // one window: host x appears 40 times, y 15, z 5; latency = index
+      input.addData((0 until 60).map { i =>
+        val h = if (i < 40) "x" else if (i < 55) "y" else "z"
+        (ts(i % 60), h, i.toDouble)
+      }: _*)
+      qt.processAllAvailable(); qq.processAllAvailable()
+      val t = spark.table("win_topk")
+        .orderBy(F.col("rows").desc).limit(1).collect().head
+      val items = t.getSeq[org.apache.spark.sql.Row](t.fieldIndex("top_items"))
+      assert(items.map(r => (r.getString(0), r.getLong(1))) ==
+        Seq(("x", 40L), ("y", 15L), ("z", 5L)))
+      val qrow = spark.table("win_quant")
+        .orderBy(F.col("rows").desc).limit(1).collect().head
+      val q50 = qrow.getDouble(qrow.fieldIndex("q50"))
+      // exact values 0..59 → median within KLL error of ~29.5
+      assert(q50 >= 24.0 && q50 <= 35.0, s"windowed median $q50")
+      // the emitted sketches re-aggregate downstream in batch
+      val refold = spark.table("win_topk")
+        .agg(graft.spark.sketchFunctions.freq_merge(F.col("freq"), 64).as("m"))
+        .select(graft.spark.sketchFunctions.freq_estimate(F.col("m"), F.lit("x")))
+        .collect().head.getLong(0)
+      assert(refold == 40L)
+    } finally { qt.stop(); qq.stop() }
+  }
+
   test("streamingDedup: first occurrence survives, watermark-horizon dups drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
