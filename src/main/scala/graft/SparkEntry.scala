@@ -610,6 +610,20 @@ object SparkEntry {
             .as("within_bound"))
     }),
 
+    // sequence packing into fixed-token-budget training shards — a
+    // distributed prefix sum (bucketed windows + broadcast offsets, no
+    // global sort); the shard mapping is a pure function of (id order,
+    // token counts, budget), so DuckDB replays it verbatim with one
+    // running-sum window
+    "q_pack" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.pipeline.Packing.packByBudget(
+          docs, "doc_id",
+          size(split(trim(col("text")), "\\s+")).cast("long"),
+          budget = 2000, buckets = 64)
+        .select(col("doc_id"), col("shard"))
+    }),
+
     // composed training-data pipeline with a fully EXACT oracle: quality
     // filter -> exact dedup (min doc_id wins, its row carries through) ->
     // per-lang doc counts and token sums; DuckDB replays every stage
@@ -986,6 +1000,12 @@ object SparkEntry {
         |  CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS min_doc_id
         |FROM d GROUP BY 1""".stripMargin,
+    "q_pack" ->
+      """SELECT doc_id, CAST(floor((c - t) / 2000.0) AS BIGINT) AS shard FROM (
+        |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS t,
+        |    sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      OVER (ORDER BY doc_id) AS c
+        |  FROM documents)""".stripMargin,
     "q_resumable_build" ->
       """SELECT count(DISTINCT source) AS n_partitions, count(*) AS total_rows,
         | TRUE AS aborted_incomplete, TRUE AS resumed_complete,

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sequence packing: assign rows (documents) to training
+  * shards in id order so that each shard's weight (token count) stays
+  * within `budget` — the export step that turns a deduped corpus into
+  * fixed-size training shards.
+  *
+  * Semantics (next-fit prefix packing): with S(i) = exclusive prefix sum
+  * of weights in ascending id order, `shard(i) = floor(S(i) / budget)`.
+  * Shards are contiguous in id order, every row lands in exactly one
+  * shard, and each shard's total is < budget + that shard's last row's
+  * weight (a row may straddle a boundary; classic next-fit bound). The
+  * mapping is a pure function of (ids, weights, budget) — exactly
+  * replayable by any engine with a windowed running sum.
+  *
+  * Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: a global
+  * `Window.orderBy(id)` would sort the corpus into a single task. Instead
+  * rows bucket deterministically by id range; each bucket computes its
+  * running sum in parallel (window partitioned BY bucket); bucket totals
+  * (≤ `buckets` longs) come to the driver once and scan into exclusive
+  * bucket offsets that broadcast back. Two shuffles (bucket window +
+  * total agg) regardless of row count; driver state is O(buckets).
+  */
+object Packing {
+
+  /** Adds a `shard` column. `idCol` values must be unique (they define
+    * the packing order); `weight` must be non-negative.
+    */
+  def packByBudget(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      budget: Long,
+      buckets: Int = 1024): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(buckets >= 1, "buckets must be >= 1")
+    val w = df.withColumn("__w", weight.cast("long"))
+    val bounds = w.agg(
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).first()
+    if (bounds.isNullAt(0)) return df.withColumn("shard", lit(null).cast("long"))
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val span = (mx - mn) / buckets + 1 // deterministic id-range bucketing
+    val b = w.withColumn("__b", ((col(idCol).cast("long") - mn) / span).cast("long"))
+    // per-bucket running sums in parallel; ties impossible with unique ids
+    val win = Window.partitionBy("__b").orderBy(col(idCol).cast("long"))
+    val c = b.withColumn("__cum", sum("__w").over(win))
+    // bucket totals → exclusive offsets: the one serial step, O(buckets)
+    val totals = b.groupBy("__b").agg(sum("__w").as("__t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val present = totals.keys.toSeq.sorted
+    val offsets = present.scanLeft(0L)((acc, k) => acc + totals(k)).init
+    val offDf = df.sparkSession
+      .createDataFrame(present.zip(offsets)).toDF("__b", "__off")
+    c.join(broadcast(offDf), "__b")
+      .withColumn("shard",
+        floor((col("__off") + col("__cum") - col("__w")) / budget).cast("long"))
+      .drop("__w", "__b", "__cum", "__off")
+  }
+}

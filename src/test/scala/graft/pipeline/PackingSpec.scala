@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.spark.SparkTestBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class PackingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("packByBudget equals the global-window reference; budget bound holds") {
+    // non-contiguous ids, deterministic pseudo-random weights 1..50
+    val df = spark.range(0, 5000).select(
+      ($"id" * 3 + 7).as("doc_id"),
+      (F.pmod(F.xxhash64($"id"), F.lit(50L)) + 1).as("w"))
+    val packed = Packing.packByBudget(df, "doc_id", $"w", budget = 500, buckets = 37)
+    val ref = df
+      .withColumn("__c", F.sum("w").over(Window.orderBy("doc_id")))
+      .select($"doc_id", F.floor(($"__c" - $"w") / 500).as("shard_ref"))
+    assert(packed.join(ref, "doc_id")
+      .filter($"shard" =!= $"shard_ref").count() == 0)
+    // next-fit bound: each shard's total < budget + one row's weight
+    val sums = packed.groupBy("shard")
+      .agg(F.sum("w").as("s"), F.max("w").as("m")).collect()
+    assert(sums.nonEmpty)
+    sums.foreach(r => assert(r.getLong(1) < 500L + r.getLong(2),
+      s"shard ${r.getLong(0)} sum ${r.getLong(1)}"))
+    // scale shape: no single-partition global sort anywhere in the plan
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window leaked:\n$plan")
+  }
+
+  test("packByBudget edge cases: empty input, one row, zero weights") {
+    val empty = Packing.packByBudget(
+      Seq.empty[(Long, Long)].toDF("doc_id", "w"), "doc_id", $"w", 10)
+    assert(empty.count() == 0)
+    val one = Packing.packByBudget(
+      Seq((5L, 3L)).toDF("doc_id", "w"), "doc_id", $"w", 10)
+    assert(one.select("shard").first().getLong(0) == 0L)
+    val zeros = Packing.packByBudget(
+      (1L to 10L).map((_, 0L)).toDF("doc_id", "w"), "doc_id", $"w", 10)
+    assert(zeros.select("shard").distinct().count() == 1)
+  }
+}

@@ -45,6 +45,13 @@ class ClustersSpec extends AnyFunSuite with SparkTestBase {
     assert(cc.count() == 300L)
   }
 
+  test("connected components: empty and self-loop-only pair lists yield no clusters") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clusters.connectedComponents(empty).count() == 0L)
+    val selfOnly = Seq((5L, 5L)).toDF("id_a", "id_b")
+    assert(Clusters.connectedComponents(selfOnly).count() == 0L)
+  }
+
   test("clusterDedup keeps exactly one doc per near-dup cluster, min id wins") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select($"doc_id", $"text").limit(500)
