@@ -86,6 +86,18 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(countDistinct("l_partkey").as("dc_parts"))),
 
+    // sketches as runtime join filters: the fact side is Bloom-prefiltered
+    // by the selective dimension's keys BEFORE the join shuffle; false
+    // positives die in the join itself, so the result is EXACTLY the plain
+    // join and DuckDB replays it verbatim
+    "q_bloom_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+      graft.pipeline.BloomJoin.prefilteredJoin(li, ord, "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").cast("long").as("sum_qty"))
+    }),
+
     // ---- the reference library itself (SURVEY.md §2.1) ----
     // per-group estimate vs exact, within the published bound.
     // NOTE (scale): the sketch aggregate and countDistinct run in SEPARATE
@@ -946,6 +958,11 @@ object SparkEntry {
         | FROM customer) WHERE rn <= 3""".stripMargin,
     "q_exact_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS dc_parts FROM lineitem GROUP BY 1",
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 300000 GROUP BY 1""".stripMargin,
     "q_hll_orders" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_dc,
         | TRUE AS within_bound

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import graft.spark.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class BloomJoinSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private lazy val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+  private lazy val ord = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    .filter($"o_totalprice" > 300000.0)
+
+  test("prefilteredJoin is exactly the plain inner join") {
+    val plain = li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .agg(F.count(F.lit(1)), F.sum("l_quantity")).collect().head
+    val pre = BloomJoin.prefilteredJoin(li, ord, "l_orderkey", "o_orderkey")
+      .agg(F.count(F.lit(1)), F.sum("l_quantity")).collect().head
+    assert(pre == plain)
+  }
+
+  test("prefilteredSemiJoin is exactly the plain left-semi join") {
+    val plain = li.join(ord.select("o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_semi")
+      .agg(F.count(F.lit(1)), F.sum("l_quantity")).collect().head
+    val pre = BloomJoin.prefilteredSemiJoin(li, ord, "l_orderkey", "o_orderkey")
+      .agg(F.count(F.lit(1)), F.sum("l_quantity")).collect().head
+    assert(pre == plain)
+  }
+
+  test("the bloom filter sits below the join, on the probe side") {
+    val plan = BloomJoin.prefilteredJoin(li, ord, "l_orderkey", "o_orderkey")
+      .queryExecution.executedPlan.toString
+    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(plan.indexOf).filter(_ >= 0).min
+    val filterIdx = plan.indexOf("bloom_contains")
+    // tree prints top-down: the filter printing AFTER the join node means
+    // it is a descendant — probe rows drop before the join's input
+    assert(filterIdx > joinIdx,
+      s"bloom filter must be under the join:\n$plan")
+  }
+}
