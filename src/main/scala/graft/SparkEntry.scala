@@ -93,9 +93,17 @@ object SparkEntry {
     "q_bloom_join" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val ord = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
-      graft.pipeline.BloomJoin.prefilteredJoin(li, ord, "l_orderkey", "o_orderkey")
+      // 2^20 bits ≈ 13 bits/key headroom for the ~6k qualifying orders
+      // (sub-0.1% FPR); size the filter to the build side, not the default
+      val inner = graft.pipeline.BloomJoin
+        .prefilteredJoin(li, ord, "l_orderkey", "o_orderkey", numBits = 1L << 20)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"), sum("l_quantity").cast("long").as("sum_qty"))
+      val semi = graft.pipeline.BloomJoin
+        .prefilteredSemiJoin(li, ord, "l_orderkey", "o_orderkey", numBits = 1L << 20)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("cnt_semi"))
+      inner.join(semi, "l_returnflag")
     }),
 
     // ---- the reference library itself (SURVEY.md §2.1) ----
@@ -840,6 +848,39 @@ object SparkEntry {
           element_at(col("ti"), 2).getField("est").as("top2_cnt"))
     }),
 
+    // windowed quantiles on a stream (KLL as windowed state): one window
+    // of the exact values 0..99 — at k=256 nothing compacts, so each
+    // estimated quantile's exact rank must sit within 3% of the target
+    "q_streaming_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val input = MemoryStream[(java.sql.Timestamp, Double)]
+      val events = input.toDF().toDF("ts", "v")
+      val agg = graft.streaming.StreamingSketch.windowedQuantiles(
+        events, "ts", "v", Nil, "1 minute", "2 minutes", k = 256,
+        quantiles = Seq(0.25, 0.5, 0.75))
+      val qn = "q_streaming_quantiles_sink_" + System.nanoTime()
+      val q = agg.writeStream.format("memory").queryName(qn)
+        .outputMode("update").start()
+      try {
+        val base = 1700000040000L
+        def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+        input.addData((0 until 100).map(i => (ts(i % 60), i.toDouble)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      def rankOk(est: Column, target: Double): Column = {
+        // exact rank of the estimate within the known value set 0..99
+        val rank = (least(greatest(ceil(est), lit(0.0)), lit(100.0))) / 100.0
+        abs(rank - target) <= 0.03
+      }
+      s.table(qn).orderBy(col("rows").desc).limit(1)
+        .select(col("rows").as("n_rows"),
+          rankOk(col("q25"), 0.25).as("q25_ok"),
+          rankOk(col("q50"), 0.5).as("q50_ok"),
+          rankOk(col("q75"), 0.75).as("q75_ok"))
+    }),
+
     // streaming dedup over a memory stream: 50 rows over 20 distinct texts
     // in batch 1, 20 repeats in batch 2 — exactly the 20 first arrivals
     // survive (exact counts DuckDB states as literals)
@@ -959,10 +1000,15 @@ object SparkEntry {
     "q_exact_distinct" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS dc_parts FROM lineitem GROUP BY 1",
     "q_bloom_join" ->
-      """SELECT l_returnflag, count(*) AS cnt,
-        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_totalprice > 300000 GROUP BY 1""".stripMargin,
+      """SELECT j.l_returnflag, j.cnt, j.sum_qty, s.cnt_semi FROM
+        | (SELECT l_returnflag, count(*) AS cnt,
+        |    CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_totalprice > 300000 GROUP BY 1) j
+        | JOIN (SELECT l_returnflag, count(*) AS cnt_semi FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                       WHERE o_totalprice > 300000)
+        |  GROUP BY 1) s USING (l_returnflag)""".stripMargin,
     "q_hll_orders" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_dc,
         | TRUE AS within_bound
@@ -1124,6 +1170,9 @@ object SparkEntry {
     "q_bloom_dedup" ->
       """SELECT CAST(1000 AS BIGINT) AS n_survivors,
         | CAST(1000 AS BIGINT) AS dc_texts, TRUE AS from_first_batch""".stripMargin,
+    "q_streaming_quantiles" ->
+      """SELECT CAST(100 AS BIGINT) AS n_rows, TRUE AS q25_ok,
+        | TRUE AS q50_ok, TRUE AS q75_ok""".stripMargin,
     "q_streaming_topk" ->
       """SELECT * FROM (VALUES (1700000040, 60, 'a', 30, 'b', 20),
         | (1700000100, 30, 'b', 25, 'c', 5))

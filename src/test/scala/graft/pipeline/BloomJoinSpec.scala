@@ -29,7 +29,9 @@ class BloomJoinSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("the bloom filter sits below the join, on the probe side") {
-    val plan = BloomJoin.prefilteredJoin(li, ord, "l_orderkey", "o_orderkey")
+    // smaller filter here only to keep the plan string (hex literal) light
+    val plan = BloomJoin.prefilteredJoin(li, ord, "l_orderkey", "o_orderkey",
+        numBits = 1L << 16)
       .queryExecution.executedPlan.toString
     val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
       .map(plan.indexOf).filter(_ >= 0).min
