@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** At-scale demonstration of the text training-data pipeline — the textops
+  * analog of [[ScaleRun]]: a deterministic 1M-document corpus (20% of
+  * docs in planted 4-document near-duplicate clusters, the rest unique)
+  * flows through quality filtering → minhash near-dup pair generation →
+  * connected-components cluster resolution → canonical-doc selection →
+  * token-budget sequence packing, with per-stage wall-clock and row
+  * counts printed as one JSON line.
+  *
+  * Corpus construction (pure column functions, no driver data): docs in a
+  * cluster share a 40-word base text drawn from a 4096-word vocabulary
+  * (seeded by the cluster id) and differ by one appended salt word —
+  * word-3-gram Jaccard ≈ 38/41 ≈ 0.93 inside a cluster, ~0 across
+  * clusters. Every stage's expected outcome is therefore known in closed
+  * form: 50k clusters of 4 ⇒ 150k non-representative members drop.
+  *
+  * Run: `sbt -batch 'runMain graft.pipeline.TextScaleRun'`
+  * (SPARK_GRAFT_TEXT_ROWS to resize; 1M default ≈ a couple of minutes at
+  * local[32].)
+  */
+object TextScaleRun {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_TEXT_ROWS", "1000000").toLong
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-text-scale")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- deterministic corpus: first 20% in 4-doc clusters, rest unique
+    val clusteredDocs = rows / 5
+    val base = spark.range(rows).select(col("id").as("doc_id"),
+      when(col("id") < clusteredDocs, col("id") - col("id") % 4)
+        .otherwise(col("id")).as("__seed"))
+    val words = (0 until 40).map(i =>
+      concat(lit("w"), pmod(xxhash64(col("__seed"), lit(i)), lit(4096L))))
+    val corpus = base.select(col("doc_id"),
+      concat_ws(" ",
+        (words :+ concat(lit("salt"), col("doc_id"))): _*).as("text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = corpus.count()
+
+    // ---- near-dup pairs (minhash LSH + exact-jaccard verify)
+    val (pairs, pairsSec) = timed {
+      val p = graft.textops.Dedup.nearDuplicates(
+        corpus, "doc_id", "text", threshold = 0.8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
+    val nPairs = pairs.count()
+
+    // ---- cluster resolution + canonical doc per cluster
+    val (survivors, ccSec) = timed {
+      val cc = graft.textops.Clusters.connectedComponents(pairs)
+      val losers = cc.filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      corpus.join(losers, Seq("doc_id"), "left_anti")
+        .queryExecution.toRdd.count()
+    }
+
+    // ---- token-budget packing of the full corpus (prefix-sum shards)
+    val (nShards, packSec) = timed {
+      Packing.packByBudget(corpus, "doc_id",
+          size(split(col("text"), " ")).cast("long"), budget = 1 << 16)
+        .select("shard").distinct().count()
+    }
+
+    val expectDrop = clusteredDocs - clusteredDocs / 4
+    println(
+      s"""{"text_scale_rows":$nDocs,"neardup_pairs":$nPairs""" +
+      s""","neardup_pairs_sec":${f"$pairsSec%.1f"}""" +
+      s""","survivors":$survivors,"expected_survivors":${nDocs - expectDrop}""" +
+      s""","cluster_dedup_sec":${f"$ccSec%.1f"}""" +
+      s""","pack_shards":$nShards,"pack_sec":${f"$packSec%.1f"}}""")
+    spark.stop()
+  }
+}

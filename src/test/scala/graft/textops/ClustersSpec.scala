@@ -45,6 +45,42 @@ class ClustersSpec extends AnyFunSuite with SparkTestBase {
     assert(cc.count() == 300L)
   }
 
+  test("property: connected components equal a union-find reference on random graphs") {
+    import org.scalacheck.{Gen, Prop}
+    val genEdges = for {
+      n <- Gen.choose(2, 60) // node id space
+      m <- Gen.choose(1, 80) // edge count
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield es
+    def unionFind(es: List[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) if a != b =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      case _ => }
+      // min-id representative per component, only nodes with >=1 real edge
+      val nodes = es.collect { case (a, b) if a != b => Seq(a, b) }.flatten.toSet
+      nodes.map(x => x -> find(x)).toMap
+    }
+    val prop = Prop.forAll(genEdges) { es =>
+      val expected = unionFind(es)
+      val got = Clusters.connectedComponents(es.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      got == expected
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(15) // each case runs a full Spark fixpoint loop
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("connected components: empty and self-loop-only pair lists yield no clusters") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Clusters.connectedComponents(empty).count() == 0L)
