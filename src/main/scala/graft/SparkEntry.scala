@@ -94,13 +94,16 @@ object SparkEntry {
       val li = t(s, d, "lineitem")
       val ord = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
       // 2^20 bits ≈ 13 bits/key headroom for the ~6k qualifying orders
-      // (sub-0.1% FPR); size the filter to the build side, not the default
+      // (sub-0.1% FPR); size the filter to the build side, not the default.
+      // Build the filter ONCE and reuse it for both join shapes.
+      val bf = graft.pipeline.BloomJoin.buildKeyFilter(
+        ord, "o_orderkey", numBits = 1L << 20)
       val inner = graft.pipeline.BloomJoin
-        .prefilteredJoin(li, ord, "l_orderkey", "o_orderkey", numBits = 1L << 20)
+        .prefilteredJoinWith(li, ord, "l_orderkey", "o_orderkey", bf)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt"), sum("l_quantity").cast("long").as("sum_qty"))
       val semi = graft.pipeline.BloomJoin
-        .prefilteredSemiJoin(li, ord, "l_orderkey", "o_orderkey", numBits = 1L << 20)
+        .prefilteredSemiJoinWith(li, ord, "l_orderkey", "o_orderkey", bf)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("cnt_semi"))
       inner.join(semi, "l_returnflag")

@@ -31,48 +31,68 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  /** Build the filter eagerly and return it as a literal predicate input. */
-  private def bloomLiteral(
+  /** Build a key filter eagerly (one scan+aggregate over `build`) and
+    * return it as a literal predicate input — REUSABLE across any number
+    * of prefiltered joins against the same dimension, the same
+    * train-once/probe-many shape as `Similarity.trainIvfCentroids`.
+    */
+  def buildKeyFilter(
       build: DataFrame, buildKey: String,
-      numBits: Long, numHashes: Int): Column = {
+      numBits: Long = 1L << 24, numHashes: Int = 5): Column = {
     val bytes = build
       .agg(sketch.bloom_sketch(col(buildKey), numBits, numHashes).as("__bf"))
       .first().getAs[Array[Byte]](0)
     lit(bytes)
   }
 
-  /** Inner equi-join `probe.key == build.key`, probe side pre-filtered.
-    * Column name sets must be disjoint (standard join hygiene). Note the
-    * build side is scanned once at CALL time to materialize the filter.
+  /** Inner equi-join `probe.key == build.key`, probe side pre-filtered
+    * with `filter` (from [[buildKeyFilter]]). Column name sets must be
+    * disjoint (standard join hygiene).
     */
+  def prefilteredJoinWith(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      filter: Column): DataFrame =
+    probe
+      .filter(sketch.bloom_contains(filter, col(probeKey)))
+      .join(build, col(probeKey) === col(buildKey))
+
+  /** One-shot form: builds the filter at call time (scans `build` once). */
   def prefilteredJoin(
       probe: DataFrame,
       build: DataFrame,
       probeKey: String,
       buildKey: String,
       numBits: Long = 1L << 24,
-      numHashes: Int = 5): DataFrame = {
-    val bf = bloomLiteral(build, buildKey, numBits, numHashes)
-    probe
-      .filter(sketch.bloom_contains(bf, col(probeKey)))
-      .join(build, col(probeKey) === col(buildKey))
-  }
+      numHashes: Int = 5): DataFrame =
+    prefilteredJoinWith(probe, build, probeKey, buildKey,
+      buildKeyFilter(build, buildKey, numBits, numHashes))
 
   /** Bloom-accelerated LEFT SEMI join (the "keep rows whose key is in
     * this set" shape — dedup against a blocklist, training-data
     * filtering). Same exactness argument.
     */
+  def prefilteredSemiJoinWith(
+      probe: DataFrame,
+      build: DataFrame,
+      probeKey: String,
+      buildKey: String,
+      filter: Column): DataFrame =
+    probe
+      .filter(sketch.bloom_contains(filter, col(probeKey)))
+      .join(build.select(col(buildKey)), col(probeKey) === col(buildKey),
+        "left_semi")
+
+  /** One-shot form: builds the filter at call time (scans `build` once). */
   def prefilteredSemiJoin(
       probe: DataFrame,
       build: DataFrame,
       probeKey: String,
       buildKey: String,
       numBits: Long = 1L << 24,
-      numHashes: Int = 5): DataFrame = {
-    val bf = bloomLiteral(build, buildKey, numBits, numHashes)
-    probe
-      .filter(sketch.bloom_contains(bf, col(probeKey)))
-      .join(build.select(col(buildKey)), col(probeKey) === col(buildKey),
-        "left_semi")
-  }
+      numHashes: Int = 5): DataFrame =
+    prefilteredSemiJoinWith(probe, build, probeKey, buildKey,
+      buildKeyFilter(build, buildKey, numBits, numHashes))
 }

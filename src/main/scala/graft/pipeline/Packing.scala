@@ -38,7 +38,9 @@ object Packing {
       buckets: Int = 1024): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     require(buckets >= 1, "buckets must be >= 1")
-    val w = df.withColumn("__w", weight.cast("long"))
+    // null weights (e.g. token counts of null texts) count as 0 so every
+    // row still gets a deterministic shard and running sums stay total
+    val w = df.withColumn("__w", coalesce(weight.cast("long"), lit(0L)))
     val bounds = w.agg(
       min(col(idCol).cast("long")), max(col(idCol).cast("long"))).first()
     if (bounds.isNullAt(0)) return df.withColumn("shard", lit(null).cast("long"))
@@ -48,9 +50,12 @@ object Packing {
     // per-bucket running sums in parallel; ties impossible with unique ids
     val win = Window.partitionBy("__b").orderBy(col(idCol).cast("long"))
     val c = b.withColumn("__cum", sum("__w").over(win))
-    // bucket totals → exclusive offsets: the one serial step, O(buckets)
-    val totals = b.groupBy("__b").agg(sum("__w").as("__t"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bucket totals → exclusive offsets: the one serial step, O(buckets);
+    // the same pass validates non-negativity (free — no extra scan)
+    val stats = b.groupBy("__b")
+      .agg(sum("__w").as("__t"), min("__w").as("__mn")).collect()
+    require(stats.forall(_.getLong(2) >= 0L), "weights must be non-negative")
+    val totals = stats.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val present = totals.keys.toSeq.sorted
     val offsets = present.scanLeft(0L)((acc, k) => acc + totals(k)).init
     val offDf = df.sparkSession

@@ -89,6 +89,10 @@ object StreamingSketch {
       watermarkDelay: String = "2 minutes",
       k: Int = 256,
       quantiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val qNames = quantiles.map(q => s"q${(q * 100).round}")
+    require(qNames.distinct.size == qNames.size,
+      s"quantile labels collide (${qNames.mkString(",")}) — " +
+        "choose quantiles at least a percentile apart")
     val keys = window(col(tsCol), windowDuration) +: groupCols.map(col)
     events
       .withWatermark(tsCol, watermarkDelay)
@@ -101,8 +105,8 @@ object StreamingSketch {
         col("window.end").as("window_end"))
         ++ groupCols.map(col)
         ++ Seq(col("kll"), col("rows"))
-        ++ quantiles.map(q =>
-          gf2.kll_quantile(col("kll"), lit(q)).as(s"q${(q * 100).round}"))): _*)
+        ++ quantiles.zip(qNames).map { case (q, n) =>
+          gf2.kll_quantile(col("kll"), lit(q)).as(n) }): _*)
   }
 
   /** Streaming dedup, state bounded by the watermark horizon: keeps one

@@ -108,6 +108,14 @@ object Clusters {
       iter += 1
     }
     sym.unpersist()
+    // never hand back partially-propagated labels: clusterDedup would
+    // silently drop the wrong documents. log-round convergence makes 50
+    // rounds enough for 2^50-diameter graphs, so hitting the cap means a
+    // caller-supplied cap too small for the graph — fail loudly.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds; " +
+          "raise maxIters (rounds needed ~ log2 of the largest component diameter)")
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -33,8 +33,10 @@ class BloomJoinSpec extends AnyFunSuite with SparkTestBase {
     val plan = BloomJoin.prefilteredJoin(li, ord, "l_orderkey", "o_orderkey",
         numBits = 1L << 16)
       .queryExecution.executedPlan.toString
-    val joinIdx = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
-      .map(plan.indexOf).filter(_ >= 0).min
+    val joinIdxs = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(plan.indexOf).filter(_ >= 0)
+    assert(joinIdxs.nonEmpty, s"no join operator found in plan:\n$plan")
+    val joinIdx = joinIdxs.min
     val filterIdx = plan.indexOf("bloom_contains")
     // tree prints top-down: the filter printing AFTER the join node means
     // it is a descendant — probe rows drop before the join's input
