@@ -29,6 +29,16 @@ object SparkEntry {
   private val boundP14 = 1.04 / math.sqrt((1 << 14).toDouble)
   private val boundP16 = 1.04 / math.sqrt((1 << 16).toDouble)
 
+  // LC-regime slack at p=14: at dc of a few hundred the estimate
+  // quantizes in whole counts, so a pure 1-sigma relative bound flips on
+  // a +/-1 deviation — allow max(2 absolute, 2 sigma relative). ONE
+  // definition for every gate that needs it (Column + driver-side forms).
+  private def lcWithinP14(est: Column, exact: Column): Column =
+    abs(est.cast("double") - exact.cast("double")) <=
+      greatest(lit(2.0), exact.cast("double") * (2 * boundP14))
+  private def lcWithinP14(est: Long, exact: Long): Boolean =
+    math.abs(est - exact) <= math.max(2.0, exact * 2 * boundP14)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_hll_orders")(spark, "/root/testdata/sf0.001")
@@ -334,8 +344,7 @@ object SparkEntry {
         val r = prof(c)
         val est = r.getLong(r.fieldIndex("distinct_est"))
         val dc = exactDc(c)
-        // LC-regime slack (see q_salted): ±1 quantization at tiny dc
-        val ok = math.abs(est - dc) <= math.max(2.0, dc * 2 * boundP14) &&
+        val ok = lcWithinP14(est, dc) &&
           r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("top_items"))
             .head.getString(0) == exactTop1(c) &&
           r.getLong(r.fieldIndex("n_rows")) == n
@@ -622,14 +631,10 @@ object SparkEntry {
         .agg(gf.hll_create_synopsis(col("text"), p = 14).as("dsyn"))
         .join(docs.groupBy("lang")
           .agg(countDistinct("text").as("exact_dc")), "lang")
-      // LC-regime gate: at dc of a few hundred the estimate quantizes in
-      // whole counts, so a pure 1-sigma relative bound flips on a +/-1
-      // deviation — allow max(2 absolute, 2 sigma relative)
       salted.join(direct, "lang")
         .select(col("lang"), col("exact_dc"),
           (col("syn") === col("dsyn")).as("salted_byte_identical"),
-          (abs(gf.hll_estimate(col("syn"), p = 14) - col("exact_dc")) <=
-            greatest(lit(2.0), col("exact_dc") * (2 * boundP14)))
+          lcWithinP14(gf.hll_estimate(col("syn"), p = 14), col("exact_dc"))
             .as("within_bound"))
     }),
 
@@ -684,11 +689,9 @@ object SparkEntry {
       }
       val exactDc = t(s, d, "documents")
         .agg(countDistinct("text")).first().getLong(0)
-      // LC-regime slack like q_salted: at dc of a few hundred the estimate
-      // quantizes in whole counts, so the raw 1-sigma relative bound flips
-      // on small-SF inputs (caught by running this gate at sf0.001)
-      val withinBnd = math.abs(resumed.estimate - exactDc) <=
-        math.max(2.0, exactDc * 2 * boundP14)
+      // LC-regime slack: the raw 1-sigma relative bound flips on small-SF
+      // inputs (caught by running this gate at sf0.001)
+      val withinBnd = lcWithinP14(resumed.estimate, exactDc)
       s.range(1).select(
         lit(resumed.partitionsBuilt.size + resumed.partitionsResumed.size)
           .cast("long").as("n_partitions"),
@@ -1072,8 +1075,9 @@ object SparkEntry {
         |FROM d GROUP BY 1""".stripMargin,
     "q_pack" ->
       """SELECT doc_id, CAST(floor((c - t) / 2000.0) AS BIGINT) AS shard FROM (
-        |  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS t,
-        |    sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |  SELECT doc_id,
+        |    coalesce(len(regexp_split_to_array(trim(text), '\s+')), 0) AS t,
+        |    sum(coalesce(len(regexp_split_to_array(trim(text), '\s+')), 0))
         |      OVER (ORDER BY doc_id) AS c
         |  FROM documents)""".stripMargin,
     "q_resumable_build" ->

@@ -76,7 +76,10 @@ object Clusters {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
+    // +1: sum-equality detection consumes one no-op round, so `maxIters`
+    // bounds PROPAGATION rounds — labels that finish exactly at the cap
+    // still get their confirming round instead of a spurious throw
+    while (!converged && iter < maxIters + 1) {
       // (a) hop: min label over neighborhood ∪ self, as ONE union+agg
       // (persisted — it feeds both sides of the doubling self-join)
       val hop = sym

@@ -30,6 +30,18 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("SinglePartition"), s"global window leaked:\n$plan")
   }
 
+  test("packByBudget is input-partitioning-invariant (deterministic mapping)") {
+    val df = spark.range(0, 2000).select(
+      $"id".as("doc_id"),
+      (F.pmod(F.xxhash64($"id"), F.lit(30L)) + 1).as("w"))
+    def shards(parts: Int): Map[Long, Long] =
+      Packing.packByBudget(df.repartition(parts), "doc_id", $"w", budget = 100,
+          buckets = 13)
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shards(2) == shards(23))
+  }
+
   test("packByBudget edge cases: empty input, one row, zero weights") {
     val empty = Packing.packByBudget(
       Seq.empty[(Long, Long)].toDF("doc_id", "w"), "doc_id", $"w", 10)

@@ -81,6 +81,30 @@ class ClustersSpec extends AnyFunSuite with SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("connected components are edge-partitioning-invariant") {
+    val edges = spark.range(0, 560)
+      .filter($"id" % 8 =!= 7)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    def comps(parts: Int): Map[Long, Long] =
+      Clusters.connectedComponents(edges.repartition(parts)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comps(3) == comps(19))
+  }
+
+  test("maxIters bounds propagation rounds; converging exactly at the cap succeeds") {
+    // a single edge converges in ONE propagation round — the sum-equality
+    // detection round must not count against maxIters = 1
+    val one = Clusters.connectedComponents(
+        Seq((1L, 2L)).toDF("id_a", "id_b"), maxIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one == Map(1L -> 1L, 2L -> 1L))
+    // a 41-node chain cannot converge in 2 rounds — partial labels must
+    // throw, never return (clusterDedup would drop the wrong docs)
+    val chain = spark.range(0, 40).select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    intercept[IllegalStateException](
+      Clusters.connectedComponents(chain, maxIters = 2))
+  }
+
   test("connected components: empty and self-loop-only pair lists yield no clusters") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Clusters.connectedComponents(empty).count() == 0L)
