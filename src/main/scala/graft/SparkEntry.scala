@@ -432,6 +432,33 @@ object SparkEntry {
         (min(col("jaccard")) >= 0.7).as("all_above_threshold"))
     }),
 
+    // CJK near-dup via char n-grams: unsegmented text derived
+    // deterministically from doc_id (30 chars from a 23-char alphabet, so
+    // distinct docs share almost no 5-grams), 20 planted one-char-appended
+    // copies must all surface — word shingling cannot find these (the
+    // whole sentence is one "word"), which is exactly why charGrams exists
+    "q_cjk_dedup" -> ((s, d) => {
+      val alphabet = "的一是在不了有和人这中大为上个国我以要他时来用".split("")
+        .filter(_.nonEmpty).toSeq
+      val zh = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), array_join(transform(
+          sequence(lit(1), lit(30)),
+          i => element_at(typedlit(alphabet),
+            (pmod(xxhash64(col("doc_id"), i), lit(alphabet.size.toLong)) + 1)
+              .cast("int"))), "").as("text"))
+      val planted = zh.filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(col("text"), lit("啊")).as("text"))
+      val nd = graft.textops.Dedup.nearDuplicates(
+        zh.unionAll(planted), "doc_id", "text",
+        threshold = 0.8, shingleSize = 5, charGrams = true)
+      nd.agg(
+        sum(when(col("id_b") === col("id_a") + 100000L, 1L).otherwise(0L))
+          .as("n_planted_found"),
+        (min(col("jaccard")) >= 0.8).as("all_above_threshold"))
+    }),
+
     // simhash near-dup, three gates: (1) 20 planted identical copies
     // collide at 64 matching bits; (2) the HD≤3 blocking GUARANTEE — every
     // brute-force pair within Hamming distance 3 on a 320-doc sample is in
@@ -1132,6 +1159,9 @@ object SparkEntry {
       """SELECT q, TRUE AS rank_ok FROM (VALUES (0.25), (0.5), (0.75)) t(q)""",
     "q_minhash_dedup" ->
       """SELECT least(count(*), 50) AS n_planted_found, TRUE AS all_above_threshold
+        |FROM documents""".stripMargin,
+    "q_cjk_dedup" ->
+      """SELECT least(count(*), 20) AS n_planted_found, TRUE AS all_above_threshold
         |FROM documents""".stripMargin,
     "q_simhash_dedup" ->
       """SELECT least(count(*), 20) AS n_identical_found,

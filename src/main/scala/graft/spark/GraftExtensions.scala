@@ -132,7 +132,8 @@ object GraftExtensions {
     "cosine_sim" -> { args => CosineSimExpr(args(0), args(1)) },
     "minhash_signature" -> { args =>
       MinHashSigExpr(args.head, intArg(args, 2, 3, "shingleSize"),
-        intArg(args, 1, 32, "numHashes")) },
+        intArg(args, 1, 32, "numHashes"),
+        charGrams = intArg(args, 3, 0, "charGrams") != 0) },
     "lsh_signatures" -> { args =>
       LshSignaturesExpr(args.head, intArg(args, 1, 8, "tables"),
         intArg(args, 2, 12, "bitsPerTable")) },

@@ -20,7 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SURVEY.md §2's preference order (b): a custom codegen'd `Expression`
   * when composition can't express the semantics efficiently.
   */
-case class MinHashSigExpr(child: Expression, shingleSize: Int, numHashes: Int)
+case class MinHashSigExpr(child: Expression, shingleSize: Int, numHashes: Int,
+    charGrams: Boolean = false)
   extends UnaryExpression {
 
   require(shingleSize >= 1 && shingleSize <= 16, "shingleSize must be in [1,16]")
@@ -35,12 +36,13 @@ case class MinHashSigExpr(child: Expression, shingleSize: Int, numHashes: Int)
       s"$prettyName expects a string column, got ${child.dataType.catalogString}")
 
   protected override def nullSafeEval(input: Any): Any =
-    MinHashSigExpr.signature(input.asInstanceOf[UTF8String], shingleSize, numHashes)
+    MinHashSigExpr.signature(input.asInstanceOf[UTF8String], shingleSize,
+      numHashes, charGrams)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s => {
       s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)" +
-        s"graft.spark.MinHashSigExpr.signature($s, $shingleSize, $numHashes);"
+        s"graft.spark.MinHashSigExpr.signature($s, $shingleSize, $numHashes, $charGrams);"
     })
 
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
@@ -49,8 +51,16 @@ case class MinHashSigExpr(child: Expression, shingleSize: Int, numHashes: Int)
 
 object MinHashSigExpr {
 
-  /** Codegen + interpreted entry point. */
-  def signature(text: UTF8String, shingleSize: Int, numHashes: Int): GenericArrayData = {
+  /** Codegen + interpreted entry point. With `charGrams=true` the shingle
+    * unit is CHARACTERS of the whitespace-normalized text instead of
+    * words — the right unit for unsegmented scripts (zh/ja/th), where a
+    * whole sentence is one "word" and word shingling degenerates to
+    * exact-match only. (Char positions are UTF-16 units; identical to
+    * code points for all BMP scripts, which covers CJK.)
+    */
+  def signature(text: UTF8String, shingleSize: Int, numHashes: Int,
+      charGrams: Boolean = false): GenericArrayData = {
+    if (charGrams) return charSignature(text.toString, shingleSize, numHashes)
     val s = text.toString
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
@@ -94,6 +104,48 @@ object MinHashSigExpr {
         t += 1
       }
       w += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Char n-gram variant: trim + collapse whitespace runs to one space
+    * (mirroring `Dedup.charShingles`'s normalization), then slide a
+    * `shingleSize`-char window.
+    */
+  private def charSignature(raw: String, shingleSize: Int,
+      numHashes: Int): GenericArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (sb.length() > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    val s = sb.toString
+    if (s.isEmpty) return new GenericArrayData(mins)
+    val count = math.max(1, s.length - shingleSize + 1)
+    var p = 0
+    while (p < count) {
+      val bytes = s.substring(p, math.min(s.length, p + shingleSize))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h1 = Murmur64A.hashBytes(bytes)
+      val h2 = Murmur64A.hashBytes(bytes, seed = 0x2545f491)
+      var t = 0
+      var h = h1
+      while (t < numHashes) {
+        if (h < mins(t)) mins(t) = h
+        h += h2
+        t += 1
+      }
+      p += 1
     }
     new GenericArrayData(mins)
   }

@@ -29,15 +29,29 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
+  /** Char n-gram shingles over whitespace-normalized text — the shingle
+    * unit for unsegmented scripts (zh/ja/th), where word splitting yields
+    * one giant "word" and word shingles degenerate to exact-match only.
+    */
+  def charShingles(text: Column, n: Int = 5): Column = {
+    val t = regexp_replace(trim(text), "\\s+", " ")
+    val len = length(t)
+    when(len <= n, array(t))
+      .otherwise(transform(sequence(lit(1), len - n + 1), i => t.substr(i, lit(n))))
+  }
+
   /** MinHash signature (array<long> of length `numHashes`) via the
     * codegen'd one-pass kernel `MinHashSigExpr` — the composed
     * transform/aggregate form runs as interpreted HOFs and is ~100×
-    * slower (see MinHashSigExpr scaladoc).
+    * slower (see MinHashSigExpr scaladoc). `charGrams=true` shingles
+    * characters instead of words (CJK path).
     */
-  def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 3): Column =
+  def minhashSignature(text: Column, numHashes: Int = 32, shingleSize: Int = 3,
+      charGrams: Boolean = false): Column =
     org.apache.spark.sql.graftbridge.Bridge.column(
       graft.spark.MinHashSigExpr(
-        org.apache.spark.sql.graftbridge.Bridge.expression(text), shingleSize, numHashes))
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), shingleSize,
+        numHashes, charGrams))
 
   /** Self-join of banded rows `(__id, __band, __key, extra…)` on the
     * bucket key, with hot-bucket quarantine shared by the minhash and
@@ -105,11 +119,12 @@ object Dedup {
       bands: Int = 8,
       shingleSize: Int = 3,
       maxBucket: Int = 10000,
-      persistBanded: Boolean = true): DataFrame = {
+      persistBanded: Boolean = true,
+      charGrams: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sig = df.select(col(idCol).as("__id"),
-      minhashSignature(col(textCol), numHashes, shingleSize).as("__sig"))
+      minhashSignature(col(textCol), numHashes, shingleSize, charGrams).as("__sig"))
     // 64-bit band keys: 32-bit keys birthday-collide at ~2^16 docs per
     // band value, inflating the candidate set at billions of docs (the
     // exact-Jaccard verify stays correct, but pays for the false pairs)
@@ -132,6 +147,8 @@ object Dedup {
   /** Full near-dup pipeline: LSH candidates, then exact-Jaccard verify at
     * `threshold`. Joins shingle arrays back by id (broadcast-able when the
     * candidate set is small — the common case at high thresholds).
+    * `charGrams=true` switches both the signature kernel and the verify
+    * shingles to character n-grams (unsegmented scripts).
     */
   def nearDuplicates(
       df: DataFrame,
@@ -142,11 +159,14 @@ object Dedup {
       bands: Int = 8,
       shingleSize: Int = 3,
       maxBucket: Int = 10000,
-      persistBanded: Boolean = true): DataFrame = {
+      persistBanded: Boolean = true,
+      charGrams: Boolean = false): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands,
-      shingleSize, maxBucket, persistBanded)
-    val sh = df.select(col(idCol).as("__jid"),
-      shingles(col(textCol), shingleSize).as("__sh"))
+      shingleSize, maxBucket, persistBanded, charGrams)
+    val shCol =
+      if (charGrams) charShingles(col(textCol), shingleSize)
+      else shingles(col(textCol), shingleSize)
+    val sh = df.select(col(idCol).as("__jid"), shCol.as("__sh"))
     cands
       .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
       .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")

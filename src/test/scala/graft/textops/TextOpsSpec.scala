@@ -37,6 +37,26 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     nd.collect().foreach(r => assert(r.getDouble(2) >= 0.7))
   }
 
+  test("char-gram near-dup finds perturbed CJK copies that word shingling cannot") {
+    val zh = Seq(
+      (0L, "这个城市的孩子们在花园里玩耍老人在河边看书晚上的时候大家都回到了自己的家里"),
+      (1L, "北京的春天经常刮风但是秋天的天气非常好人们喜欢去公园散步和拍照"),
+      (2L, "机器学习模型需要大量的训练数据这些数据必须经过仔细的清洗和去重处理"),
+      // perturbed copy of doc 0: one appended character
+      (100L, "这个城市的孩子们在花园里玩耍老人在河边看书晚上的时候大家都回到了自己的家里啊"))
+      .toDF("doc_id", "text")
+    val charMode = Dedup.nearDuplicates(zh, "doc_id", "text", threshold = 0.8,
+      shingleSize = 5, charGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(charMode.contains((0L, 100L)), s"char-gram mode missed the pair: $charMode")
+    // word mode: the unsegmented sentence is ONE word ⇒ one whole-text
+    // shingle ⇒ the perturbed copy shares nothing and cannot verify
+    val wordMode = Dedup.nearDuplicates(zh, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!wordMode.contains((0L, 100L)))
+    spark.catalog.clearCache()
+  }
+
   test("exact dedup keeps one row per distinct text, smallest id wins") {
     val doubled = docs.select($"doc_id", $"text")
       .unionAll(docs.select(($"doc_id" + 500L).as("doc_id"), $"text"))
