@@ -126,6 +126,8 @@ object GraftExtensions {
       HllSetOpExpr(args(0), args(1), precision(args, 2), HllSetOpExpr.Jaccard) },
     // ---- text kernels ----
     "simhash64" -> { args => TextKernelExpr(args.head, TextKernelExpr.SimHash) },
+    "simhash64_chars" -> { args =>
+      TextKernelExpr(args.head, TextKernelExpr.SimHashChar) },
     "lang_id" -> { args => TextKernelExpr(args.head, TextKernelExpr.LangId) },
     "doc_fingerprint" -> { args => TextKernelExpr(args.head, TextKernelExpr.Fingerprint) },
     // ---- vector kernels ----

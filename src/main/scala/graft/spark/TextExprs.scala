@@ -20,7 +20,7 @@ case class TextKernelExpr(child: Expression, op: Int) extends UnaryExpression {
   override def prettyName: String = nameOf(op)
 
   override def dataType: DataType = op match {
-    case SimHash | Fingerprint => LongType
+    case SimHash | SimHashChar | Fingerprint => LongType
     case LangId => StringType
   }
 
@@ -52,17 +52,20 @@ object TextKernelExpr {
   final val SimHash = 0
   final val LangId = 1
   final val Fingerprint = 2
+  final val SimHashChar = 3
 
   def nameOf(op: Int): String = op match {
     case SimHash => "simhash64"
     case LangId => "lang_id"
     case Fingerprint => "doc_fingerprint"
+    case SimHashChar => "simhash64_chars"
   }
 
   def dispatch(text: UTF8String, op: Int): Any = op match {
     case SimHash => java.lang.Long.valueOf(simhash64(text.toString))
     case LangId => UTF8String.fromString(LangProfiles.detect(text.toString))
     case Fingerprint => java.lang.Long.valueOf(fingerprint(text.toString))
+    case SimHashChar => java.lang.Long.valueOf(simhash64Chars(text.toString))
   }
 
   /** Charikar SimHash over whitespace tokens: per bit, sum +1/-1 weighted
@@ -87,6 +90,49 @@ object TextKernelExpr {
         start = i + 1
       }
       i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Char-4-gram SimHash for unsegmented scripts (zh/ja/th): the feature
+    * set is every 4-char window of the whitespace-normalized text instead
+    * of whitespace tokens — an unsegmented sentence is ONE token to
+    * [[simhash64]], so a single-char edit there produces an unrelated
+    * hash, while here it perturbs only ~4 of ~len features. Hamming
+    * distance tracks char-gram multiset cosine; best on documents long
+    * enough that per-bit margins dwarf a local edit (hundreds of chars —
+    * the same regime where token SimHash works for English).
+    */
+  def simhash64Chars(text: String, n: Int = 4): Long = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (sb.length() > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    val s = sb.toString
+    if (s.isEmpty) return 0L
+    val counts = new Array[Int](64)
+    val grams = math.max(1, s.length - n + 1)
+    var p = 0
+    while (p < grams) {
+      val h = Murmur64A.hashString(s.substring(p, math.min(s.length, p + n)))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      p += 1
     }
     var out = 0L
     var b = 0
@@ -248,6 +294,7 @@ object textFunctions {
     Bridge.column(TextKernelExpr(Bridge.expression(col), op))
 
   def simhash64(text: Column): Column = k(text, TextKernelExpr.SimHash)
+  def simhash64_chars(text: Column): Column = k(text, TextKernelExpr.SimHashChar)
   def lang_id(text: Column): Column = k(text, TextKernelExpr.LangId)
   def doc_fingerprint(text: Column): Column = k(text, TextKernelExpr.Fingerprint)
 

@@ -227,7 +227,8 @@ object Dedup {
       textCol: String,
       blocks: Int = 6,
       maxBucket: Int = 10000,
-      persistBanded: Boolean = true): DataFrame = {
+      persistBanded: Boolean = true,
+      charGrams: Boolean = false): DataFrame = {
     require(blocks >= 4 && blocks <= 16, "blocks must be in [4,16]")
     require(maxBucket >= 2, "maxBucket must be >= 2")
     val width = (64 + blocks - 1) / blocks
@@ -241,8 +242,10 @@ object Dedup {
       combo.foldLeft(lit(0L): Column)((acc, b) => shiftLeft(acc, width) + chunk(b))
     }.toSeq
 
-    val sh = df.select(col(idCol).as("__id"),
-      graft.spark.textFunctions.simhash64(col(textCol)).as("__sim"))
+    val simCol =
+      if (charGrams) graft.spark.textFunctions.simhash64_chars(col(textCol))
+      else graft.spark.textFunctions.simhash64(col(textCol))
+    val sh = df.select(col(idCol).as("__id"), simCol.as("__sim"))
     val banded = sh.select(col("__id"), col("__sim"),
       posexplode(array(keys: _*)).as(Seq("__band", "__key")))
     bucketJoin(banded, Seq("__sim"), maxBucket, persistBanded)

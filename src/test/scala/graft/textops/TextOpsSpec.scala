@@ -57,6 +57,38 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("simhash64_chars: whitespace-invariant, edit-local on unsegmented text") {
+    import graft.spark.TextKernelExpr.{simhash64, simhash64Chars}
+    // 300-char deterministic unsegmented doc from a small alphabet
+    val alpha = "的一是在不了有和人这中大为上个国我以要他时来用"
+    def doc(seed: Long, len: Int): String = (0 until len).map { i =>
+      val h = graft.core.Murmur64A.hash(seed * 1000 + i)
+      alpha.charAt(math.floorMod(h, alpha.length.toLong).toInt)
+    }.mkString
+    // 3000 chars: per-bit margins (~sd 55) dwarf a 1-char edit's ±8 shift,
+    // so the edit stays inside the HD<=3 blocking; at 300 chars the same
+    // edit measured HD 6 — the documented "long documents" regime
+    val base = doc(7L, 3000)
+    val perturbed = base.substring(0, 150) + "改" + base.substring(151) // 1 char swapped
+    def hd(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // whitespace normalization: spacing changes don't move the char hash
+    assert(simhash64Chars("a b  c") == simhash64Chars(" a b c "))
+    // word mode sees ONE token: a 1-char edit yields an unrelated hash,
+    // char mode perturbs only ~4 of ~300 features
+    val wordHd = hd(simhash64(base), simhash64(perturbed))
+    val charHd = hd(simhash64Chars(base), simhash64Chars(perturbed))
+    assert(charHd < wordHd, s"charHd=$charHd wordHd=$wordHd")
+    assert(charHd <= 3, s"charHd=$charHd — local edit must stay inside the HD<=3 blocking")
+    assert(wordHd > 10, s"wordHd=$wordHd — sanity: unrelated hashes differ broadly")
+    // and the candidate generator finds the pair in char mode
+    import spark.implicits._
+    val df = Seq((0L, base), (1L, perturbed), (2L, doc(99L, 3000))).toDF("doc_id", "text")
+    val cands = Dedup.simhashCandidates(df, "doc_id", "text", charGrams = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+    spark.catalog.clearCache()
+  }
+
   test("exact dedup keeps one row per distinct text, smallest id wins") {
     val doubled = docs.select($"doc_id", $"text")
       .unionAll(docs.select(($"doc_id" + 500L).as("doc_id"), $"text"))
