@@ -812,6 +812,35 @@ object SparkEntry {
       agg.crossJoin(invariant).crossJoin(frames)
     }),
 
+    // REAL image decode (JDK ImageIO): kind=0 blobs carry deterministic
+    // synthetic PNGs whose decoded dims and per-channel pixel sums have
+    // closed forms — DuckDB restates them from doc_id alone (PNG is
+    // lossless, so decode(encode(f)) == f pixel-for-pixel). The
+    // decode→resize→tensor path must also be batch-size invariant with
+    // every tensor value in [0,1].
+    "q_image_decode" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 64)
+      val media = graft.multimodal.Multimodal.attachMedia(docs, "doc_id", kind = 0)
+      val stats = graft.multimodal.Multimodal.decodeImageStats(
+        s, media, "doc_id", "media")
+      val agg = stats.agg(
+        count(lit(1)).as("n_images"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(col("channel_sum")).as("sum_pixels"))
+      val t1 = graft.multimodal.Multimodal.imageTensors(
+        s, media, "doc_id", "media", tw = 4, th = 4, batchSize = 64)
+      val t2 = graft.multimodal.Multimodal.imageTensors(
+        s, media, "doc_id", "media", tw = 4, th = 4, batchSize = 7)
+      val gates = t1.withColumnRenamed("image_tensor", "a")
+        .join(t2.withColumnRenamed("image_tensor", "b"), "doc_id")
+        .agg(min(col("a") === col("b")).as("batch_invariant"),
+          min(forall(col("a"), v => v >= 0.0f && v <= 1.0f))
+            .as("tensor_range_ok"))
+      agg.crossJoin(gates)
+    }),
+
     // Structured Streaming: windowed synopsis aggregation over a memory
     // stream — two fixed windows of 500 users each, overlapping by 250;
     // per-window estimates and the cross-window batch fold must hit the
@@ -1200,6 +1229,22 @@ object SparkEntry {
         | TRUE AS batch_invariant,
         | CAST(sum((8 + doc_id % 24 + 3) // 4) AS BIGINT) AS n_frames_sampled
         |FROM documents""".stripMargin,
+    "q_image_decode" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    sum((7 * d.doc_id + 3 * x.g + 5 * y.g) % 256
+        |      + (11 * d.doc_id + 13 * x.g + 17 * y.g) % 256
+        |      + (19 * d.doc_id + 23 * x.g + 29 * y.g) % 256) AS pix
+        |  FROM documents d, generate_series(0, 15) x(g), generate_series(0, 10) y(g)
+        |  WHERE d.doc_id < 64
+        |    AND x.g < 8 + d.doc_id % 9 AND y.g < 5 + d.doc_id % 7
+        |  GROUP BY d.doc_id)
+        |SELECT count(*) AS n_images,
+        | CAST(sum(8 + doc_id % 9) AS BIGINT) AS sum_width,
+        | CAST(sum(5 + doc_id % 7) AS BIGINT) AS sum_height,
+        | CAST(sum(pix) AS BIGINT) AS sum_pixels,
+        | TRUE AS batch_invariant, TRUE AS tensor_range_ok
+        |FROM px""".stripMargin,
     "q_hll_formats" ->
       "SELECT TRUE AS eq_8_6, TRUE AS eq_8_5, TRUE AS close_8_4, TRUE AS sizes_ok",
     "q_streaming_window" ->

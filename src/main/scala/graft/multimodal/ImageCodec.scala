@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
+/** REAL image codec kernels on top of JDK ImageIO (java.desktop module —
+  * ships inside the JDK, zero external jars): PNG/JPEG/BMP/GIF decode,
+  * deterministic bilinear resize, and [0,1]-normalized CHW float tensors.
+  *
+  * Everything here is executor-side JVM code invoked from the batched
+  * per-partition plumbing in [[Multimodal]] — the shape a model-inference
+  * stage needs. The resize is hand-rolled double arithmetic (NOT
+  * Graphics2D rendering) so the output is bit-stable across platforms and
+  * never needs a display: safe under full headless executors.
+  *
+  * Audio/video decode remains genuinely blocked in this sandbox (no codec
+  * libraries ship with the JDK) — see [[Multimodal.stubDecodePixels]].
+  */
+object ImageCodec {
+
+  // never spill decode scratch to ImageIO's tmp-file cache: decodes are
+  // per-row hot-path calls on executors
+  ImageIO.setUseCache(false)
+
+  /** Decode encoded image bytes (PNG/JPEG/BMP/GIF). Fails loudly on
+    * undecodable input — silent nulls would corrupt downstream tensors.
+    */
+  def decode(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image bytes (not PNG/JPEG/BMP/GIF)")
+    img
+  }
+
+  /** Sum of (r+g+b) over every pixel — the cheap whole-raster statistic
+    * the decode gate checks against a closed form.
+    */
+  def channelSum(img: BufferedImage): Long = {
+    var s = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    s
+  }
+
+  /** Bilinear resize to (tw, th) and normalize to a CHW float tensor in
+    * [0,1] (channel-major: all R, then all G, then all B — the layout
+    * vision models take). Pixel centers align ((x+0.5)*w/tw-0.5, clamped),
+    * matching the standard align_corners=false convention. Pure double
+    * arithmetic → deterministic bytes on every JVM.
+    */
+  def bilinearTensor(img: BufferedImage, tw: Int, th: Int): Array[Float] = {
+    require(tw >= 1 && th >= 1, "target dims must be >= 1")
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Float](3 * tw * th)
+    var ty = 0
+    while (ty < th) {
+      val sy = math.max(0.0, math.min(h - 1.0, (ty + 0.5) * h / th - 0.5))
+      val y0 = sy.toInt
+      val y1 = math.min(h - 1, y0 + 1)
+      val fy = sy - y0
+      var tx = 0
+      while (tx < tw) {
+        val sx = math.max(0.0, math.min(w - 1.0, (tx + 0.5) * w / tw - 0.5))
+        val x0 = sx.toInt
+        val x1 = math.min(w - 1, x0 + 1)
+        val fx = sx - x0
+        val p00 = img.getRGB(x0, y0); val p01 = img.getRGB(x1, y0)
+        val p10 = img.getRGB(x0, y1); val p11 = img.getRGB(x1, y1)
+        var c = 0
+        while (c < 3) {
+          val sh = 16 - 8 * c
+          val v =
+            ((p00 >> sh) & 0xff) * (1 - fx) * (1 - fy) +
+            ((p01 >> sh) & 0xff) * fx * (1 - fy) +
+            ((p10 >> sh) & 0xff) * (1 - fx) * fy +
+            ((p11 >> sh) & 0xff) * fx * fy
+          out(c * tw * th + ty * tw + tx) = (v / 255.0).toFloat
+          c += 1
+        }
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** decode → resize → normalized tensor, the full real image path. */
+  def imageTensor(bytes: Array[Byte], tw: Int, th: Int): Array[Float] =
+    bilinearTensor(decode(bytes), tw, th)
+
+  /** PNG-encode a pixel function (lossless, so decode(encode(f)) == f
+    * pixel-for-pixel — the property the gates rely on; the encoded BYTES
+    * may differ across JDK encoder versions and are never asserted on).
+    */
+  def encodePng(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", bos), "no PNG writer available")
+    bos.toByteArray
+  }
+
+  /** Deterministic synthetic PNG derived from a key: dims (8+key%9) ×
+    * (5+key%7), channel values linear in (key, x, y) mod 256 — every
+    * aggregate over the DECODED pixels has a closed form an external
+    * engine can restate exactly.
+    */
+  def syntheticPng(key: Long): Array[Byte] = {
+    val w = (8 + key % 9).toInt
+    val h = (5 + key % 7).toInt
+    encodePng(w, h, (x, y) => {
+      val r = ((7 * key + 3 * x + 5 * y) % 256).toInt
+      val g = ((11 * key + 13 * x + 17 * y) % 256).toInt
+      val b = ((19 * key + 23 * x + 29 * y) % 256).toInt
+      (r << 16) | (g << 8) | b
+    })
+  }
+}

@@ -9,15 +9,25 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * The Spark-side plumbing here is REAL and tested: schemas, header
   * parsing, per-partition batched iteration (the shape a model-inference
-  * runtime needs), frame explosion, and partition sizing. The actual media
-  * decode is a clearly-marked DETERMINISTIC STUB (`stubDecodePixels`,
-  * `stubEmbed`) because no image/audio codec libraries exist in this
-  * sandbox — swap those two functions for a real decoder (JavaCPP/FFmpeg,
-  * ImageIO) without touching any of the distributed plumbing.
+  * runtime needs), frame explosion, and partition sizing.
+  *
+  * The IMAGE decode path is REAL too: kind=0 blobs carry an encoded
+  * PNG/JPEG payload, decoded with JDK ImageIO (java.desktop — inside the
+  * JDK, no external jars), bilinear-resized, and normalized to a CHW
+  * float tensor ([[ImageCodec]]). Only AUDIO/VIDEO decode remains a
+  * clearly-marked DETERMINISTIC STUB (`stubDecodePixels`, inside
+  * `stubEmbed`) because no audio/video codec libraries ship with the JDK
+  * or this sandbox — swap that one function for a real decoder
+  * (JavaCPP/FFmpeg) without touching any of the distributed plumbing.
+  * The model-inference step itself (`stubEmbed`'s projection from tensor
+  * to embedding) is likewise a deterministic fake: a real model runtime
+  * replaces one function behind the same batch shape.
   *
   * Wire format of the synthetic media blob (little-endian):
   *   magic u32 'GMB1' | kind u8 (0=image,1=audio,2=video) |
   *   w u16 | h u16 | channels u8 | sampleRate u32 | frames u16 | payload…
+  * For kind=0 the payload is REAL encoded image bytes and w/h are the
+  * decoded dimensions.
   */
 object Multimodal {
 
@@ -34,12 +44,14 @@ object Multimodal {
     * path below and by tests).
     */
   def makeBlob(key: Long, kind: Int): Array[Byte] = {
-    val w = (300 + (key % 1000)).toInt
-    val h = (200 + (key % 600)).toInt
+    // kind=0: a REAL deterministic PNG payload; header w/h = decoded dims
+    val png = if (kind == 0) ImageCodec.syntheticPng(key) else null
+    val w = if (kind == 0) (8 + key % 9).toInt else (300 + (key % 1000)).toInt
+    val h = if (kind == 0) (5 + key % 7).toInt else (200 + (key % 600)).toInt
     val channels = 3
     val sampleRate = if (kind == 1) 16000 else 0
     val frames = if (kind == 2) (8 + key % 24).toInt else 1
-    val payloadLen = 256 + (key % 512).toInt
+    val payloadLen = if (kind == 0) png.length else 256 + (key % 512).toInt
     val buf = ByteBuffer.allocate(16 + payloadLen).order(ByteOrder.LITTLE_ENDIAN)
     buf.putInt(Magic)
     buf.put(kind.toByte)
@@ -47,15 +59,30 @@ object Multimodal {
     buf.put(channels.toByte)
     buf.putInt(sampleRate)
     buf.putShort(frames.toShort)
-    var i = 0
-    var st = graft.core.Murmur64A.hash(key)
-    while (i < payloadLen) {
-      buf.put((st & 0xff).toByte)
-      st = graft.core.Murmur64A.hash(st)
-      i += 1
+    if (kind == 0) buf.put(png)
+    else {
+      var i = 0
+      var st = graft.core.Murmur64A.hash(key)
+      while (i < payloadLen) {
+        buf.put((st & 0xff).toByte)
+        st = graft.core.Murmur64A.hash(st)
+        i += 1
+      }
     }
     buf.array()
   }
+
+  /** The encoded-image bytes inside a blob: the payload of a GMB1 kind=0
+    * blob, or the input itself when it is already raw PNG/JPEG bytes —
+    * so image operators accept both wrapped and bare image columns.
+    */
+  def extractImageBytes(blob: Array[Byte]): Array[Byte] =
+    if (blob.length >= 16 &&
+        ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN).getInt == Magic) {
+      val m = parseMeta(blob)
+      require(m.kind == 0, s"blob kind ${m.kind} is not an image")
+      java.util.Arrays.copyOfRange(blob, 16, blob.length)
+    } else blob
 
   /** Attach a deterministic media blob column derived from `keyCol`. */
   def attachMedia(df: DataFrame, keyCol: String, kind: Int,
@@ -93,12 +120,59 @@ object Multimodal {
         org.apache.spark.sql.graftbridge.Bridge.expression(col(mediaCol)))))
 
   // ---------------------------------------------------------------------
-  // STUBBED media kernels — deterministic fakes with real batch plumbing
+  // REAL image operators (JDK ImageIO — see ImageCodec)
   // ---------------------------------------------------------------------
 
-  /** STUB: a real implementation decodes pixels and resizes; this fake
-    * derives `dim` floats deterministically from the payload so the
-    * pipeline (batching, schema, ordering) is testable end to end.
+  /** Batched real image featurization: decode (ImageIO) → deterministic
+    * bilinear resize to (tw, th) → [0,1]-normalized CHW float tensor of
+    * 3·tw·th values. Same per-partition batch shape as [[embedMedia]] —
+    * fixed-size batches, order-preserving — because a real accelerator
+    * runtime consumes decoded batches, not rows. Accepts GMB1 kind=0
+    * blobs or bare PNG/JPEG bytes.
+    */
+  def imageTensors(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String, tw: Int = 4, th: Int = 4,
+      batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { chunk =>
+        chunk.map { case (id, blob) =>
+          (id, ImageCodec.imageTensor(extractImageBytes(blob), tw, th))
+        }
+      }
+    }.toDF(idCol, "image_tensor")
+  }
+
+  /** Per-image decoded statistics — (width, height, channel_sum) from the
+    * REAL decoded raster, batched like every media stage. The gate query
+    * checks these against closed forms over the synthetic PNGs.
+    */
+  def decodeImageStats(spark: SparkSession, df: DataFrame, idCol: String,
+      mediaCol: String, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    val ds: Dataset[(Long, Array[Byte])] =
+      df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { chunk =>
+        chunk.map { case (id, blob) =>
+          val img = ImageCodec.decode(extractImageBytes(blob))
+          (id, img.getWidth, img.getHeight, ImageCodec.channelSum(img))
+        }
+      }
+    }.toDF(idCol, "width", "height", "channel_sum")
+  }
+
+  // ---------------------------------------------------------------------
+  // STUBBED audio/video kernels — deterministic fakes, real batch plumbing
+  // ---------------------------------------------------------------------
+
+  /** STUB (audio/video only): no audio/video codec ships with the JDK or
+    * this sandbox, so this fake derives `dim` floats deterministically
+    * from the payload; the pipeline (batching, schema, ordering) is
+    * testable end to end. Image blobs never take this path — [[stubEmbed]]
+    * routes kind=0 through the REAL decode.
     */
   def stubDecodePixels(blob: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
@@ -112,13 +186,29 @@ object Multimodal {
     out
   }
 
-  /** STUB: a real implementation runs a vision/audio model over a BATCH of
-    * decoded media (batch size matters for accelerator utilization — that
-    * is why the plumbing iterates per-partition and materializes batches,
-    * not per-row).
+  /** The "model" over a BATCH of media (batch size matters for
+    * accelerator utilization — that is why the plumbing iterates
+    * per-partition and materializes batches, not per-row). The DECODE is
+    * real for images: kind=0 blobs go through ImageIO + bilinear resize to
+    * a 4×4 CHW tensor; the projection from that tensor to `dim` floats is
+    * the deterministic model STUB (as is the whole audio/video path — no
+    * codecs in the sandbox). A real inference runtime replaces only the
+    * projection.
     */
   def stubEmbed(batch: Array[Array[Byte]], dim: Int): Array[Array[Float]] =
-    batch.map(stubDecodePixels(_, dim))
+    batch.map { blob =>
+      val isImage = blob.length >= 16 &&
+        ByteBuffer.wrap(blob).order(ByteOrder.LITTLE_ENDIAN).getInt == Magic &&
+        (blob(4) & 0xff) == 0
+      if (isImage) {
+        val tensor = ImageCodec.imageTensor(extractImageBytes(blob), 4, 4)
+        // STUB projection tensor -> dim floats: hash the (deterministic)
+        // tensor bytes the way a fake linear head would mix them
+        val bb = ByteBuffer.allocate(4 * tensor.length).order(ByteOrder.LITTLE_ENDIAN)
+        tensor.foreach(bb.putFloat)
+        stubDecodePixels(bb.array(), dim)
+      } else stubDecodePixels(blob, dim)
+    }
 
   /** Per-partition BATCHED feature extraction over (id, media) rows — the
     * exact shape a real model-inference stage needs: fixed-size batches,

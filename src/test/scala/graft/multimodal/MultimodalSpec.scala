@@ -49,6 +49,59 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     f123.foreach(r => assert(r.getAs[Array[Byte]](2).nonEmpty))
   }
 
+  test("real image decode: PNG roundtrip is pixel-exact with closed-form sums") {
+    val key = 123L
+    val png = ImageCodec.syntheticPng(key)
+    val img = ImageCodec.decode(png)
+    val (w, h) = ((8 + key % 9).toInt, (5 + key % 7).toInt)
+    assert(img.getWidth == w && img.getHeight == h)
+    var exp = 0L
+    for (y <- 0 until h; x <- 0 until w)
+      exp += ((7 * key + 3 * x + 5 * y) % 256) +
+        ((11 * key + 13 * x + 17 * y) % 256) +
+        ((19 * key + 23 * x + 29 * y) % 256)
+    assert(ImageCodec.channelSum(img) == exp)
+    // a kind=0 blob wraps the same PNG; extract round-trips both forms
+    val blob = Multimodal.makeBlob(key, kind = 0)
+    assert(ImageCodec.channelSum(
+      ImageCodec.decode(Multimodal.extractImageBytes(blob))) == exp)
+    assert(Multimodal.extractImageBytes(png).sameElements(png))
+    assert(Multimodal.parseMeta(blob).width == w)
+  }
+
+  test("bilinear tensor: constant image is constant; identity resize exact") {
+    val png = ImageCodec.encodePng(5, 4, (_, _) => (200 << 16) | (100 << 8) | 50)
+    val t = ImageCodec.imageTensor(png, 3, 3)
+    assert(t.length == 27)
+    (0 until 9).foreach(i => assert(math.abs(t(i) - 200f / 255f) < 1e-6f))
+    (9 until 18).foreach(i => assert(math.abs(t(i) - 100f / 255f) < 1e-6f))
+    (18 until 27).foreach(i => assert(math.abs(t(i) - 50f / 255f) < 1e-6f))
+    // resizing to the source dims reproduces source pixels exactly
+    val img = ImageCodec.decode(ImageCodec.syntheticPng(7L))
+    val id = ImageCodec.bilinearTensor(img, img.getWidth, img.getHeight)
+    val rgb = img.getRGB(3, 2)
+    assert(id(2 * img.getWidth + 3) == (((rgb >> 16) & 0xff) / 255.0).toFloat)
+    assert(id.forall(v => v >= 0f && v <= 1f))
+  }
+
+  test("imageTensors: distributed real decode, batch-size invariant") {
+    val base = spark.range(0L, 100L).toDF("id")
+    val imgs = Multimodal.attachMedia(base, "id", kind = 0)
+    val a = Multimodal.imageTensors(spark, imgs, "id", "media", 4, 4, batchSize = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val b = Multimodal.imageTensors(spark, imgs.repartition(7), "id", "media", 4, 4,
+        batchSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(a.size == 100 && a == b)
+    assert(a(5L).length == 48)
+    // embedMedia routes kind=0 through the REAL decode and stays invariant
+    val e1 = Multimodal.embedMedia(spark, imgs, "id", "media", dim = 8, batchSize = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val e2 = Multimodal.embedMedia(spark, imgs, "id", "media", dim = 8, batchSize = 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(e1 == e2)
+  }
+
   test("corrupt blobs fail loudly") {
     intercept[Exception] {
       Multimodal.parseMeta(Array[Byte](1, 2, 3))
