@@ -19,16 +19,45 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape — a DISTRIBUTED PREFIX SUM, not a global window: a global
   * `Window.orderBy(id)` would sort the corpus into a single task. Instead
-  * rows bucket deterministically by id range; each bucket computes its
-  * running sum in parallel (window partitioned BY bucket); bucket totals
-  * (≤ `buckets` longs) come to the driver once and scan into exclusive
-  * bucket offsets that broadcast back. Two shuffles (bucket window +
+  * rows bucket by id against SAMPLED-QUANTILE boundaries (one bounded
+  * extra job over the id column); each bucket computes its running sum in
+  * parallel (window partitioned BY bucket); bucket totals (≤ `buckets`
+  * longs) come to the driver once and scan into exclusive bucket offsets
+  * that broadcast back. Three jobs total (quantiles + bucket window +
   * total agg) regardless of row count; driver state is O(buckets).
+  *
+  * Quantile boundaries — not a uniform (max−min)/buckets span — because
+  * post-dedup corpora rarely have dense id spaces: hashed ids, or a dense
+  * block plus one far outlier, collapse uniform-span bucketing into a
+  * single bucket whose window then sorts the corpus on ONE task. Sampled
+  * quantiles keep every bucket within ~(1 + 4·buckets·eps)× the mean row
+  * count whatever the id distribution, and the span subtraction overflow
+  * on full-range 64-bit ids (xxhash-derived) disappears with the span.
+  * Bucket boundaries affect only the parallel decomposition, never the
+  * output: the shard mapping is a pure function of (id order, weights,
+  * budget).
   */
 object Packing {
 
+  /** Sampled-quantile id split points: strictly increasing interior
+    * boundaries (≤ buckets−1 of them) for [[RangeBucketExpr]] bucketing.
+    */
+  private[pipeline] def idQuantileBoundaries(
+      ids: DataFrame, idCol: String, buckets: Int): Array[Long] = {
+    if (buckets <= 1) return Array.empty
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    // rank error eps keeps the max bucket within ~2x the mean row count
+    val eps = math.max(1.0 / (4.0 * buckets), 1e-5)
+    ids.select(col(idCol).cast("long").as("__pid"))
+      .stat.approxQuantile("__pid", probs, eps)
+      .map(Math.round) // split points: rounding never breaks monotonicity
+      .distinct.sorted
+  }
+
   /** Adds a `shard` column. `idCol` values must be unique (they define
-    * the packing order); `weight` must be non-negative.
+    * the packing order); `weight` must be non-negative. Runs three
+    * bounded driver actions over `df` — persist upstream frames that are
+    * expensive to recompute.
     */
   def packByBudget(
       df: DataFrame,
@@ -45,8 +74,14 @@ object Packing {
       min(col(idCol).cast("long")), max(col(idCol).cast("long"))).first()
     if (bounds.isNullAt(0)) return df.withColumn("shard", lit(null).cast("long"))
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
-    val span = (mx - mn) / buckets + 1 // deterministic id-range bucketing
-    val b = w.withColumn("__b", ((col(idCol).cast("long") - mn) / span).cast("long"))
+    val boundaries =
+      if (mn == mx) Array.empty[Long]
+      else idQuantileBoundaries(w, idCol, buckets).filter(b => b > mn && b <= mx)
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val b = w.withColumn("__pid", col(idCol).cast("long"))
+      .withColumn("__b", bridge.column(graft.spark.RangeBucketExpr(
+        bridge.expression(col("__pid")), boundaries)))
+      .drop("__pid")
     // per-bucket running sums in parallel; ties impossible with unique ids
     val win = Window.partitionBy("__b").orderBy(col(idCol).cast("long"))
     val c = b.withColumn("__cum", sum("__w").over(win))

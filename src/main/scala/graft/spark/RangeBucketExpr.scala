@@ -1,0 +1,48 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Bucket index of a long value against a sorted array of split
+  * boundaries: bucket(v) = #boundaries <= v (an O(log B) binary search,
+  * codegen'd). Monotone non-decreasing in v, so contiguous id ranges map
+  * to contiguous buckets — the property `Packing.packByBudget`'s
+  * distributed prefix sum needs. Boundaries ride in the plan as a
+  * reference object (driver-held, O(buckets) longs).
+  */
+case class RangeBucketExpr(child: Expression, boundaries: Array[Long])
+  extends UnaryExpression {
+
+  require(boundaries.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "boundaries must be strictly increasing")
+
+  override def prettyName: String = "range_bucket"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a bigint column, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    RangeBucketExpr.bucket(boundaries, input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("boundaries", boundaries, "long[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.spark.RangeBucketExpr.bucket($ref, $v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): RangeBucketExpr =
+    copy(child = c)
+}
+
+object RangeBucketExpr {
+  /** #boundaries <= v via Arrays.binarySearch insertion-point math. */
+  def bucket(bounds: Array[Long], v: Long): Long = {
+    val i = java.util.Arrays.binarySearch(bounds, v)
+    if (i >= 0) i + 1L else (-i - 1).toLong
+  }
+}

@@ -42,6 +42,47 @@ class PackingSpec extends AnyFunSuite with SparkTestBase {
     assert(shards(2) == shards(23))
   }
 
+  test("packByBudget bucketing is skew-safe under outlier id spaces") {
+    // dense id block + one id at 2^40: a uniform (max-min)/buckets span
+    // would collapse every dense row into bucket 0 and sort the corpus on
+    // ONE task — quantile boundaries must keep buckets balanced
+    val buckets = 32
+    val df = spark.range(0, 20000).select($"id".as("doc_id"), F.lit(1L).as("w"))
+      .unionAll(Seq((1L << 40, 1L)).toDF("doc_id", "w"))
+    // balance: derive the same boundaries the operator uses and histogram
+    val bounds = Packing.idQuantileBoundaries(df, "doc_id", buckets)
+    assert(bounds.length >= buckets / 2, s"degenerate boundaries: ${bounds.length}")
+    val hist = df.groupBy(
+        F.udf((id: Long) => graft.spark.RangeBucketExpr.bucket(bounds, id))
+          .apply($"doc_id").as("b"))
+      .count().collect().map(_.getLong(1))
+    val mean = 20001.0 / (bounds.length + 1)
+    assert(hist.max <= math.max(2.0 * mean, 16.0),
+      s"skewed bucket: max=${hist.max} mean=$mean")
+    // correctness unchanged vs the global-window reference
+    val packed = Packing.packByBudget(df, "doc_id", $"w", budget = 100,
+      buckets = buckets)
+    val ref = df
+      .withColumn("__c", F.sum("w").over(Window.orderBy("doc_id")))
+      .select($"doc_id", F.floor(($"__c" - $"w") / 100).as("shard_ref"))
+    assert(packed.join(ref, "doc_id").filter($"shard" =!= $"shard_ref").count() == 0)
+    // and the plan stays free of single-partition sorts
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global window leaked:\n$plan")
+  }
+
+  test("packByBudget tolerates full-range 64-bit ids (no span overflow)") {
+    // xxhash-style ids spanning almost the whole signed range: the old
+    // uniform span (mx - mn) overflowed Long and mis-packed silently
+    val df = spark.range(0, 500).select(
+      F.xxhash64($"id").as("doc_id"), F.lit(2L).as("w"))
+    val packed = Packing.packByBudget(df, "doc_id", $"w", budget = 50, buckets = 16)
+    val ref = df
+      .withColumn("__c", F.sum("w").over(Window.orderBy("doc_id")))
+      .select($"doc_id", F.floor(($"__c" - $"w") / 50).as("shard_ref"))
+    assert(packed.join(ref, "doc_id").filter($"shard" =!= $"shard_ref").count() == 0)
+  }
+
   test("packByBudget edge cases: empty input, one row, zero weights") {
     val empty = Packing.packByBudget(
       Seq.empty[(Long, Long)].toDF("doc_id", "w"), "doc_id", $"w", 10)
