@@ -51,6 +51,78 @@ case class MinHashSigExpr(child: Expression, shingleSize: Int, numHashes: Int,
 
 object MinHashSigExpr {
 
+  /** Iterate the shingle strings of `s` — the ONE shared tokenization for
+    * the signature kernel AND the verify-stage `ShinglesExpr`, so the LSH
+    * candidate stage and the exact-Jaccard verify see IDENTICAL shingle
+    * sets (Unicode whitespace via `Character.isWhitespace` — including
+    * U+3000 ideographic space — and UTF-16 windows in char mode; a
+    * columnar `split(trim(...), "\\s+")` verify would diverge on exactly
+    * those inputs and silently degrade recall on real web text).
+    *
+    * Word mode: whitespace-delimited words, `shingleSize`-word windows
+    * joined by single spaces; fewer words than the window ⇒ one shingle
+    * of all words; zero words ⇒ no shingles. Char mode: whitespace runs
+    * collapse to one space after trim, then `shingleSize`-unit windows;
+    * shorter text ⇒ one whole-text shingle; empty ⇒ none.
+    */
+  def foreachShingle(s: String, shingleSize: Int, charGrams: Boolean)(
+      f: String => Unit): Unit = {
+    if (charGrams) {
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      var pendingSpace = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isWhitespace(c)) {
+          if (sb.length() > 0) pendingSpace = true
+        } else {
+          if (pendingSpace) { sb.append(' '); pendingSpace = false }
+          sb.append(c)
+        }
+        i += 1
+      }
+      val t = sb.toString
+      if (t.isEmpty) return
+      val count = math.max(1, t.length - shingleSize + 1)
+      var p = 0
+      while (p < count) {
+        f(t.substring(p, math.min(t.length, p + shingleSize)))
+        p += 1
+      }
+    } else {
+      // locate word boundaries once
+      val starts = new java.util.ArrayList[Integer]()
+      val ends = new java.util.ArrayList[Integer]()
+      var i = 0
+      val n = s.length
+      var inWord = false
+      while (i <= n) {
+        val ws = i == n || Character.isWhitespace(s.charAt(i))
+        if (!ws && !inWord) { starts.add(i); inWord = true }
+        else if (ws && inWord) { ends.add(i); inWord = false }
+        i += 1
+      }
+      val words = starts.size()
+      if (words == 0) return
+      val shingleCount = math.max(1, words - shingleSize + 1)
+      var w = 0
+      while (w < shingleCount) {
+        // shingle = original text span from start of word w to end of word
+        // w+shingleSize-1 normalized to single spaces between words
+        val lastWord = math.min(words - 1, w + shingleSize - 1)
+        val sb = new java.lang.StringBuilder(48)
+        var k = w
+        while (k <= lastWord) {
+          if (k > w) sb.append(' ')
+          sb.append(s, starts.get(k), ends.get(k))
+          k += 1
+        }
+        f(sb.toString)
+        w += 1
+      }
+    }
+  }
+
   /** Codegen + interpreted entry point. With `charGrams=true` the shingle
     * unit is CHARACTERS of the whitespace-normalized text instead of
     * words — the right unit for unsegmented scripts (zh/ja/th), where a
@@ -60,40 +132,10 @@ object MinHashSigExpr {
     */
   def signature(text: UTF8String, shingleSize: Int, numHashes: Int,
       charGrams: Boolean = false): GenericArrayData = {
-    if (charGrams) return charSignature(text.toString, shingleSize, numHashes)
-    val s = text.toString
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
-
-    // locate word boundaries once
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    var i = 0
-    val n = s.length
-    var inWord = false
-    while (i <= n) {
-      val ws = i == n || Character.isWhitespace(s.charAt(i))
-      if (!ws && !inWord) { starts.add(i); inWord = true }
-      else if (ws && inWord) { ends.add(i); inWord = false }
-      i += 1
-    }
-    val words = starts.size()
-    if (words == 0) return new GenericArrayData(mins)
-
-    val shingleCount = math.max(1, words - shingleSize + 1)
-    var w = 0
-    while (w < shingleCount) {
-      // shingle = original text span from start of word w to end of word
-      // w+shingleSize-1 normalized to single spaces between words
-      val lastWord = math.min(words - 1, w + shingleSize - 1)
-      val sb = new java.lang.StringBuilder(48)
-      var k = w
-      while (k <= lastWord) {
-        if (k > w) sb.append(' ')
-        sb.append(s, starts.get(k), ends.get(k))
-        k += 1
-      }
-      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    foreachShingle(text.toString, shingleSize, charGrams) { shingle =>
+      val bytes = shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val h1 = Murmur64A.hashBytes(bytes)
       val h2 = Murmur64A.hashBytes(bytes, seed = 0x2545f491)
       var t = 0
@@ -103,50 +145,58 @@ object MinHashSigExpr {
         h += h2 // Kirsch–Mitzenmacher: h_i = h1 + i*h2
         t += 1
       }
-      w += 1
     }
     new GenericArrayData(mins)
   }
 
-  /** Char n-gram variant: trim + collapse whitespace runs to one space
-    * (mirroring `Dedup.charShingles`'s normalization), then slide a
-    * `shingleSize`-char window.
+  /** Verify-stage entry point: the DISTINCT shingle strings of `text`,
+    * tokenized by exactly the kernel above (shared `foreachShingle`).
+    * Distinct because both the minhash estimate and `array_intersect`/
+    * `array_union` Jaccard are set-based.
     */
-  private def charSignature(raw: String, shingleSize: Int,
-      numHashes: Int): GenericArrayData = {
-    val mins = new Array[Long](numHashes)
-    java.util.Arrays.fill(mins, Long.MaxValue)
-    val sb = new java.lang.StringBuilder(raw.length)
+  def shingleArray(text: UTF8String, shingleSize: Int,
+      charGrams: Boolean): GenericArrayData = {
+    val seen = new java.util.LinkedHashSet[String]()
+    foreachShingle(text.toString, shingleSize, charGrams)(s => seen.add(s))
+    val out = new Array[Any](seen.size)
     var i = 0
-    var pendingSpace = false
-    while (i < raw.length) {
-      val c = raw.charAt(i)
-      if (Character.isWhitespace(c)) {
-        if (sb.length() > 0) pendingSpace = true
-      } else {
-        if (pendingSpace) { sb.append(' '); pendingSpace = false }
-        sb.append(c)
-      }
-      i += 1
-    }
-    val s = sb.toString
-    if (s.isEmpty) return new GenericArrayData(mins)
-    val count = math.max(1, s.length - shingleSize + 1)
-    var p = 0
-    while (p < count) {
-      val bytes = s.substring(p, math.min(s.length, p + shingleSize))
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val h1 = Murmur64A.hashBytes(bytes)
-      val h2 = Murmur64A.hashBytes(bytes, seed = 0x2545f491)
-      var t = 0
-      var h = h1
-      while (t < numHashes) {
-        if (h < mins(t)) mins(t) = h
-        h += h2
-        t += 1
-      }
-      p += 1
-    }
-    new GenericArrayData(mins)
+    val it = seen.iterator()
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
   }
+}
+
+/** Array-of-shingle-strings expression for the exact-Jaccard VERIFY stage
+  * — shares `MinHashSigExpr.foreachShingle` with the signature kernel so
+  * candidate generation and verification shingle identically (Unicode
+  * whitespace, UTF-16 windows). Also ~an order of magnitude faster than
+  * the interpreted `transform(sequence(...), slice/concat_ws)` HOF
+  * composition it replaced.
+  */
+case class ShinglesExpr(child: Expression, shingleSize: Int,
+    charGrams: Boolean = false)
+  extends UnaryExpression {
+
+  require(shingleSize >= 1 && shingleSize <= 16, "shingleSize must be in [1,16]")
+
+  override def prettyName: String = "shingles"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    MinHashSigExpr.shingleArray(input.asInstanceOf[UTF8String], shingleSize,
+      charGrams)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)" +
+        s"graft.spark.MinHashSigExpr.shingleArray($s, $shingleSize, $charGrams);"
+    })
+
+  override protected def withNewChildInternal(c: Expression): ShinglesExpr =
+    copy(child = c)
 }

@@ -20,25 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles as an array column (columnar sliding window). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(trim(text), "\\s+")
-    val cnt = size(words)
-    when(cnt < n, array(concat_ws(" ", words)))
-      .otherwise(transform(sequence(lit(0), cnt - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-  }
+  /** Word n-gram shingles as an array column — the codegen'd
+    * `ShinglesExpr`, which shares its tokenization with the minhash
+    * signature kernel: the LSH candidate stage and the exact-Jaccard
+    * verify MUST shingle identically (Unicode whitespace, same window
+    * unit), or estimated and verified similarity diverge on real web
+    * text (ideographic spaces, non-BMP chars) and recall silently drops.
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.spark.ShinglesExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), n))
 
   /** Char n-gram shingles over whitespace-normalized text — the shingle
     * unit for unsegmented scripts (zh/ja/th), where word splitting yields
     * one giant "word" and word shingles degenerate to exact-match only.
+    * Same shared-kernel guarantee as [[shingles]].
     */
-  def charShingles(text: Column, n: Int = 5): Column = {
-    val t = regexp_replace(trim(text), "\\s+", " ")
-    val len = length(t)
-    when(len <= n, array(t))
-      .otherwise(transform(sequence(lit(1), len - n + 1), i => t.substr(i, lit(n))))
-  }
+  def charShingles(text: Column, n: Int = 5): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.spark.ShinglesExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(text), n,
+        charGrams = true))
 
   /** MinHash signature (array<long> of length `numHashes`) via the
     * codegen'd one-pass kernel `MinHashSigExpr` — the composed
@@ -73,12 +76,14 @@ object Dedup {
     * MEMORY_AND_DISK so the signature kernel runs ONCE per row — the
     * cached rows are just (id, band, 8-byte key [+ extra]), far smaller
     * than recomputing signatures over full texts; pass false to trade
-    * recompute for zero cache footprint, and `spark.catalog.clearCache()`
-    * releases the entries after a one-shot run.
+    * recompute for zero cache footprint. Callers MUST invoke the returned
+    * `release` thunk once their candidate set is materialized: a leaked
+    * cache entry both accumulates memory across a long-lived session and
+    * can be substituted as a cached subtree into unrelated later plans.
     */
   private[textops] def bucketJoin(
       banded0: DataFrame, extra: Seq[String], maxBucket: Int,
-      persistBanded: Boolean = false): DataFrame = {
+      persistBanded: Boolean = false): (DataFrame, () => Unit) = {
     require(maxBucket >= 2, "maxBucket must be >= 2")
     val banded =
       if (persistBanded)
@@ -104,12 +109,20 @@ object Dedup {
           extra.map(c => col(s"__rep.$c").as(s"${c}_a"))) ++
         (col("__id").as("id_b") +:
           extra.map(c => col(c).as(s"${c}_b"))): _*)
-    coldPairs.unionAll(hotPairs)
+    (coldPairs.unionAll(hotPairs), () => { if (persistBanded) banded.unpersist(); () })
   }
 
   /** Candidate pairs whose minhash signatures collide in ≥1 of `bands`
     * bands (rows per band = numHashes/bands), hot buckets quarantined via
     * [[bucketJoin]]. Output: (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * EAGER: the distinct id-pair set is materialized (`localCheckpoint`)
+    * before returning and the banded cache is released. Candidates are
+    * 16-byte id pairs — bounded by true-pair count plus the banding FP
+    * rate — and downstream verify stages consume them MORE THAN ONCE
+    * (semi prefilter + payload joins), which without materialization
+    * would re-run the whole LSH join per consumer and leak the banded
+    * cache into the session.
     */
   def minhashCandidates(
       df: DataFrame,
@@ -132,9 +145,12 @@ object Dedup {
       posexplode(array((0 until bands).map { b =>
         xxhash64(slice(col("__sig"), b * rows + 1, rows).cast("string"), lit(b))
       }: _*)).as(Seq("__band", "__key")))
-    bucketJoin(banded, Nil, maxBucket, persistBanded)
-      .select(col("id_a"), col("id_b"))
+    val (raw, release) = bucketJoin(banded, Nil, maxBucket, persistBanded)
+    val pairs = raw.select(col("id_a"), col("id_b"))
       .distinct()
+      .localCheckpoint(true)
+    release()
+    pairs
   }
 
   /** Exact word-n-gram Jaccard similarity between two shingle arrays. */
@@ -145,10 +161,14 @@ object Dedup {
   }
 
   /** Full near-dup pipeline: LSH candidates, then exact-Jaccard verify at
-    * `threshold`. Joins shingle arrays back by id (broadcast-able when the
-    * candidate set is small — the common case at high thresholds).
+    * `threshold`. The payload (shingle) side is `left_semi`-prefiltered by
+    * the candidate ids BEFORE shingling, so the verify cost — shingle
+    * compute AND join shuffle — scales with the CANDIDATE set, not the
+    * corpus: at 10^9 docs and a high threshold the semi filter broadcasts
+    * a small id set and the full corpus never re-shuffles.
     * `charGrams=true` switches both the signature kernel and the verify
-    * shingles to character n-grams (unsegmented scripts).
+    * shingles to character n-grams (unsegmented scripts); both stages
+    * share one tokenizer (see [[shingles]]).
     */
   def nearDuplicates(
       df: DataFrame,
@@ -162,11 +182,16 @@ object Dedup {
       persistBanded: Boolean = true,
       charGrams: Boolean = false): DataFrame = {
     val cands = minhashCandidates(df, idCol, textCol, numHashes, bands,
-      shingleSize, maxBucket, persistBanded, charGrams)
-    val shCol =
-      if (charGrams) charShingles(col(textCol), shingleSize)
-      else shingles(col(textCol), shingleSize)
-    val sh = df.select(col(idCol).as("__jid"), shCol.as("__sh"))
+      shingleSize, maxBucket, persistBanded, charGrams) // eager, checkpointed
+    val candIds = cands.select(col("id_a").as("__jid"))
+      .unionAll(cands.select(col("id_b").as("__jid")))
+      .distinct()
+    // semi-prefilter, THEN shingle: only candidate docs pay tokenization
+    val sh = df.select(col(idCol).as("__jid"), col(textCol).as("__jtext"))
+      .join(candIds, Seq("__jid"), "left_semi")
+      .select(col("__jid"),
+        (if (charGrams) charShingles(col("__jtext"), shingleSize)
+         else shingles(col("__jtext"), shingleSize)).as("__sh"))
     cands
       .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
       .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
@@ -248,9 +273,12 @@ object Dedup {
     val sh = df.select(col(idCol).as("__id"), simCol.as("__sim"))
     val banded = sh.select(col("__id"), col("__sim"),
       posexplode(array(keys: _*)).as(Seq("__band", "__key")))
-    bucketJoin(banded, Seq("__sim"), maxBucket, persistBanded)
-      .select(col("id_a"), col("id_b"),
+    val (raw, release) = bucketJoin(banded, Seq("__sim"), maxBucket, persistBanded)
+    val pairs = raw.select(col("id_a"), col("id_b"),
         (lit(64) - bit_count(col("__sim_a").bitwiseXOR(col("__sim_b")))).as("matching_bits"))
       .distinct()
+      .localCheckpoint(true) // eager: release the banded cache below
+    release()
+    pairs
   }
 }

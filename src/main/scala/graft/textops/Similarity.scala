@@ -72,23 +72,32 @@ object Similarity {
       bridge.expression(vec), tables, bitsPerTable))
 
   /** Re-attach embedding vectors to an id-pair candidate set and re-rank
-    * by exact cosine: the candidates shuffle carries only ids, and the
-    * (large) vectors join back by id afterwards.
+    * by exact cosine. Shuffle discipline: the candidate set is
+    * materialized once (it is consumed twice — semi prefilter + join),
+    * the corpus-side vectors are `left_semi`-prefiltered by candidate
+    * neighbor ids BEFORE they carry their (large) payload anywhere, so
+    * re-rank cost scales with candidates, not corpus, and the query-side
+    * vectors broadcast only when the caller vouches the query set is
+    * small (`smallQueries` — see [[lshTopK]]).
     */
   private def rerank(
-      cands: DataFrame, // (query_id, neighbor_id), distinct
+      cands0: DataFrame, // (query_id, neighbor_id), distinct
       queries: DataFrame,
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      smallQueries: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val cands = cands0.localCheckpoint(true)
+    val qv0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val qv = if (smallQueries) broadcast(qv0) else qv0
     val nv = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
+      .join(cands.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_semi")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     cands
-      .join(broadcast(qv), "query_id") // query set is the small side
+      .join(qv, "query_id")
       .join(nv, "neighbor_id")
       .withColumn("cosine", cosine(col("__qv"), col("__nv")))
       .withColumn("rank", row_number().over(w))
@@ -100,6 +109,13 @@ object Similarity {
     * bruteForceTopK. Recall grows with `tables`; shuffle volume is
     * tables × (id, 8-byte key) per row — independent of dimension: the
     * candidate distinct() carries ids only, vectors join back by id.
+    *
+    * `smallQueries` (default true) asserts the query set fits in a
+    * broadcast — the usual point-lookup/eval-probe shape. For LARGE query
+    * sets (all-pairs/self-ANN where queries ≈ vectors) pass false: the
+    * forced broadcast would otherwise materialize every query vector on
+    * the driver and can OOM it; without the hint Catalyst/AQE picks a
+    * shuffle join from size stats.
     */
   def lshTopK(
       vectors: DataFrame,
@@ -108,7 +124,8 @@ object Similarity {
       queries: DataFrame,
       k: Int = 10,
       tables: Int = 8,
-      bitsPerTable: Int = 12): DataFrame = {
+      bitsPerTable: Int = 12,
+      smallQueries: Boolean = true): DataFrame = {
     def banded(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
         posexplode(lshSignatures(col(vecCol), tables, bitsPerTable))
@@ -119,7 +136,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    rerank(cands, queries, vectors, idCol, vecCol, k)
+    rerank(cands, queries, vectors, idCol, vecCol, k, smallQueries)
   }
 
   /** Top-`probes` nearest IVF cells for a vector — the codegen'd per-row
@@ -193,7 +210,8 @@ object Similarity {
       queries: DataFrame,
       centroids: Seq[Seq[Double]],
       k: Int = 10,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      smallQueries: Boolean = true): DataFrame = {
     def assign(df: DataFrame, id: String, probes: Int): DataFrame =
       df.select(col(idCol).as(id),
         explode(nearestCentroids(col(vecCol), centroids, probes)).as("__cid"))
@@ -203,7 +221,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct()
-    rerank(cands, queries, vectors, idCol, vecCol, k)
+    rerank(cands, queries, vectors, idCol, vecCol, k, smallQueries)
   }
 
   /** IVF (inverted-file) ANN, train + probe in one call. Probing the same
@@ -219,10 +237,12 @@ object Similarity {
       nLists: Int = 16,
       nProbe: Int = 4,
       lloydIters: Int = 3,
-      trainSample: Int = 10000): DataFrame = {
+      trainSample: Int = 10000,
+      smallQueries: Boolean = true): DataFrame = {
     val centroids = trainIvfCentroids(vectors, idCol, vecCol, nLists,
       lloydIters, trainSample)
-    ivfTopKWithCentroids(vectors, idCol, vecCol, queries, centroids, k, nProbe)
+    ivfTopKWithCentroids(vectors, idCol, vecCol, queries, centroids, k, nProbe,
+      smallQueries)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
@@ -251,10 +271,18 @@ object Similarity {
     val banded = vectors.select(col(idCol).as("__id"),
       posexplode(lshSignatures(col(vecCol), tables, bitsPerTable))
         .as(Seq("__band", "__key")))
-    val cands = Dedup.bucketJoin(banded, Nil, maxBucket, persistBanded)
-      .select("id_a", "id_b")
+    val (raw, release) = Dedup.bucketJoin(banded, Nil, maxBucket, persistBanded)
+    // eager id-pair checkpoint: consumed twice below (semi + join) and
+    // lets the banded cache release immediately
+    val cands = raw.select("id_a", "id_b").distinct().localCheckpoint(true)
+    release()
+    val candIds = cands.select(col("id_a").as("__vid"))
+      .unionAll(cands.select(col("id_b").as("__vid")))
       .distinct()
+    // semi-prefilter the vector payloads by candidate ids so the exact-
+    // cosine verify shuffles candidate vectors only, never the corpus
     val v = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .join(candIds, Seq("__vid"), "left_semi")
     cands
       .join(v.withColumnRenamed("__vid", "id_a").withColumnRenamed("__v", "__va"), "id_a")
       .join(v.withColumnRenamed("__vid", "id_b").withColumnRenamed("__v", "__vb"), "id_b")

@@ -22,4 +22,14 @@ object Bridge {
   def resolvedExpression(c: Column): Expression =
     org.apache.spark.sql.SparkSession.active
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession].expression(c)
+
+  /** True when the active session's SQL cache holds no entries — the test
+    * hook for operators that persist internally and must release on exit
+    * (a leaked cache entry can be substituted as a cached subtree into
+    * unrelated later plans).
+    */
+  def cacheIsEmpty: Boolean =
+    org.apache.spark.sql.SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

@@ -303,25 +303,39 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
-  test("persistBanded caches the banded frame so the signature kernel runs once per row") {
-    // plain (never-cached) input so any InMemoryTableScan in the plan can
-    // only come from the bucketJoin's own persistBanded cache
+  test("candidates materialize eagerly; banded cache is released; verify is semi-prefiltered") {
     spark.catalog.clearCache()
     val plain = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select($"doc_id", $"text").limit(500)
+    val cands = Dedup.minhashCandidates(plain, "doc_id", "text")
+    // eager: the LSH join already ran (against the banded cache, kernel
+    // once per row) and the returned frame is a checkpoint scan — no
+    // signature work left in its plan, so the multiple downstream
+    // consumers (semi prefilter + verify joins) never re-run the LSH
+    val candPlan = cands.queryExecution.executedPlan.toString
+    assert(!candPlan.contains("minhash_signature"),
+      s"candidates must be materialized, not lazy:\n${candPlan.take(2000)}")
+    // and the banded cache was RELEASED: a long-lived session must not
+    // accumulate cache entries (lingering cached subtrees get substituted
+    // into unrelated later plans — round-3 gotcha)
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty,
+      "banded persist leaked into the session cache")
+
+    // full pipeline: the shingle projection sits ABOVE a left-semi join
+    // against candidate ids, so verify cost scales with candidates, not
+    // corpus — the semi join's subtrees must be shingle-free
     val nd = Dedup.nearDuplicates(plain, "doc_id", "text", threshold = 0.7)
-    nd.queryExecution.toRdd.count() // one action computes + populates the cache
-    // all three banded consumers (bucket stats + both self-join sides) read
-    // the cached (id, band, key) relation instead of re-running the minhash
-    // kernel over full texts
-    val plan = nd.queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"),
-      s"banded subtree must be served from cache:\n${plan.take(3000)}")
-    spark.catalog.clearCache()
-    val uncached = Dedup.nearDuplicates(plain, "doc_id", "text",
-      threshold = 0.7, persistBanded = false)
-    uncached.queryExecution.toRdd.count()
-    assert(!uncached.queryExecution.executedPlan.toString.contains("InMemoryTableScan"))
+    val opt = nd.queryExecution.optimizedPlan
+    val semis = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty, s"no semi prefilter in plan:\n${opt.toString.take(3000)}")
+    semis.foreach(j => assert(!j.toString.contains("shingles("),
+      s"shingles computed BELOW the semi prefilter:\n${j.toString.take(2000)}"))
+    assert(opt.toString.contains("shingles("),
+      "verify stage must shingle via the shared-kernel ShinglesExpr")
+    assert(org.apache.spark.sql.graftbridge.Bridge.cacheIsEmpty)
     spark.catalog.clearCache()
   }
 
