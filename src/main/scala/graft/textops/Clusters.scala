@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   * round; the doubling then compresses paths geometrically, so rounds are
   * O(log(diameter)) rather than O(diameter) — a 10^6-long chain resolves
   * in ~20 rounds, not 10^6. Labels only ever decrease and are bounded by
-  * the component minimum, so the per-round label sum is strictly
-  * decreasing until fixpoint — the convergence check is one cheap
-  * aggregate over the (node, label) table.
+  * the component minimum, so the label sum is strictly decreasing until
+  * fixpoint — convergence is detected on the HOP output (one cheap
+  * aggregate), so the confirming round costs a hop only, never the
+  * doubling + checkpoint.
   *
   * Scale shape: every round is one edge⨝label join + one min-aggregate
   * (hop, persisted because it feeds both sides of the doubling self-join)
@@ -76,38 +77,51 @@ object Clusters {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var iter = 0
     var converged = false
-    // +1: sum-equality detection consumes one no-op round, so `maxIters`
+    // +1: convergence detection consumes one hop-only round, so `maxIters`
     // bounds PROPAGATION rounds — labels that finish exactly at the cap
-    // still get their confirming round instead of a spurious throw
+    // still get their confirming hop instead of a spurious throw
     while (!converged && iter < maxIters + 1) {
       // (a) hop: min label over neighborhood ∪ self, as ONE union+agg
-      // (persisted — it feeds both sides of the doubling self-join)
+      // (persisted — it feeds the convergence sum and, when propagation
+      // is still moving, both sides of the doubling self-join)
       val hop = sym
         .join(labels.withColumnRenamed("node", "u"), "u")
         .select(col("v").as("node"), col("label"))
         .unionAll(labels)
         .groupBy("node").agg(min("label").as("label"))
         .persist(lvl)
-      // (b) pointer doubling: label := label(label). Labels are node ids,
-      // so the label table doubles as the pointer table; a label may
-      // already be a component minimum pointing at itself — the join is a
-      // left join with coalesce for safety, though every label is a node.
-      val doubled = hop
-        .join(hop.select(col("node").as("label"), col("label").as("__ll")),
-          Seq("label"), "left")
-        .select(col("node"), coalesce(col("__ll"), col("label")).as("label"))
-      // checkpoint EVERY round: the doubling self-join embeds the hop
-      // subtree twice and hop embeds the label plan twice, so without
-      // truncation the LOGICAL plan quadruples per round — persist alone
-      // caches data but keeps the exponentially growing tree, and
-      // analysis time explodes by round ~4 (measured: 86 s/round at 1M
-      // nodes vs a flat 2.3 s/round with per-round truncation)
-      val next = doubled.localCheckpoint(true)
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0 // labels are monotone non-increasing
-      prevSum = s
-      hop.unpersist()
-      labels = next
+      // convergence check on the HOP table: hop labels are pointwise <=
+      // the incoming labels (min over neighborhood ∪ self), so an equal
+      // sum means pointwise equality — labels were already a fixpoint of
+      // the hop, and doubling a fixpoint (label(label) where every label
+      // is a component minimum pointing at itself) is the identity. The
+      // final round therefore costs ONE hop + one O(1) agg, not a full
+      // hop + doubling + checkpoint confirming round.
+      val hopSum = labelSum(hop)
+      if (hopSum.compareTo(prevSum) == 0) {
+        converged = true
+        hop.unpersist()
+      } else {
+        // (b) pointer doubling: label := label(label). Labels are node
+        // ids, so the label table doubles as the pointer table; a label
+        // may already be a component minimum pointing at itself — the
+        // join is a left join with coalesce for safety, though every
+        // label is a node.
+        val doubled = hop
+          .join(hop.select(col("node").as("label"), col("label").as("__ll")),
+            Seq("label"), "left")
+          .select(col("node"), coalesce(col("__ll"), col("label")).as("label"))
+        // checkpoint EVERY round: the doubling self-join embeds the hop
+        // subtree twice and hop embeds the label plan twice, so without
+        // truncation the LOGICAL plan quadruples per round — persist alone
+        // caches data but keeps the exponentially growing tree, and
+        // analysis time explodes by round ~4 (measured: 86 s/round at 1M
+        // nodes vs a flat 2.3 s/round with per-round truncation)
+        val next = doubled.localCheckpoint(true)
+        prevSum = labelSum(next)
+        hop.unpersist()
+        labels = next
+      }
       iter += 1
     }
     sym.unpersist()
