@@ -517,6 +517,40 @@ object SparkEntry {
         .select(col("node").as("doc_id"), col("component"))
     }),
 
+    // train/test decontamination: eval set = every 50th doc; training =
+    // documents + planted near-copies (eval text + a tail — shares all
+    // original 8-grams but is not exact) + planted exact copies. The
+    // exact-contamination count is fully DuckDB-replayable (text IN eval);
+    // every planted near-copy must be ngram-flagged, every flagged doc's
+    // exact overlap >= minHits, and exact hits must be a subset of ngram
+    // hits (same text shares all of its own shingles)
+    "q_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val evalSet = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+      val nearCopies = docs
+        .filter(col("doc_id") % 50 === 0 && col("doc_id") < 500)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" zzz tail zzz")).as("text"))
+      val exactCopies = docs
+        .filter(col("doc_id") % 50 === 0 && col("doc_id") < 250)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
+      val training = docs.unionAll(nearCopies).unionAll(exactCopies)
+      val exact = graft.textops.Decontaminate.exactContaminated(
+        training, "text", evalSet, "text")
+      val ngram = graft.textops.Decontaminate.ngramContaminated(
+        training, "doc_id", "text", evalSet, "text", n = 8, minHits = 1)
+      val nExact = exact.count()
+      val planted = ngram
+        .filter(col("doc_id") >= 200000L && col("doc_id") < 300000L).count()
+      val minOk = ngram.agg(min("overlap_ngrams")).first().getLong(0) >= 1L
+      val subsetOk = exact.select("doc_id")
+        .join(ngram.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0L
+      s.range(1).select(
+        lit(nExact).as("n_exact_contaminated"),
+        lit(planted).as("n_planted_ngram_found"),
+        lit(minOk && subsetOk).as("ngram_verified"))
+    }),
+
     // document fingerprinting (winnowing min-hash): fp is a pure function
     // of the text — adding exact copies must not change the distinct-fp
     // count — and shared-window collisions mean dc_fp <= dc_texts
@@ -1199,6 +1233,20 @@ object SparkEntry {
     "q_dedup_cluster" ->
       """SELECT doc_id, doc_id - doc_id % 7 AS component FROM documents
         |WHERE doc_id < (SELECT count(*) - count(*) % 7 FROM documents)""".stripMargin,
+    "q_decontaminate" ->
+      """WITH ev AS (SELECT text FROM documents WHERE doc_id % 50 = 0),
+        |training AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text || ' zzz tail zzz'
+        |    FROM documents WHERE doc_id % 50 = 0 AND doc_id < 500
+        |  UNION ALL SELECT doc_id + 300000, text
+        |    FROM documents WHERE doc_id % 50 = 0 AND doc_id < 250)
+        |SELECT
+        | (SELECT count(*) FROM training WHERE text IN (SELECT text FROM ev))
+        |   AS n_exact_contaminated,
+        | (SELECT count(*) FROM documents WHERE doc_id % 50 = 0 AND doc_id < 500)
+        |   AS n_planted_ngram_found,
+        | TRUE AS ngram_verified""".stripMargin,
     "q_fingerprint" ->
       """SELECT lang, count(DISTINCT text) AS dc_texts, TRUE AS fp_pure_function
         |FROM documents GROUP BY 1""".stripMargin,

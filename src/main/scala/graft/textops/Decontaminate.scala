@@ -1,0 +1,107 @@
+package graft.textops
+
+import graft.pipeline.BloomJoin
+import graft.spark.{sketchFunctions => sketch}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/test decontamination: flag (or drop) training documents that
+  * leak evaluation data — the pipeline step a production corpus refresh
+  * runs before every training export.
+  *
+  * Two detectors, both EXACT in their final answer:
+  *
+  *  - [[exactContaminated]]: training docs whose text equals an eval doc.
+  *  - [[ngramContaminated]]: training docs sharing ≥ `minHits` distinct
+  *    word n-grams with the eval set (catches paraphrases-with-splices
+  *    and eval questions embedded in larger pages).
+  *
+  * Scale shape (10^12 training docs vs a ~10^4–10^6-doc eval set): the
+  * eval side folds into a LITERAL Bloom filter once
+  * ([[BloomJoin.buildKeyFilter]] — O(1)/row identity-cached probes), so
+  * the full training corpus pays ONE codegen'd scan-side filter and only
+  * the surviving sliver (true hits + Bloom FPR) enters any join. False
+  * positives then die in an exact join against the eval table, so the
+  * flagged set is exactly what a naive full join would produce — the
+  * Bloom stage is an optimization, never an approximation.
+  */
+object Decontaminate {
+
+  /** Training rows (all columns) whose `textCol` exactly matches some
+    * eval text. Bloom-prefiltered at the scan; confirmed with an exact
+    * left-semi join over the survivors only.
+    */
+  def exactContaminated(
+      training: DataFrame,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      numBits: Long = 1L << 24): DataFrame = {
+    val bf = BloomJoin.buildKeyFilter(
+      eval.select(col(evalTextCol).as("__ek")), "__ek", numBits)
+    training
+      .filter(sketch.bloom_contains(bf, col(textCol)))
+      .join(eval.select(col(evalTextCol).as(textCol)).distinct(),
+        Seq(textCol), "left_semi")
+  }
+
+  /** (id, overlap_ngrams) for every training doc sharing ≥ `minHits`
+    * DISTINCT word `n`-grams with the eval set.
+    *
+    * Stages: (1) the eval set's distinct shingles become a literal Bloom
+    * filter; (2) training shingles explode and filter against it at the
+    * scan — fully codegen'd, so the shuffle carries only Bloom-surviving
+    * (id, gram) rows, proportional to true overlap plus FPR; (3) the
+    * survivors join the exact (distinct) eval-gram table, killing FPs,
+    * and count per doc. Shingling uses the shared LSH kernel tokenizer
+    * ([[Dedup.shingles]]), whose arrays are already distinct — the count
+    * is distinct shared grams.
+    *
+    * Size `numBits` ≈ 10–16 bits per expected distinct eval gram; the
+    * eval-gram join side is |eval|·grams rows — broadcastable for typical
+    * eval suites, shuffled by AQE otherwise (no forced hint).
+    */
+  def ngramContaminated(
+      training: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1,
+      numBits: Long = 1L << 26): DataFrame = {
+    require(minHits >= 1, "minHits must be >= 1")
+    val evalGrams = eval
+      .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
+      .distinct()
+    val bf = BloomJoin.buildKeyFilter(evalGrams, "__g", numBits)
+    training
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .filter(sketch.bloom_contains(bf, col("__g")))
+      .join(evalGrams, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("overlap_ngrams"))
+      .filter(col("overlap_ngrams") >= minHits)
+  }
+
+  /** Training minus every contaminated doc (exact OR n-gram): the export
+    * call. Exact matches are a subset of n-gram hits whenever texts carry
+    * ≥ 1 shingle, but both detectors run so `minHits` > 1 can never
+    * un-flag a verbatim eval copy. Ships only loser ids through the
+    * anti-joins, never documents.
+    */
+  def clean(
+      training: DataFrame,
+      idCol: String,
+      textCol: String,
+      eval: DataFrame,
+      evalTextCol: String,
+      n: Int = 8,
+      minHits: Int = 1): DataFrame = {
+    val exactIds = exactContaminated(training, textCol, eval, evalTextCol)
+      .select(col(idCol))
+    val ngramIds = ngramContaminated(training, idCol, textCol, eval,
+      evalTextCol, n, minHits).select(col(idCol))
+    training.join(exactIds.unionAll(ngramIds).distinct(), Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.textops
+
+import graft.spark.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecontaminateSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def evalDf = Seq(
+    "the quick brown fox jumps over the lazy dog tonight",
+    "spark shuffles are expensive so broadcast the small side"
+  ).toDF("etext")
+
+  private def trainingDf = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"), // verbatim
+    (2L, "intro words then the quick brown fox jumps over the lazy dog tonight and more"), // embedded
+    (3L, "the quick brown fox sleeps all day long instead"), // 2 shared 3-grams
+    (4L, "completely unrelated sentence with none of those tokens at all"),
+    (5L, "spark shuffles are expensive so broadcast the small side") // verbatim
+  ).toDF("doc_id", "text")
+
+  test("exactContaminated flags verbatim eval copies only") {
+    val flagged = Decontaminate.exactContaminated(
+        trainingDf, "text", evalDf, "etext")
+      .select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(1L, 5L))
+  }
+
+  test("ngramContaminated counts distinct shared n-grams; minHits thresholds") {
+    val hits = Decontaminate.ngramContaminated(
+        trainingDf, "doc_id", "text", evalDf, "etext", n = 3, minHits = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 3 shares exactly "the quick brown" and "quick brown fox"
+    assert(hits(3L) == 2L)
+    // verbatim + embedded docs share every eval 3-gram of their source
+    // (eval1: 10 words -> 8 distinct 3-grams; eval2: 9 words -> 7)
+    assert(hits(1L) == 8L && hits(5L) == 7L)
+    assert(hits(2L) >= 8L)
+    assert(!hits.contains(4L), "clean doc must not be flagged")
+    val strict = Decontaminate.ngramContaminated(
+        trainingDf, "doc_id", "text", evalDf, "etext", n = 3, minHits = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!strict.contains(3L) && strict.contains(2L))
+  }
+
+  test("clean drops exact and ngram hits, keeps the rest intact") {
+    val surv = Decontaminate.clean(
+        trainingDf, "doc_id", "text", evalDf, "etext", n = 3, minHits = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(4L))
+    // a high minHits keeps weak-overlap docs but NEVER verbatim copies
+    val survStrict = Decontaminate.clean(
+        trainingDf, "doc_id", "text", evalDf, "etext", n = 3, minHits = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!survStrict.contains(1L) && !survStrict.contains(5L))
+    assert(survStrict.contains(3L) && survStrict.contains(4L))
+  }
+}
