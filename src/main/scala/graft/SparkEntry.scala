@@ -331,12 +331,17 @@ object SparkEntry {
     // column the estimated median's exact rank within 3%; null counts and
     // row counts exact (DuckDB recomputes them)
     "q_profile" -> ((s, d) => {
-      val docs = t(s, d, "documents")
+      // source_nullable synthesizes nulls (every 5th doc) so non-zero
+      // null COUNTING is hash-checked, not just the all-zero path
+      val docs = t(s, d, "documents").withColumn("source_nullable",
+        when(col("doc_id") % 5 === 0, lit(null).cast("string"))
+          .otherwise(col("source")))
       val prof = graft.pipeline.Profile.profile(
-          docs, Seq("lang", "source"), Seq("n_chars")).collect()
+          docs, Seq("lang", "source", "source_nullable"), Seq("n_chars")).collect()
         .map(r => r.getString(0) -> r).toMap
       val n = docs.count()
-      def exactTop1(c: String): String = docs.groupBy(c).count()
+      def exactTop1(c: String): String = docs.filter(col(c).isNotNull)
+        .groupBy(c).count()
         .orderBy(col("count").desc, col(c).asc).first().getString(0)
       def exactDc(c: String): Long =
         docs.agg(countDistinct(c)).first().getLong(0)
@@ -357,6 +362,7 @@ object SparkEntry {
         nc.getLong(nc.fieldIndex("n_rows")) == n
       import s.implicits._
       Seq(stringGate("lang"), stringGate("source"),
+        stringGate("source_nullable"),
         ("n_chars", n, nc.getLong(nc.fieldIndex("n_nulls")), ncOk))
         .toDF("column", "n_rows", "n_nulls", "gate_ok")
     }),
@@ -654,24 +660,30 @@ object SparkEntry {
         require(graft.spark.RewriteApproxCountDistinct.precisionFor(rsd) == 16,
           s"rsd=$rsd must derive p=16")
         // the rewritten agg, the exact counts, and the library agg run as
-        // three separate aggregations (see q_hll_orders scale note)
-        val rewritten = t(s, d, "lineitem")
-          .groupBy("l_returnflag")
-          .agg(approx_count_distinct(col("l_orderkey"), rsd).as("est"))
-        val fired = rewritten.queryExecution.optimizedPlan.toString
-          .contains("hll_approx_count_distinct")
-        val exact = t(s, d, "lineitem").groupBy("l_returnflag")
-          .agg(countDistinct("l_orderkey").as("exact_dc"))
-        val lib = t(s, d, "lineitem").groupBy("l_returnflag")
-          .agg(gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("lib_est"))
-        rewritten.join(exact, "l_returnflag").join(lib, "l_returnflag")
-          .select(col("l_returnflag"), col("exact_dc"),
-            lit(fired).as("rewrite_fired"),
-            (col("est") === col("lib_est")).as("estimates_equal"),
-            withinBound(col("est"), col("exact_dc"), boundP16).as("within_bound"))
-          .collect().toSeq
-          .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
-            r.getBoolean(3), r.getBoolean(4)))
+        // three separate aggregations (see q_hll_orders scale note) over
+        // ONE cached 2-column projection — the three eager scans inside
+        // this conf window were the gate's whole cost otherwise
+        val li = t(s, d, "lineitem").select("l_returnflag", "l_orderkey")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val rewritten = li
+            .groupBy("l_returnflag")
+            .agg(approx_count_distinct(col("l_orderkey"), rsd).as("est"))
+          val fired = rewritten.queryExecution.optimizedPlan.toString
+            .contains("hll_approx_count_distinct")
+          val exact = li.groupBy("l_returnflag")
+            .agg(countDistinct("l_orderkey").as("exact_dc"))
+          val lib = li.groupBy("l_returnflag")
+            .agg(gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("lib_est"))
+          rewritten.join(exact, "l_returnflag").join(lib, "l_returnflag")
+            .select(col("l_returnflag"), col("exact_dc"),
+              lit(fired).as("rewrite_fired"),
+              (col("est") === col("lib_est")).as("estimates_equal"),
+              withinBound(col("est"), col("exact_dc"), boundP16).as("within_bound"))
+            .collect().toSeq
+            .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+              r.getBoolean(3), r.getBoolean(4)))
+        } finally li.unpersist()
       } finally prior match {
         case Some(v) => s.conf.set(confKey, v)
         case None => s.conf.unset(confKey)
@@ -1211,6 +1223,8 @@ object SparkEntry {
         | count(*) - count(lang) AS n_nulls, TRUE AS gate_ok FROM documents
         |UNION ALL SELECT 'source', count(*), count(*) - count(source), TRUE
         | FROM documents
+        |UNION ALL SELECT 'source_nullable', count(*),
+        | count(*) FILTER (WHERE doc_id % 5 = 0), TRUE FROM documents
         |UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars), TRUE
         | FROM documents""".stripMargin,
     "q_bloom_users" ->
