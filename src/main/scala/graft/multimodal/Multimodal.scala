@@ -229,21 +229,26 @@ object Multimodal {
   }
 
   /** Frame sampling for video blobs: explode every `everyNth` frame with
-    * its byte slice — columnar explode after a deterministic per-row split
-    * (a real codec would emit keyframes; slicing is the stub).
+    * its byte slice — FULLY COLUMNAR (header expression + `sequence` +
+    * `posexplode` + binary `substr`), so it stays inside whole-stage
+    * codegen; a real codec would emit keyframes, the even slicing is the
+    * stub. `substr` clamps the final short frame exactly like a bounded
+    * copyOfRange.
     */
   def sampleFrames(spark: SparkSession, df: DataFrame, idCol: String,
       mediaCol: String, everyNth: Int = 4): DataFrame = {
-    import spark.implicits._
-    val ds = df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
-    ds.flatMap { case (id, blob) =>
-      val m = parseMeta(blob)
-      val frameLen = math.max(1, m.payloadBytes / math.max(1, m.frames))
-      (0 until m.frames by everyNth).map { f =>
-        val start = 16 + f * frameLen
-        val end = math.min(blob.length, start + frameLen)
-        (id, f, java.util.Arrays.copyOfRange(blob, start, end))
-      }
-    }.toDF(idCol, "frame_idx", "frame_bytes")
+    require(everyNth >= 1, "everyNth must be >= 1")
+    val withM = withMeta(df.select(col(idCol).cast("long").as(idCol),
+      col(mediaCol)), mediaCol, "__m")
+    val frames = greatest(col("__m.frames").cast("int"), lit(1))
+    val frameLen = greatest(lit(1),
+      (col("__m.payloadBytes").cast("int") / frames).cast("int"))
+    withM
+      .select(col(idCol), col(mediaCol),
+        frameLen.as("__fl"),
+        explode(sequence(lit(0), frames - 1, lit(everyNth))).as("frame_idx"))
+      .select(col(idCol), col("frame_idx"),
+        col(mediaCol).substr(lit(17) + col("frame_idx") * col("__fl"),
+          col("__fl")).as("frame_bytes"))
   }
 }

@@ -80,13 +80,37 @@ object TextScaleRun {
         .select("shard").distinct().count()
     }
 
+    // ---- train/eval decontamination at size: eval = every 100th doc's
+    // text. Closed forms: exact hits = the eval source docs themselves
+    // (each salt word is unique, so no other doc matches verbatim);
+    // ngram hits add the 3 cluster siblings of every CLUSTERED eval doc
+    // (they share the 40-word base ⇒ ≥1 common 8-gram; unique-region
+    // docs share nothing across a 4096^8 gram space)
+    val evalSet = corpus.filter(col("doc_id") % 100 === 0).select(col("text"))
+    val nEval = evalSet.count()
+    val (deconExact, deconExactSec) = timed {
+      graft.textops.Decontaminate.exactContaminated(
+        corpus, "text", evalSet, "text").count()
+    }
+    val (deconNgram, deconNgramSec) = timed {
+      graft.textops.Decontaminate.ngramContaminated(
+        corpus, "doc_id", "text", evalSet, "text", n = 8, minHits = 1).count()
+    }
+    val clusteredEval = (clusteredDocs + 99) / 100 // %100==0 ⇒ cluster base
+    val expectNgram = nEval + 3 * clusteredEval
+
     val expectDrop = clusteredDocs - clusteredDocs / 4
     println(
       s"""{"text_scale_rows":$nDocs,"neardup_pairs":$nPairs""" +
       s""","neardup_pairs_sec":${f"$pairsSec%.1f"}""" +
       s""","survivors":$survivors,"expected_survivors":${nDocs - expectDrop}""" +
       s""","cluster_dedup_sec":${f"$ccSec%.1f"}""" +
-      s""","pack_shards":$nShards,"pack_sec":${f"$packSec%.1f"}}""")
+      s""","pack_shards":$nShards,"pack_sec":${f"$packSec%.1f"}""" +
+      s""","decon_eval_docs":$nEval""" +
+      s""","decon_exact":$deconExact,"decon_exact_expected":$nEval""" +
+      s""","decon_exact_sec":${f"$deconExactSec%.1f"}""" +
+      s""","decon_ngram":$deconNgram,"decon_ngram_expected":$expectNgram""" +
+      s""","decon_ngram_sec":${f"$deconNgramSec%.1f"}}""")
     spark.stop()
   }
 }
