@@ -35,6 +35,10 @@ object BloomJoin {
     * return it as a literal predicate input — REUSABLE across any number
     * of prefiltered joins against the same dimension, the same
     * train-once/probe-many shape as `Similarity.trainIvfCentroids`.
+    * The payload rides as a [[graft.spark.SketchLiteral]], not a stock
+    * `lit(bytes)`: multi-MB plain literals make the optimizer's
+    * constraint propagation hash/compare the whole array repeatedly —
+    * measured 140+ s of driver planning per join at 2^26 bits.
     */
   def buildKeyFilter(
       build: DataFrame, buildKey: String,
@@ -42,7 +46,8 @@ object BloomJoin {
     val bytes = build
       .agg(sketch.bloom_sketch(col(buildKey), numBits, numHashes).as("__bf"))
       .first().getAs[Array[Byte]](0)
-    lit(bytes)
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.spark.SketchLiteral(bytes))
   }
 
   /** Inner equi-join `probe.key == build.key`, probe side pre-filtered

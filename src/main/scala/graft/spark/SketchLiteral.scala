@@ -1,0 +1,53 @@
+package graft.spark
+
+import graft.core.Murmur64A
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.LeafExpression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, JavaCode}
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+/** Binary literal for BIG sketch payloads (Bloom join filters ride in
+  * plans at 2–8 MB).
+  *
+  * A stock `Literal(bytes)` recomputes `hashCode`/`equals` over the WHOLE
+  * array every time the optimizer canonicalizes, dedups, or set-joins
+  * expressions — constraint propagation across a single equi-join above a
+  * `bloom_contains(<literal>, key)` predicate issued enough of those that
+  * a 2-second join spent 140+ seconds in DRIVER planning at 2^26 bits
+  * (measured; disabling `spark.sql.constraintPropagation.enabled`
+  * collapsed it to 2.4 s). This leaf precomputes ONE 64-bit content hash:
+  * planning-time hashCode is O(1) and equals short-circuits on it; at row
+  * time `eval`/codegen return the same array object every row, so the
+  * scalar parse cache identity-hits exactly like a plain literal
+  * (see SketchScalarExpr). Plan strings also stay readable — no
+  * multi-megabyte hex dump.
+  */
+case class SketchLiteral(bytes: Array[Byte]) extends LeafExpression {
+
+  private val contentHash: Long = Murmur64A.hashBytes(bytes)
+
+  override def prettyName: String = "sketch_literal"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  // never let ConstantFolding clone a megabyte payload into sibling nodes
+  override def foldable: Boolean = false
+
+  override def eval(input: InternalRow): Any = bytes
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sketchBytes", bytes, "byte[]")
+    ExprCode.forNonNullValue(JavaCode.expression(ref, dataType))
+  }
+
+  override def toString: String =
+    s"sketch_literal(${bytes.length} bytes, h=${java.lang.Long.toHexString(contentHash)})"
+
+  override def hashCode(): Int = (contentHash ^ (contentHash >>> 32)).toInt
+
+  override def equals(o: Any): Boolean = o match {
+    case s: SketchLiteral =>
+      (bytes eq s.bytes) ||
+        (contentHash == s.contentHash && java.util.Arrays.equals(bytes, s.bytes))
+    case _ => false
+  }
+}

@@ -145,13 +145,25 @@ object SketchScalarExpr {
     // BloomJoin) hands the expression the SAME array object every row —
     // O(1) per row, where the content compare below is O(sketch size)
     // (measured: a 2 MB Bloom probed per row via content equality costs
-    // ~200 µs/row — 120 s per 600k-row pass)
-    if (b0 != null && ((b0 eq bytes) || java.util.Arrays.equals(b0, bytes))) {
+    // ~200 µs/row — 120 s per 600k-row pass).
+    // On a CONTENT hit the slot ADOPTS the new array's identity: every
+    // stage deserializes its own copy of a plan-embedded literal, so a
+    // thread whose slot holds a previous stage's copy would otherwise
+    // identity-miss and re-compare O(sketch size) on EVERY row of the new
+    // stage — measured 330 µs/row (140+ s over a 235k-row stage) when
+    // constraint propagation cloned one 8 MB Bloom predicate into three
+    // stages. With adoption each (thread, stage) pays one compare.
+    if (b0 != null && (b0 eq bytes)) {
       slot(4) = Entry1 // entry 1 is now least-recently-used
+      slot(1).asInstanceOf[T]
+    } else if (b0 != null && java.util.Arrays.equals(b0, bytes)) {
+      slot(0) = bytes // adopt the new identity
+      slot(4) = Entry1
       slot(1).asInstanceOf[T]
     } else {
       val b1 = slot(2).asInstanceOf[Array[Byte]]
       if (b1 != null && ((b1 eq bytes) || java.util.Arrays.equals(b1, bytes))) {
+        slot(2) = bytes // adopt (no-op on an identity hit)
         slot(4) = Entry0
         slot(3).asInstanceOf[T]
       } else {

@@ -345,6 +345,13 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       emb.limit(10).select(($"vec_id" + 9000L).as("vec_id"), $"embedding", $"label"))
     val pairs = Similarity.cosineNearDuplicates(planted, "vec_id", "embedding",
       threshold = 0.999)
+    // vector payloads are semi-prefiltered by candidate ids before the
+    // exact-cosine verify — the corpus never re-shuffles whole
+    val opt = pairs.queryExecution.optimizedPlan
+    assert(opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }.nonEmpty, s"no semi prefilter on the vector payload:\n${opt.toString.take(2000)}")
     val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     (0 until 10).foreach { i =>
       assert(found.contains((i.toLong, i.toLong + 9000L)), s"planted vector pair $i missing")
