@@ -541,10 +541,13 @@ object SparkEntry {
         .filter(col("doc_id") % 50 === 0 && col("doc_id") < 250)
         .select((col("doc_id") + 300000L).as("doc_id"), col("text"))
       val training = docs.unionAll(nearCopies).unionAll(exactCopies)
+      // checkpoint both flag sets: the gate consumes each 2-3 times
+      // (counts, min agg, subset anti-join) and they are ~100 rows
       val exact = graft.textops.Decontaminate.exactContaminated(
-        training, "text", evalSet, "text")
+        training, "text", evalSet, "text").localCheckpoint(true)
       val ngram = graft.textops.Decontaminate.ngramContaminated(
         training, "doc_id", "text", evalSet, "text", n = 8, minHits = 1)
+        .localCheckpoint(true)
       val nExact = exact.count()
       val planted = ngram
         .filter(col("doc_id") >= 200000L && col("doc_id") < 300000L).count()
