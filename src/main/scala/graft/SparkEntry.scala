@@ -551,13 +551,27 @@ object SparkEntry {
       val nExact = exact.count()
       val planted = ngram
         .filter(col("doc_id") >= 200000L && col("doc_id") < 300000L).count()
-      val minOk = ngram.agg(min("overlap_ngrams")).first().getLong(0) >= 1L
+      // NON-vacuous overlap check (a min() over the operator output only
+      // restates its own >= minHits filter): brute-force the exact
+      // distinct-gram overlap for one planted doc and demand the
+      // operator reported exactly that number
+      val probeId = 200000L
+      def gramsOf(df: DataFrame, textCol: String) = df
+        .select(explode(graft.textops.Dedup.shingles(col(textCol), 8)).as("__g"))
+        .distinct()
+      val expectedOverlap = gramsOf(
+          training.filter(col("doc_id") === probeId), "text")
+        .join(gramsOf(evalSet, "text"), Seq("__g")).count()
+      val reportedOverlap = ngram.filter(col("doc_id") === probeId)
+        .select("overlap_ngrams").collect().headOption
+        .map(_.getLong(0)).getOrElse(-1L)
+      val overlapOk = expectedOverlap >= 1L && reportedOverlap == expectedOverlap
       val subsetOk = exact.select("doc_id")
         .join(ngram.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0L
       s.range(1).select(
         lit(nExact).as("n_exact_contaminated"),
         lit(planted).as("n_planted_ngram_found"),
-        lit(minOk && subsetOk).as("ngram_verified"))
+        lit(overlapOk && subsetOk).as("ngram_verified"))
     }),
 
     // document fingerprinting (winnowing min-hash): fp is a pure function
@@ -888,6 +902,32 @@ object SparkEntry {
           min(forall(col("a"), v => v >= 0.0f && v <= 1.0f))
             .as("tensor_range_ok"))
       agg.crossJoin(gates)
+    }),
+
+    // cross-modal composition: REAL image decode → tensor → the SAME
+    // embedding near-dup operator used for text embeddings. 10 planted
+    // byte-identical images decode to identical tensors, so every planted
+    // pair must surface at cosine 1.0 through the LSH bucket join —
+    // image dedup is the embedding pipeline, not a new code path
+    "q_image_neardup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300)
+      val media = graft.multimodal.Multimodal.attachMedia(docs, "doc_id", kind = 0)
+      // planted blobs must decode identically to their originals: the
+      // blob is a pure function of doc_id, so build them FROM the
+      // original ids and reassign the shifted id afterwards
+      val planted = graft.multimodal.Multimodal.attachMedia(
+          docs.filter(col("doc_id") < 10), "doc_id", kind = 0)
+        .select((col("doc_id") + 700000L).as("doc_id"), col("media"))
+      val all = media.unionAll(planted)
+      val tensors = graft.multimodal.Multimodal.imageTensors(
+        s, all, "doc_id", "media", tw = 4, th = 4)
+      val pairs = graft.textops.Similarity.cosineNearDuplicates(
+        tensors, "doc_id", "image_tensor", threshold = 0.999)
+      pairs.agg(
+        sum(when(col("id_b") === col("id_a") + 700000L, 1L).otherwise(0L))
+          .as("n_planted_found"),
+        (min(col("cosine")) >= 0.999).as("all_above_threshold"))
     }),
 
     // Structured Streaming: windowed synopsis aggregation over a memory
@@ -1310,6 +1350,10 @@ object SparkEntry {
         | CAST(sum(pix) AS BIGINT) AS sum_pixels,
         | TRUE AS batch_invariant, TRUE AS tensor_range_ok
         |FROM px""".stripMargin,
+    "q_image_neardup" ->
+      """SELECT least(count(*), 10) AS n_planted_found,
+        | TRUE AS all_above_threshold
+        |FROM documents""".stripMargin,
     "q_hll_formats" ->
       "SELECT TRUE AS eq_8_6, TRUE AS eq_8_5, TRUE AS close_8_4, TRUE AS sizes_ok",
     "q_streaming_window" ->

@@ -97,6 +97,15 @@ object ImageCodec {
   def imageTensor(bytes: Array[Byte], tw: Int, th: Int): Array[Float] =
     bilinearTensor(decode(bytes), tw, th)
 
+  /** Batch-level tensor kernel: the hook a real accelerated pipeline
+    * replaces (decode batches on GPU/NNAPI, resize in one launch). This
+    * JVM implementation is per-image internally, but the BATCH boundary
+    * is the contract the distributed plumbing feeds — swapping in a
+    * joint-batch implementation touches nothing above this call.
+    */
+  def imageTensorBatch(batch: Array[Array[Byte]], tw: Int, th: Int): Array[Array[Float]] =
+    batch.map(imageTensor(_, tw, th))
+
   /** PNG-encode a pixel function (lossless, so decode(encode(f)) == f
     * pixel-for-pixel — the property the gates rely on; the encoded BYTES
     * may differ across JDK encoder versions and are never asserted on).

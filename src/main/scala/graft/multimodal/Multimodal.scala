@@ -138,29 +138,28 @@ object Multimodal {
       df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { chunk =>
-        chunk.map { case (id, blob) =>
-          (id, ImageCodec.imageTensor(extractImageBytes(blob), tw, th))
-        }
+        // the WHOLE chunk goes to the batch kernel (the accelerator
+        // boundary) — not element-wise maps dressed up as batches
+        val tensors = ImageCodec.imageTensorBatch(
+          chunk.map(p => extractImageBytes(p._2)).toArray, tw, th)
+        chunk.map(_._1).zip(tensors)
       }
     }.toDF(idCol, "image_tensor")
   }
 
   /** Per-image decoded statistics — (width, height, channel_sum) from the
-    * REAL decoded raster, batched like every media stage. The gate query
-    * checks these against closed forms over the synthetic PNGs.
+    * REAL decoded raster. A plain per-row map (statistics have no batch
+    * kernel to feed); the gate query checks the values against closed
+    * forms over the synthetic PNGs.
     */
   def decodeImageStats(spark: SparkSession, df: DataFrame, idCol: String,
-      mediaCol: String, batchSize: Int = 64): DataFrame = {
+      mediaCol: String): DataFrame = {
     import spark.implicits._
     val ds: Dataset[(Long, Array[Byte])] =
       df.select(col(idCol).cast("long"), col(mediaCol)).as[(Long, Array[Byte])]
-    ds.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { chunk =>
-        chunk.map { case (id, blob) =>
-          val img = ImageCodec.decode(extractImageBytes(blob))
-          (id, img.getWidth, img.getHeight, ImageCodec.channelSum(img))
-        }
-      }
+    ds.map { case (id, blob) =>
+      val img = ImageCodec.decode(extractImageBytes(blob))
+      (id, img.getWidth, img.getHeight, ImageCodec.channelSum(img))
     }.toDF(idCol, "width", "height", "channel_sum")
   }
 
@@ -240,13 +239,16 @@ object Multimodal {
     require(everyNth >= 1, "everyNth must be >= 1")
     val withM = withMeta(df.select(col(idCol).cast("long").as(idCol),
       col(mediaCol)), mediaCol, "__m")
-    val frames = greatest(col("__m.frames").cast("int"), lit(1))
+    val frames = col("__m.frames").cast("int")
     val frameLen = greatest(lit(1),
-      (col("__m.payloadBytes").cast("int") / frames).cast("int"))
+      (col("__m.payloadBytes").cast("int") / greatest(frames, lit(1))).cast("int"))
     withM
       .select(col(idCol), col(mediaCol),
         frameLen.as("__fl"),
-        explode(sequence(lit(0), frames - 1, lit(everyNth))).as("frame_idx"))
+        // frames=0 blobs (external inputs; makeBlob never emits them)
+        // produce NO rows — explode of the empty array drops the row
+        explode(when(frames >= 1, sequence(lit(0), frames - 1, lit(everyNth)))
+          .otherwise(array().cast("array<int>"))).as("frame_idx"))
       .select(col(idCol), col("frame_idx"),
         col(mediaCol).substr(lit(17) + col("frame_idx") * col("__fl"),
           col("__fl")).as("frame_bytes"))

@@ -102,6 +102,16 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     assert(e1 == e2)
   }
 
+  test("sampleFrames: frames=0 header yields NO rows (external blobs)") {
+    // makeBlob never emits frames=0, but parseMeta accepts any u16 —
+    // externally-supplied blobs must not grow a phantom frame 0
+    val blob = Multimodal.makeBlob(5L, kind = 2)
+    blob(14) = 0; blob(15) = 0 // frames u16 little-endian at offset 14
+    assert(Multimodal.parseMeta(blob).frames == 0)
+    val df = Seq((5L, blob)).toDF("id", "media")
+    assert(Multimodal.sampleFrames(spark, df, "id", "media").count() == 0L)
+  }
+
   test("corrupt blobs fail loudly") {
     intercept[Exception] {
       Multimodal.parseMeta(Array[Byte](1, 2, 3))

@@ -339,6 +339,19 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("empty/whitespace-only docs still dedup as exact duplicates") {
+    // all-empty texts share the all-MaxValue signature AND an empty
+    // shingle set; the jaccard union==0 guard must report them as
+    // similarity 1.0, not NULL (review finding pinned here)
+    val docs = Seq((1L, ""), (2L, "   \t\n"), (3L, "real words here now"),
+      (4L, "")).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicates(docs, "doc_id", "text", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.contains((1L, 2L, 1.0)) && pairs.contains((1L, 4L, 1.0)) &&
+      pairs.contains((2L, 4L, 1.0)), s"empty-doc pairs missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("cosine near-duplicates find planted duplicate vectors") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val planted = emb.unionAll(
