@@ -27,6 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  /** numBits sentinel: size the filter from the measured eval-side key
+    * count at ~12 bits/key (≈0.3% FPR at 5 hashes), clamped to
+    * [2^20, 2^28] — a fixed default is either an oversized plan payload
+    * for small eval suites or useless at 10^8 eval grams.
+    */
+  final val AutoBits: Long = -1L
+
+  private def sizeBits(requested: Long, keys: Long): Long =
+    if (requested != AutoBits) requested
+    else {
+      val want = math.max(1L << 20, math.min(1L << 28,
+        java.lang.Long.highestOneBit(math.max(1L, 12 * keys)) << 1))
+      want
+    }
+
   /** Training rows (all columns) whose `textCol` exactly matches some
     * eval text. Bloom-prefiltered at the scan; confirmed with an exact
     * left-semi join over the survivors only.
@@ -36,13 +51,17 @@ object Decontaminate {
       textCol: String,
       eval: DataFrame,
       evalTextCol: String,
-      numBits: Long = 1L << 24): DataFrame = {
-    val bf = BloomJoin.buildKeyFilter(
-      eval.select(col(evalTextCol).as("__ek")), "__ek", numBits)
+      numBits: Long = AutoBits): DataFrame = {
+    // eval keys are the small side: materialize once (checkpoint — no
+    // lingering cache entries), then count for filter sizing + build +
+    // confirm-join all reuse it
+    val evalKeys = eval.select(col(evalTextCol).as(textCol)).distinct()
+      .localCheckpoint(true)
+    val bf = BloomJoin.buildKeyFilter(evalKeys, textCol,
+      sizeBits(numBits, evalKeys.count()))
     training
       .filter(sketch.bloom_contains(bf, col(textCol)))
-      .join(eval.select(col(evalTextCol).as(textCol)).distinct(),
-        Seq(textCol), "left_semi")
+      .join(evalKeys, Seq(textCol), "left_semi")
   }
 
   /** (id, overlap_ngrams) for every training doc sharing ≥ `minHits`
@@ -57,9 +76,10 @@ object Decontaminate {
     * ([[Dedup.shingles]]), whose arrays are already distinct — the count
     * is distinct shared grams.
     *
-    * Size `numBits` ≈ 10–16 bits per expected distinct eval gram; the
-    * eval-gram join side is |eval|·grams rows — broadcastable for typical
-    * eval suites, shuffled by AQE otherwise (no forced hint).
+    * `numBits` auto-sizes to ~12 bits per measured distinct eval gram
+    * (override for pre-sized deployments); the eval-gram join side is
+    * |eval|·grams rows — broadcastable for typical eval suites, shuffled
+    * by AQE otherwise (no forced hint).
     */
   def ngramContaminated(
       training: DataFrame,
@@ -69,12 +89,14 @@ object Decontaminate {
       evalTextCol: String,
       n: Int = 8,
       minHits: Int = 1,
-      numBits: Long = 1L << 26): DataFrame = {
+      numBits: Long = AutoBits): DataFrame = {
     require(minHits >= 1, "minHits must be >= 1")
     val evalGrams = eval
       .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
       .distinct()
-    val bf = BloomJoin.buildKeyFilter(evalGrams, "__g", numBits)
+      .localCheckpoint(true) // consumed by sizing count + build + FP-kill join
+    val bf = BloomJoin.buildKeyFilter(evalGrams, "__g",
+      sizeBits(numBits, evalGrams.count()))
     training
       .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("__g"))
       .filter(sketch.bloom_contains(bf, col("__g")))

@@ -43,6 +43,22 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestBase {
     assert(!strict.contains(3L) && strict.contains(2L))
   }
 
+  test("ngram plan shape: bloom prefilter sits below the exact FP-kill join") {
+    val plan = Decontaminate.ngramContaminated(
+        trainingDf, "doc_id", "text", evalDf, "etext", n = 3, minHits = 1)
+      .queryExecution.executedPlan.toString
+    val joinIdxs = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(plan.indexOf).filter(_ >= 0)
+    assert(joinIdxs.nonEmpty, s"no join operator found in plan:\n$plan")
+    // tree prints top-down: the filter printing AFTER the join node means
+    // it is a descendant — non-matching grams drop at the scan, before
+    // any join exchange
+    assert(plan.indexOf("bloom_contains") > joinIdxs.min,
+      s"bloom prefilter must sit under the join:\n$plan")
+    // and the payload rides as a SketchLiteral, never a hex-dumped literal
+    assert(plan.contains("sketch_literal("), s"expected sketch_literal:\n$plan")
+  }
+
   test("clean drops exact and ngram hits, keeps the rest intact") {
     val surv = Decontaminate.clean(
         trainingDf, "doc_id", "text", evalDf, "etext", n = 3, minHits = 1)
