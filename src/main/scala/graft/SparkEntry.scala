@@ -742,6 +742,42 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"))
     }),
 
+    // Gopher repetition filters over deterministically planted repetition:
+    // every 4th doc gets a duplicated line, every 5th a tripled 2-gram,
+    // every 7th its whole word sequence repeated — the per-lang flag
+    // counts are exact id arithmetic DuckDB restates, clean docs must
+    // score exactly 0 on every signal, and all fractions stay in [0,1]
+    // (the kernel's exact VALUES are pinned in RepetitionSpec)
+    "q_repetition" -> ((s, d) => {
+      val base = "alpha beta gamma delta epsilon zeta"
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val lineText = when(col("doc_id") % 4 === 0,
+          lit(s"$base\n$base\nomega"))
+        .otherwise(lit(s"$base\nomega"))
+      val topText = when(col("doc_id") % 5 === 0,
+          lit(s"$base alpha beta alpha beta"))
+        .otherwise(lit(base))
+      val dupText = when(col("doc_id") % 7 === 0, lit(s"$base $base"))
+        .otherwise(lit(base))
+      val scored = docs.select(col("lang"), col("doc_id"),
+        tf.dup_line_fraction(lineText).as("dl"),
+        tf.dup_line_char_fraction(lineText).as("dlc"),
+        tf.top_ngram_char_fraction(topText, 2).as("t2"),
+        tf.dup_ngram_char_fraction(dupText, 5).as("d5"))
+      scored.groupBy("lang").agg(
+        count(lit(1)).as("cnt_docs"),
+        sum(when(col("dl") > 0.30, 1L).otherwise(0L)).as("n_dup_line_flagged"),
+        sum(when(col("t2") > 0.20, 1L).otherwise(0L)).as("n_top2_flagged"),
+        sum(when(col("d5") > 0.10, 1L).otherwise(0L)).as("n_dup5_flagged"),
+        (sum(when((col("doc_id") % 4 =!= 0 && (col("dl") =!= 0.0 || col("dlc") =!= 0.0)) ||
+              (col("doc_id") % 5 =!= 0 && col("t2") =!= 0.0) ||
+              (col("doc_id") % 7 =!= 0 && col("d5") =!= 0.0), 1L).otherwise(0L)) === 0L
+          ).as("clean_docs_zero"),
+        (min(least(col("dl"), col("dlc"), col("t2"), col("d5"))) >= 0.0 &&
+          max(greatest(col("dl"), col("dlc"), col("t2"), col("d5"))) <= 1.0
+          ).as("fractions_in_range"))
+    }),
+
     // composed training-data pipeline with a fully EXACT oracle: quality
     // filter -> exact dedup (min doc_id wins, its row carries through) ->
     // per-lang doc counts and token sums; DuckDB replays every stage
@@ -1350,6 +1386,13 @@ object SparkEntry {
         | CAST(sum(pix) AS BIGINT) AS sum_pixels,
         | TRUE AS batch_invariant, TRUE AS tensor_range_ok
         |FROM px""".stripMargin,
+    "q_repetition" ->
+      """SELECT lang, count(*) AS cnt_docs,
+        | count(*) FILTER (WHERE doc_id % 4 = 0) AS n_dup_line_flagged,
+        | count(*) FILTER (WHERE doc_id % 5 = 0) AS n_top2_flagged,
+        | count(*) FILTER (WHERE doc_id % 7 = 0) AS n_dup5_flagged,
+        | TRUE AS clean_docs_zero, TRUE AS fractions_in_range
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_image_neardup" ->
       """SELECT least(count(*), 10) AS n_planted_found,
         | TRUE AS all_above_threshold

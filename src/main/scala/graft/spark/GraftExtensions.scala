@@ -130,6 +130,16 @@ object GraftExtensions {
       TextKernelExpr(args.head, TextKernelExpr.SimHashChar) },
     "lang_id" -> { args => TextKernelExpr(args.head, TextKernelExpr.LangId) },
     "doc_fingerprint" -> { args => TextKernelExpr(args.head, TextKernelExpr.Fingerprint) },
+    "dup_line_fraction" -> { args =>
+      RepetitionExpr(args.head, RepetitionExpr.DupLineFrac, 1) },
+    "dup_line_char_fraction" -> { args =>
+      RepetitionExpr(args.head, RepetitionExpr.DupLineCharFrac, 1) },
+    "top_ngram_char_fraction" -> { args =>
+      RepetitionExpr(args.head, RepetitionExpr.TopNgramCharFrac,
+        intArg(args, 1, 2, "n")) },
+    "dup_ngram_char_fraction" -> { args =>
+      RepetitionExpr(args.head, RepetitionExpr.DupNgramCharFrac,
+        intArg(args, 1, 5, "n")) },
     // ---- vector kernels ----
     "cosine_sim" -> { args => CosineSimExpr(args(0), args(1)) },
     "minhash_signature" -> { args =>

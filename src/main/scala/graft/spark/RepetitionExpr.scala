@@ -1,0 +1,201 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+  * Language Models: Methods, Analysis & Insights from Training Gopher",
+  * table A1) — the standard web-corpus filters for boilerplate and
+  * degenerate repetition, each one O(doc) with a single hash map, fully
+  * inside whole-stage codegen:
+  *
+  *  - `DupLineFrac` — fraction of LINES that repeat an earlier line
+  *    (Gopher threshold 0.30).
+  *  - `DupLineCharFrac` — fraction of line CHARACTERS inside repeated
+  *    occurrences (threshold 0.20) — char-weighted, so one giant repeated
+  *    line can't hide behind many short unique ones.
+  *  - `TopNgramCharFrac(n)` — fraction of word characters covered by the
+  *    most frequent word n-gram (Gopher n=2,3,4 at 0.20/0.18/0.16). A
+  *    top gram occurring ONCE is not repetition: count < 2 ⇒ 0.0
+  *    (documented deviation — makes the signal 0 on repetition-free text
+  *    instead of depending on an arbitrary tie-break among count-1 grams).
+  *  - `DupNgramCharFrac(n)` — fraction of word characters covered by ANY
+  *    word n-gram that occurs more than once, overlaps counted once
+  *    (Gopher n=5..10 at 0.15..0.10).
+  *
+  * All return a double in [0,1]; empty/whitespace-only docs return 0.
+  * Words are `Character.isWhitespace` tokens — the same tokenizer as the
+  * dedup kernels (MinHashSigExpr.foreachShingle's word mode).
+  */
+case class RepetitionExpr(child: Expression, mode: Int, n: Int)
+  extends UnaryExpression {
+  import RepetitionExpr._
+
+  require(mode >= DupLineFrac && mode <= DupNgramCharFrac, s"bad mode $mode")
+  require(n >= 1 && n <= 16, "n must be in [1,16]")
+
+  override def prettyName: String = nameOf(mode, n)
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String].toString, mode, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.spark.RepetitionExpr.compute($s.toString(), $mode, $n);")
+
+  override protected def withNewChildInternal(c: Expression): RepetitionExpr =
+    copy(child = c)
+}
+
+object RepetitionExpr {
+  final val DupLineFrac = 0
+  final val DupLineCharFrac = 1
+  final val TopNgramCharFrac = 2
+  final val DupNgramCharFrac = 3
+
+  def nameOf(mode: Int, n: Int): String = mode match {
+    case DupLineFrac => "dup_line_fraction"
+    case DupLineCharFrac => "dup_line_char_fraction"
+    case TopNgramCharFrac => s"top_${n}gram_char_fraction"
+    case DupNgramCharFrac => s"dup_${n}gram_char_fraction"
+  }
+
+  def compute(text: String, mode: Int, n: Int): Double = mode match {
+    case DupLineFrac | DupLineCharFrac => lineStats(text, mode == DupLineCharFrac)
+    case TopNgramCharFrac => topNgram(text, n)
+    case DupNgramCharFrac => dupNgram(text, n)
+  }
+
+  private def lineStats(text: String, charWeighted: Boolean): Double = {
+    val seen = new java.util.HashMap[String, Integer]()
+    var totalLines = 0
+    var dupLines = 0
+    var totalChars = 0L
+    var dupChars = 0L
+    var start = 0
+    val len = text.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || text.charAt(i) == '\n') {
+        // mirror a text pipeline's view: trim CRs, skip blank lines
+        var e = i
+        if (e > start && text.charAt(e - 1) == '\r') e -= 1
+        if (e > start) {
+          val line = text.substring(start, e)
+          totalLines += 1
+          totalChars += line.length
+          val prev = seen.merge(line, 1, (a, b) => a + b)
+          if (prev > 1) { dupLines += 1; dupChars += line.length }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    if (totalLines == 0) 0.0
+    else if (charWeighted) dupChars.toDouble / totalChars
+    else dupLines.toDouble / totalLines
+  }
+
+  /** Word boundaries via Character.isWhitespace; returns (starts, ends). */
+  private def words(text: String): (Array[Int], Array[Int]) = {
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    val len = text.length
+    var inWord = false
+    while (i <= len) {
+      val ws = i == len || Character.isWhitespace(text.charAt(i))
+      if (!ws && !inWord) { starts.add(i); inWord = true }
+      else if (ws && inWord) { ends.add(i); inWord = false }
+      i += 1
+    }
+    (starts.toArray(new Array[Integer](0)).map(_.intValue()),
+      ends.toArray(new Array[Integer](0)).map(_.intValue()))
+  }
+
+  private def gramKey(text: String, starts: Array[Int], ends: Array[Int],
+      w: Int, n: Int): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var k = w
+    while (k < w + n) {
+      if (k > w) sb.append(' ')
+      sb.append(text, starts(k), ends(k))
+      k += 1
+    }
+    sb.toString
+  }
+
+  private def topNgram(text: String, n: Int): Double = {
+    val (starts, ends) = words(text)
+    val count = starts.length
+    if (count < n) return 0.0
+    val freq = new java.util.HashMap[String, Integer]()
+    var w = 0
+    while (w <= count - n) {
+      freq.merge(gramKey(text, starts, ends, w, n), 1, (a, b) => a + b)
+      w += 1
+    }
+    var totalWordChars = 0L
+    var i = 0
+    while (i < count) { totalWordChars += ends(i) - starts(i); i += 1 }
+    // coverage of the winner = occurrences × its word chars (separators
+    // excluded on both sides of the ratio); count<2 ⇒ no repetition ⇒ 0
+    var best = 0.0
+    val it = freq.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue >= 2) {
+        var gramChars = 0
+        var j = 0
+        val key = e.getKey
+        while (j < key.length) {
+          if (key.charAt(j) != ' ') gramChars += 1
+          j += 1
+        }
+        val cov = e.getValue.toLong * gramChars / totalWordChars.toDouble
+        if (cov > best) best = cov
+      }
+    }
+    math.min(1.0, best)
+  }
+
+  private def dupNgram(text: String, n: Int): Double = {
+    val (starts, ends) = words(text)
+    val count = starts.length
+    if (count < n) return 0.0
+    val freq = new java.util.HashMap[String, Integer]()
+    var w = 0
+    while (w <= count - n) {
+      freq.merge(gramKey(text, starts, ends, w, n), 1, (a, b) => a + b)
+      w += 1
+    }
+    val covered = new Array[Boolean](count)
+    w = 0
+    while (w <= count - n) {
+      if (freq.get(gramKey(text, starts, ends, w, n)) >= 2) {
+        var k = w
+        while (k < w + n) { covered(k) = true; k += 1 }
+      }
+      w += 1
+    }
+    var totalWordChars = 0L
+    var coveredChars = 0L
+    var i = 0
+    while (i < count) {
+      val c = ends(i) - starts(i)
+      totalWordChars += c
+      if (covered(i)) coveredChars += c
+      i += 1
+    }
+    coveredChars.toDouble / totalWordChars
+  }
+}

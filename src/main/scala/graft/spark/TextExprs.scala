@@ -298,6 +298,22 @@ object textFunctions {
   def lang_id(text: Column): Column = k(text, TextKernelExpr.LangId)
   def doc_fingerprint(text: Column): Column = k(text, TextKernelExpr.Fingerprint)
 
+  private def rep(col: Column, mode: Int, n: Int = 1): Column =
+    Bridge.column(RepetitionExpr(Bridge.expression(col), mode, n))
+
+  /** Gopher repetition filters (see [[RepetitionExpr]]): fractions in
+    * [0,1]; typical drop thresholds — dup lines 0.30, dup line chars
+    * 0.20, top 2/3/4-gram 0.20/0.18/0.16, dup 5..10-gram 0.15..0.10.
+    */
+  def dup_line_fraction(text: Column): Column =
+    rep(text, RepetitionExpr.DupLineFrac)
+  def dup_line_char_fraction(text: Column): Column =
+    rep(text, RepetitionExpr.DupLineCharFrac)
+  def top_ngram_char_fraction(text: Column, n: Int): Column =
+    rep(text, RepetitionExpr.TopNgramCharFrac, n)
+  def dup_ngram_char_fraction(text: Column, n: Int): Column =
+    rep(text, RepetitionExpr.DupNgramCharFrac, n)
+
   /** Whitespace token count (columnar). */
   def token_count(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))

@@ -1,0 +1,72 @@
+package graft.spark
+
+import graft.spark.{textFunctions => tf}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class RepetitionSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+  import RepetitionExpr._
+
+  test("dup line fractions: hand-derived exact values") {
+    // lines: a, bb, a  -> 1 of 3 lines is a repeat; chars 1+2+1, dup 1
+    assert(compute("a\nbb\na", DupLineFrac, 1) == 1.0 / 3.0)
+    assert(compute("a\nbb\na", DupLineCharFrac, 1) == 1.0 / 4.0)
+    // blank lines and CRLF are ignored / trimmed
+    assert(compute("x\r\n\r\nx\n", DupLineFrac, 1) == 0.5)
+    // all-distinct and degenerate inputs
+    assert(compute("a\nb\nc", DupLineFrac, 1) == 0.0)
+    assert(compute("", DupLineFrac, 1) == 0.0)
+    // whitespace-only lines are kept verbatim (only CR is trimmed): "   "
+    // and "  " differ, so nothing repeats
+    assert(compute("   \n  ", DupLineCharFrac, 1) == 0.0)
+    // k identical lines -> (k-1)/k
+    assert(compute("z\nz\nz\nz", DupLineFrac, 1) == 0.75)
+  }
+
+  test("top n-gram char fraction: hand-derived exact values") {
+    // words: alpha beta gamma alpha beta — "alpha beta" x2, 9 gram chars,
+    // total word chars 5+4+5+5+4 = 23 -> 2*9/23
+    assert(compute("alpha beta gamma alpha beta", TopNgramCharFrac, 2) == 18.0 / 23.0)
+    // a count-1 top gram is NOT repetition (documented deviation) -> 0
+    assert(compute("alpha beta gamma delta", TopNgramCharFrac, 2) == 0.0)
+    // fewer words than n -> 0
+    assert(compute("alpha", TopNgramCharFrac, 2) == 0.0)
+    assert(compute("", TopNgramCharFrac, 3) == 0.0)
+  }
+
+  test("dup n-gram char fraction: overlap counted once; full repeat covers all") {
+    // same text: duplicated 2-gram instances cover words 0,1,3,4
+    assert(compute("alpha beta gamma alpha beta", DupNgramCharFrac, 2) == 18.0 / 23.0)
+    val base = "alpha beta gamma delta epsilon zeta"
+    // whole 6-word base repeated: every word sits inside a duplicated 5-gram
+    assert(compute(base + " " + base, DupNgramCharFrac, 5) == 1.0)
+    assert(compute(base, DupNgramCharFrac, 5) == 0.0)
+  }
+
+  test("Column API and SQL registration agree; fractions bounded on real docs") {
+    GraftExtensions.register(spark)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", F.concat($"text", F.lit("\n"), $"text").as("t2"))
+    docs.createOrReplaceTempView("rep_docs")
+    val api = docs.select($"doc_id", tf.dup_line_fraction($"t2").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sql = spark.sql(
+      "SELECT doc_id, dup_line_fraction(t2) AS f FROM rep_docs")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(api == sql)
+    // a doc duplicated into two lines is exactly half duplicate
+    assert(api.values.forall(_ == 0.5))
+    val reps = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(
+        tf.top_ngram_char_fraction($"text", 2).as("t2"),
+        tf.dup_ngram_char_fraction($"text", 5).as("d5"),
+        tf.dup_line_char_fraction($"text").as("dlc"))
+    val row = reps.agg(
+      F.min("t2"), F.max("t2"), F.min("d5"), F.max("d5"), F.max("dlc")).first()
+    assert(row.getDouble(0) >= 0.0 && row.getDouble(1) <= 1.0)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(3) <= 1.0)
+    // single-line docs can never have duplicate lines
+    assert(row.getDouble(4) == 0.0)
+  }
+}

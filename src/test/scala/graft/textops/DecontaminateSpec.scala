@@ -43,6 +43,16 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestBase {
     assert(!strict.contains(3L) && strict.contains(2L))
   }
 
+  test("empty eval set: nothing flagged, nothing thrown") {
+    val emptyEval = Seq.empty[String].toDF("etext")
+    assert(Decontaminate.exactContaminated(
+      trainingDf, "text", emptyEval, "etext").count() == 0L)
+    assert(Decontaminate.ngramContaminated(
+      trainingDf, "doc_id", "text", emptyEval, "etext", n = 3).count() == 0L)
+    assert(Decontaminate.clean(
+      trainingDf, "doc_id", "text", emptyEval, "etext", n = 3).count() == 5L)
+  }
+
   test("ngram plan shape: bloom prefilter sits below the exact FP-kill join") {
     val plan = Decontaminate.ngramContaminated(
         trainingDf, "doc_id", "text", evalDf, "etext", n = 3, minHits = 1)
