@@ -1,0 +1,66 @@
+package graft.spark
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the plan-support expressions: the binary-search
+  * bucketer behind Packing and the content-hashed sketch literal behind
+  * BloomJoin/Decontaminate.
+  */
+class PlanExprSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("RangeBucketExpr.bucket: boundary semantics and extremes") {
+    val b = Array(0L, 10L, 100L)
+    // bucket(v) = #boundaries <= v
+    assert(RangeBucketExpr.bucket(b, Long.MinValue) == 0L)
+    assert(RangeBucketExpr.bucket(b, -1L) == 0L)
+    assert(RangeBucketExpr.bucket(b, 0L) == 1L) // inclusive at the split
+    assert(RangeBucketExpr.bucket(b, 9L) == 1L)
+    assert(RangeBucketExpr.bucket(b, 10L) == 2L)
+    assert(RangeBucketExpr.bucket(b, 99L) == 2L)
+    assert(RangeBucketExpr.bucket(b, 100L) == 3L)
+    assert(RangeBucketExpr.bucket(b, Long.MaxValue) == 3L)
+    // empty boundaries: everything in bucket 0
+    assert(RangeBucketExpr.bucket(Array.empty[Long], 42L) == 0L)
+    // monotone non-decreasing over a sorted sweep
+    val sweep = Seq(Long.MinValue, -5L, 0L, 3L, 10L, 50L, 100L, Long.MaxValue)
+    val buckets = sweep.map(RangeBucketExpr.bucket(b, _))
+    assert(buckets == buckets.sorted)
+    // strictly-increasing precondition is enforced
+    intercept[IllegalArgumentException] {
+      RangeBucketExpr(org.apache.spark.sql.graftbridge.Bridge
+        .expression(F.lit(1L)), Array(5L, 5L))
+    }
+  }
+
+  test("RangeBucketExpr evaluates codegen'd over a DataFrame") {
+    val bridge = org.apache.spark.sql.graftbridge.Bridge
+    val out = spark.range(-3, 15).select($"id",
+        bridge.column(RangeBucketExpr(bridge.expression($"id"), Array(0L, 10L)))
+          .as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(-3L) == 0L && out(0L) == 1L && out(9L) == 1L && out(10L) == 2L
+      && out(14L) == 2L)
+  }
+
+  test("SketchLiteral: O(1) identity, content equality, stable eval") {
+    val a = Array.tabulate[Byte](1024)(i => (i * 7).toByte)
+    val b = a.clone()
+    val c = a.clone(); c(512) = 99
+    val la = SketchLiteral(a)
+    val lb = SketchLiteral(b)
+    val lc = SketchLiteral(c)
+    assert(la == lb && la.hashCode == lb.hashCode)
+    assert(la != lc)
+    assert(la.semanticEquals(lb) && !la.semanticEquals(lc))
+    // eval returns the SAME array object every call — the property the
+    // scalar parse cache's identity fast path depends on
+    assert(la.eval(null).asInstanceOf[Array[Byte]] eq a)
+    assert(la.eval(null).asInstanceOf[Array[Byte]] eq
+      la.eval(null).asInstanceOf[Array[Byte]])
+    assert(!la.foldable && la.dataType == org.apache.spark.sql.types.BinaryType)
+    // plan strings carry size + hash, never a megabyte hex dump
+    assert(la.toString.contains("1024 bytes") && la.toString.length < 80)
+  }
+}

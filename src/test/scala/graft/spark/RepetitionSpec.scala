@@ -44,6 +44,33 @@ class RepetitionSpec extends AnyFunSuite with SparkTestBase {
     assert(compute(base, DupNgramCharFrac, 5) == 0.0)
   }
 
+  test("property: fractions bounded; doubling a text saturates repetition") {
+    val gen = org.scalacheck.Gen.listOfN(30,
+      org.scalacheck.Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"))
+      .map(_.mkString(" "))
+    val prop = org.scalacheck.Prop.forAll(gen) { text =>
+      val doubled = text + "\n" + text
+      val modes = Seq((DupLineFrac, 1), (DupLineCharFrac, 1),
+        (TopNgramCharFrac, 2), (TopNgramCharFrac, 3),
+        (DupNgramCharFrac, 5), (DupNgramCharFrac, 2))
+      val bounded = modes.forall { case (m, n) =>
+        val v = compute(text, m, n); v >= 0.0 && v <= 1.0
+      }
+      // an exact self-repeat maximizes line-dup (1/2) and covers every
+      // word with duplicated 5-grams (30 words >> 5)
+      bounded &&
+        compute(doubled, DupLineFrac, 1) == 0.5 &&
+        compute(doubled.replace('\n', ' '), DupNgramCharFrac, 5) == 1.0 &&
+        // repetition never decreases when the text is repeated
+        compute(doubled, TopNgramCharFrac, 2) >= compute(text, TopNgramCharFrac, 2)
+    }
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(50)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L))
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("Column API and SQL registration agree; fractions bounded on real docs") {
     GraftExtensions.register(spark)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
