@@ -90,19 +90,8 @@ object MinHashSigExpr {
         p += 1
       }
     } else {
-      // locate word boundaries once
-      val starts = new java.util.ArrayList[Integer]()
-      val ends = new java.util.ArrayList[Integer]()
-      var i = 0
-      val n = s.length
-      var inWord = false
-      while (i <= n) {
-        val ws = i == n || Character.isWhitespace(s.charAt(i))
-        if (!ws && !inWord) { starts.add(i); inWord = true }
-        else if (ws && inWord) { ends.add(i); inWord = false }
-        i += 1
-      }
-      val words = starts.size()
+      val (starts, ends) = wordBounds(s)
+      val words = starts.length
       if (words == 0) return
       val shingleCount = math.max(1, words - shingleSize + 1)
       var w = 0
@@ -110,17 +99,47 @@ object MinHashSigExpr {
         // shingle = original text span from start of word w to end of word
         // w+shingleSize-1 normalized to single spaces between words
         val lastWord = math.min(words - 1, w + shingleSize - 1)
-        val sb = new java.lang.StringBuilder(48)
-        var k = w
-        while (k <= lastWord) {
-          if (k > w) sb.append(' ')
-          sb.append(s, starts.get(k), ends.get(k))
-          k += 1
-        }
-        f(sb.toString)
+        f(joinWords(s, starts, ends, w, lastWord))
         w += 1
       }
     }
+  }
+
+  /** Word boundaries by `Character.isWhitespace` — THE tokenizer shared by
+    * the minhash signature kernel, the verify-stage ShinglesExpr, and the
+    * repetition filters (RepetitionExpr): one definition, so 'same words'
+    * claims across those operators are structural, not aspirational.
+    * Returns parallel (starts, ends) index arrays.
+    */
+  def wordBounds(s: String): (Array[Int], Array[Int]) = {
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    val n = s.length
+    var inWord = false
+    while (i <= n) {
+      val ws = i == n || Character.isWhitespace(s.charAt(i))
+      if (!ws && !inWord) { starts.add(i); inWord = true }
+      else if (ws && inWord) { ends.add(i); inWord = false }
+      i += 1
+    }
+    val sa = new Array[Int](starts.size()); val ea = new Array[Int](ends.size())
+    var j = 0
+    while (j < sa.length) { sa(j) = starts.get(j); ea(j) = ends.get(j); j += 1 }
+    (sa, ea)
+  }
+
+  /** Words [from..to] joined by single spaces (the shared gram format). */
+  def joinWords(s: String, starts: Array[Int], ends: Array[Int],
+      from: Int, to: Int): String = {
+    val sb = new java.lang.StringBuilder(48)
+    var k = from
+    while (k <= to) {
+      if (k > from) sb.append(' ')
+      sb.append(s, starts(k), ends(k))
+      k += 1
+    }
+    sb.toString
   }
 
   /** Codegen + interpreted entry point. With `charGrams=true` the shingle

@@ -26,9 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    word n-gram that occurs more than once, overlaps counted once
   *    (Gopher n=5..10 at 0.15..0.10).
   *
-  * All return a double in [0,1]; empty/whitespace-only docs return 0.
-  * Words are `Character.isWhitespace` tokens — the same tokenizer as the
-  * dedup kernels (MinHashSigExpr.foreachShingle's word mode).
+  * All return a double in [0,1]; empty docs return 0. Line modes keep
+  * whitespace-only lines VERBATIM (only a trailing CR is trimmed), so
+  * indent-only boilerplate scores as the repetition it is; the n-gram
+  * modes see zero words there and return 0. Words come from
+  * `MinHashSigExpr.wordBounds` — literally the same tokenizer the dedup
+  * kernels use, so repetition filters and dedup shingles can never drift.
   */
 case class RepetitionExpr(child: Expression, mode: Int, n: Int)
   extends UnaryExpression {
@@ -105,48 +108,31 @@ object RepetitionExpr {
     else dupLines.toDouble / totalLines
   }
 
-  /** Word boundaries via Character.isWhitespace; returns (starts, ends). */
-  private def words(text: String): (Array[Int], Array[Int]) = {
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
-    var i = 0
-    val len = text.length
-    var inWord = false
-    while (i <= len) {
-      val ws = i == len || Character.isWhitespace(text.charAt(i))
-      if (!ws && !inWord) { starts.add(i); inWord = true }
-      else if (ws && inWord) { ends.add(i); inWord = false }
-      i += 1
+  /** All gram keys in position order — built ONCE per doc (the coverage
+    * pass in dupNgram reuses them instead of re-joining strings). Words
+    * come from the shared dedup tokenizer.
+    */
+  private def gramKeys(text: String, n: Int): (Array[String], Array[Int], Array[Int]) = {
+    val (starts, ends) = MinHashSigExpr.wordBounds(text)
+    val count = starts.length
+    if (count < n) return (Array.empty, starts, ends)
+    val keys = new Array[String](count - n + 1)
+    var w = 0
+    while (w <= count - n) {
+      keys(w) = MinHashSigExpr.joinWords(text, starts, ends, w, w + n - 1)
+      w += 1
     }
-    (starts.toArray(new Array[Integer](0)).map(_.intValue()),
-      ends.toArray(new Array[Integer](0)).map(_.intValue()))
-  }
-
-  private def gramKey(text: String, starts: Array[Int], ends: Array[Int],
-      w: Int, n: Int): String = {
-    val sb = new java.lang.StringBuilder(32)
-    var k = w
-    while (k < w + n) {
-      if (k > w) sb.append(' ')
-      sb.append(text, starts(k), ends(k))
-      k += 1
-    }
-    sb.toString
+    (keys, starts, ends)
   }
 
   private def topNgram(text: String, n: Int): Double = {
-    val (starts, ends) = words(text)
-    val count = starts.length
-    if (count < n) return 0.0
+    val (keys, starts, ends) = gramKeys(text, n)
+    if (keys.isEmpty) return 0.0
     val freq = new java.util.HashMap[String, Integer]()
-    var w = 0
-    while (w <= count - n) {
-      freq.merge(gramKey(text, starts, ends, w, n), 1, (a, b) => a + b)
-      w += 1
-    }
+    keys.foreach(k => freq.merge(k, 1, (a, b) => a + b))
     var totalWordChars = 0L
     var i = 0
-    while (i < count) { totalWordChars += ends(i) - starts(i); i += 1 }
+    while (i < starts.length) { totalWordChars += ends(i) - starts(i); i += 1 }
     // coverage of the winner = occurrences × its word chars (separators
     // excluded on both sides of the ratio); count<2 ⇒ no repetition ⇒ 0
     var best = 0.0
@@ -169,19 +155,15 @@ object RepetitionExpr {
   }
 
   private def dupNgram(text: String, n: Int): Double = {
-    val (starts, ends) = words(text)
+    val (keys, starts, ends) = gramKeys(text, n)
+    if (keys.isEmpty) return 0.0
     val count = starts.length
-    if (count < n) return 0.0
     val freq = new java.util.HashMap[String, Integer]()
-    var w = 0
-    while (w <= count - n) {
-      freq.merge(gramKey(text, starts, ends, w, n), 1, (a, b) => a + b)
-      w += 1
-    }
+    keys.foreach(k => freq.merge(k, 1, (a, b) => a + b))
     val covered = new Array[Boolean](count)
-    w = 0
-    while (w <= count - n) {
-      if (freq.get(gramKey(text, starts, ends, w, n)) >= 2) {
+    var w = 0
+    while (w < keys.length) {
+      if (freq.get(keys(w)) >= 2) {
         var k = w
         while (k < w + n) { covered(k) = true; k += 1 }
       }

@@ -34,13 +34,11 @@ object Decontaminate {
     */
   final val AutoBits: Long = -1L
 
-  private def sizeBits(requested: Long, keys: Long): Long =
+  // keys by-name: a caller-supplied numBits must not pay the count job
+  private def sizeBits(requested: Long, keys: => Long): Long =
     if (requested != AutoBits) requested
-    else {
-      val want = math.max(1L << 20, math.min(1L << 28,
-        java.lang.Long.highestOneBit(math.max(1L, 12 * keys)) << 1))
-      want
-    }
+    else math.max(1L << 20, math.min(1L << 28,
+      java.lang.Long.highestOneBit(math.max(1L, 12 * keys)) << 1))
 
   /** Training rows (all columns) whose `textCol` exactly matches some
     * eval text. Bloom-prefiltered at the scan; confirmed with an exact
