@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench capture parses the LAST stdout line as JSON; sbt's
+// trailing "[success] Total time: ..." line otherwise lands after the
+// bench summary (run is forked, so a JVM shutdown hook can't print later
+// than sbt). Suppressing the success/timing banner makes the runMain's
+// own final println the last line of the process. Task failures still
+// print "[error]" and exit non-zero, so nothing is lost.
+ThisBuild / showSuccess := false
+ThisBuild / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
+// Forked run output passes through RAW (no "[info] " logger prefix):
+// the bench harness parses the process's last stdout line as JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

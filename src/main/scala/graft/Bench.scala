@@ -173,7 +173,7 @@ object Bench {
         s.stop()
         // raw-CPU burn at the same thread count, measured at the same
         // moment as the job so co-tenant load affects both equally
-        val burnOps = (1 to 3).map(_ => burnThroughput(cores)).max
+        val burnOps = robustBurn(cores)
         (cores, scaleRows / sec, sec, est, burnOps)
       }
     }
@@ -235,6 +235,10 @@ object Bench {
     // capture keeps only the stdout TAIL, and rounds 1-3 each lost the
     // oversized single line to that window — the headline must survive
     // whole inside the final ~1900 bytes
+    // default path is cwd-relative BY INTENT: sbt's forked run sets cwd to
+    // the project base directory, so `sbt 'runMain graft.Bench'` lands the
+    // detail file at the repo root; a bare spark-submit run drops it in the
+    // submitter's cwd, and SPARK_GRAFT_BENCH_OUT overrides either way
     val detailFile = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
     java.nio.file.Files.write(detailFile,
@@ -253,6 +257,21 @@ object Bench {
       s""","relative_efficiency_${pairHi}":${f"$relHigh%.3f"}""" +
       s""","detail_file":"${detailFile.toAbsolutePath}"}"""
     println(summary)
+  }
+
+  /** Robust hardware-ceiling estimate: 5 burns, reject any that disagree
+    * with the sample median by more than 2× (a co-tenant throttle window
+    * landing inside ONE burn once produced a physically impossible
+    * raw_cpu_ceiling of 4.19 — the 4-core burn itself was throttled ~4×
+    * and best-of-3 didn't recover), then take the max of the survivors:
+    * throttling only ever LOWERS a burn, so after outlier rejection the
+    * max is the best estimate of unthrottled capability.
+    */
+  private def robustBurn(threads: Int): Double = {
+    val samples = (1 to 5).map(_ => burnThroughput(threads)).sorted
+    val med = samples(samples.length / 2)
+    val kept = samples.filter(s => s >= med / 2 && s <= med * 2)
+    kept.max
   }
 
   /** Pure-JVM arithmetic throughput (ops/s) at a thread count — the

@@ -533,6 +533,17 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val evalSet = docs.filter(col("doc_id") % 50 === 0).select(col("text"))
+      // the gate's closed forms (every near-copy shares all original
+      // 8-grams; exact hits ⊆ ngram hits) assume every eval text carries
+      // >= 8 words — a shorter doc has no 8-gram shingles and is exact-
+      // flagged only. Holds for the driver generator at all three SFs;
+      // fail loudly (not with a silent hash mismatch) if that changes.
+      val minEvalWords = evalSet
+        .select(min(size(split(trim(col("text")), "\\s+"))))
+        .first().getInt(0)
+      require(minEvalWords >= 8,
+        s"q_decontaminate eval set has a $minEvalWords-word text; the " +
+          "gate's n-gram closed forms need every eval text >= 8 words")
       val nearCopies = docs
         .filter(col("doc_id") % 50 === 0 && col("doc_id") < 500)
         .select((col("doc_id") + 200000L).as("doc_id"),
@@ -664,47 +675,51 @@ object SparkEntry {
     "q_rewrite_acd" -> ((s, d) => {
       graft.spark.GraftExtensions.register(s)
       val confKey = graft.spark.RewriteApproxCountDistinct.ConfKey
-      val prior = s.conf.getOption(confKey) // restore, don't clobber
-      s.conf.set(confKey, "true")
-      // the rule reads its conf at OPTIMIZATION time, so this query runs
-      // eagerly inside the conf window and returns materialized rows
+      // 2% inside the p=16 boundary: rsd exactly 1.04/256 would put
+      // ceil(2*log2(1.04/rsd)) one float ulp from flipping to 17 on a
+      // different JVM's Math.log; the assert turns any drift into a
+      // clear failure instead of a silent estimate mismatch
+      val rsd = 1.04 / 256.0 * 1.02
+      require(graft.spark.RewriteApproxCountDistinct.precisionFor(rsd) == 16,
+        s"rsd=$rsd must derive p=16")
+      // the rewritten agg, the exact counts, and the library agg run as
+      // three separate aggregations (see q_hll_orders scale note) over
+      // ONE cached 2-column projection. Only the REWRITTEN aggregation
+      // needs the rule's conf window (the rule reads its conf at
+      // OPTIMIZATION time, so it runs eagerly inside it); the exact and
+      // library aggregations use stock planning and run after the conf
+      // is restored — the window holds exactly one eager scan.
+      val li = t(s, d, "lineitem").select("l_returnflag", "l_orderkey")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rows = try {
-        // 2% inside the p=16 boundary: rsd exactly 1.04/256 would put
-        // ceil(2*log2(1.04/rsd)) one float ulp from flipping to 17 on a
-        // different JVM's Math.log; the assert turns any drift into a
-        // clear failure instead of a silent estimate mismatch
-        val rsd = 1.04 / 256.0 * 1.02
-        require(graft.spark.RewriteApproxCountDistinct.precisionFor(rsd) == 16,
-          s"rsd=$rsd must derive p=16")
-        // the rewritten agg, the exact counts, and the library agg run as
-        // three separate aggregations (see q_hll_orders scale note) over
-        // ONE cached 2-column projection — the three eager scans inside
-        // this conf window were the gate's whole cost otherwise
-        val li = t(s, d, "lineitem").select("l_returnflag", "l_orderkey")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
+        val prior = s.conf.getOption(confKey) // restore, don't clobber
+        s.conf.set(confKey, "true")
+        val (rewRows, fired) = try {
           val rewritten = li
             .groupBy("l_returnflag")
             .agg(approx_count_distinct(col("l_orderkey"), rsd).as("est"))
-          val fired = rewritten.queryExecution.optimizedPlan.toString
+          val f = rewritten.queryExecution.optimizedPlan.toString
             .contains("hll_approx_count_distinct")
-          val exact = li.groupBy("l_returnflag")
-            .agg(countDistinct("l_orderkey").as("exact_dc"))
-          val lib = li.groupBy("l_returnflag")
-            .agg(gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("lib_est"))
-          rewritten.join(exact, "l_returnflag").join(lib, "l_returnflag")
-            .select(col("l_returnflag"), col("exact_dc"),
-              lit(fired).as("rewrite_fired"),
-              (col("est") === col("lib_est")).as("estimates_equal"),
-              withinBound(col("est"), col("exact_dc"), boundP16).as("within_bound"))
-            .collect().toSeq
-            .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
-              r.getBoolean(3), r.getBoolean(4)))
-        } finally li.unpersist()
-      } finally prior match {
-        case Some(v) => s.conf.set(confKey, v)
-        case None => s.conf.unset(confKey)
-      }
+          (rewritten.collect().toSeq.map(r => (r.getString(0), r.getLong(1))), f)
+        } finally prior match {
+          case Some(v) => s.conf.set(confKey, v)
+          case None => s.conf.unset(confKey)
+        }
+        import s.implicits._
+        val rew = rewRows.toDF("l_returnflag", "est")
+        val exact = li.groupBy("l_returnflag")
+          .agg(countDistinct("l_orderkey").as("exact_dc"))
+        val lib = li.groupBy("l_returnflag")
+          .agg(gf.hll_approx_count_distinct(col("l_orderkey"), p = 16).as("lib_est"))
+        rew.join(exact, "l_returnflag").join(lib, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_dc"),
+            lit(fired).as("rewrite_fired"),
+            (col("est") === col("lib_est")).as("estimates_equal"),
+            withinBound(col("est"), col("exact_dc"), boundP16).as("within_bound"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+            r.getBoolean(3), r.getBoolean(4)))
+      } finally li.unpersist()
       import s.implicits._
       rows.toDF("l_returnflag", "exact_dc", "rewrite_fired",
         "estimates_equal", "within_bound")

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * (#string·(2^p+freq) + #numeric·kll) bytes TOTAL (independent of row
   * count) → one final merge. Profiling a petabyte costs one scan.
   *
-  * The single aggregated row is localCheckpoint'ed and fanned out into
+  * The single aggregated row is eagerly checkpointed
+  * (graft.textops.Materialize — durability knob) and fanned out into
   * one output row per column (n_cols projections over 1 cached row — the
   * scan never re-runs). No distinct aggregates anywhere, so the
   * object-agg × distinct planning landmine (CLAUDE.md round-2 gotcha)
@@ -54,7 +55,7 @@ object Profile {
         count(col(c)).as(s"__cnt_$c")) }
     // one scan, one row; checkpoint so the per-column fan-out below never
     // re-runs the aggregation
-    val one = df.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+    val one = graft.textops.Materialize(df.agg(aggs.head, aggs.tail: _*))
     val stringRows = stringCols.map { c =>
       one.select(
         lit(c).as("column"), lit("string").as("kind"),

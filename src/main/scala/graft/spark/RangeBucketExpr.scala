@@ -35,6 +35,21 @@ case class RangeBucketExpr(child: Expression, boundaries: Array[Long])
       s"${ev.value} = graft.spark.RangeBucketExpr.bucket($ref, $v);")
   }
 
+  // case-class equality over Array[Long] is REFERENCE equality — two
+  // content-equal instances would never semanticEquals, defeating
+  // canonicalization / subexpression elimination if the expression is
+  // reused in one plan. Compare boundary content (mirrors SketchLiteral).
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(boundaries)
+
+  override def equals(o: Any): Boolean = o match {
+    case r: RangeBucketExpr =>
+      child == r.child &&
+        ((boundaries eq r.boundaries) ||
+          java.util.Arrays.equals(boundaries, r.boundaries))
+    case _ => false
+  }
+
   override protected def withNewChildInternal(c: Expression): RangeBucketExpr =
     copy(child = c)
 }

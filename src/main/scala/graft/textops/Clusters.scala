@@ -31,11 +31,12 @@ import org.apache.spark.sql.functions._
   * loop counter and the O(1) convergence sum, no window functions. The
   * static symmetrized edge table is hash-partitioned by the join key ONCE
   * and cached, so each round shuffles only the label table. Every round's
-  * label table is localCheckpoint'ed: the doubling self-join embeds its
-  * input plan twice, so the logical tree would otherwise QUADRUPLE per
-  * round (at cluster scale swap in `checkpoint()` against reliable
-  * storage via `spark.sparkContext.setCheckpointDir` — same semantics,
-  * executor-loss-safe).
+  * label table is eagerly checkpointed via [[Materialize]]: the doubling
+  * self-join embeds its input plan twice, so the logical tree would
+  * otherwise QUADRUPLE per round. Durability follows the
+  * `spark.graft.checkpoint` conf — on a real cluster set a checkpoint
+  * dir (auto-sensed) or force `reliable` so executor loss can't kill a
+  * multi-hour run.
   */
 object Clusters {
 
@@ -64,9 +65,8 @@ object Clusters {
     val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
       .repartition(col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    var labels = Materialize(sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     // decimal sum: a 64-bit sum of 10^12 ~2^40 ids overflows and could
     // alias the strictly-decreasing convergence invariant; null ⇒ no nodes
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -119,7 +119,7 @@ object Clusters {
         // caches data but keeps the exponentially growing tree, and
         // analysis time explodes by round ~4 (measured: 86 s/round at 1M
         // nodes vs a flat 2.3 s/round with per-round truncation)
-        val next = doubled.localCheckpoint(true)
+        val next = Materialize(doubled)
         prevSum = hopSum // next round's hop compares against THIS hop
         hop.unpersist()
         labels = next

@@ -49,12 +49,22 @@ object Decontaminate {
       textCol: String,
       eval: DataFrame,
       evalTextCol: String,
-      numBits: Long = AutoBits): DataFrame = {
+      numBits: Long = AutoBits): DataFrame =
     // eval keys are the small side: materialize once (checkpoint — no
     // lingering cache entries), then count for filter sizing + build +
     // confirm-join all reuse it
-    val evalKeys = eval.select(col(evalTextCol).as(textCol)).distinct()
-      .localCheckpoint(true)
+    exactFromKeys(training, textCol,
+      Materialize(eval.select(col(evalTextCol).as(textCol)).distinct()),
+      numBits)
+
+  /** Exact detector over a pre-materialized distinct eval-text table
+    * (one column named `textCol`) — lets [[clean]] share the projection.
+    */
+  private def exactFromKeys(
+      training: DataFrame,
+      textCol: String,
+      evalKeys: DataFrame,
+      numBits: Long): DataFrame = {
     val bf = BloomJoin.buildKeyFilter(evalKeys, textCol,
       sizeBits(numBits, evalKeys.count()))
     training
@@ -87,12 +97,26 @@ object Decontaminate {
       evalTextCol: String,
       n: Int = 8,
       minHits: Int = 1,
-      numBits: Long = AutoBits): DataFrame = {
+      numBits: Long = AutoBits): DataFrame =
+    ngramFromGrams(training, idCol, textCol,
+      Materialize(eval
+        .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
+        .distinct()), // consumed by sizing count + build + FP-kill join
+      n, minHits, numBits)
+
+  /** N-gram detector over a pre-materialized distinct eval-gram table
+    * (one column `__g`) — lets [[clean]] derive grams from its shared
+    * eval projection instead of re-scanning the eval input.
+    */
+  private def ngramFromGrams(
+      training: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalGrams: DataFrame,
+      n: Int,
+      minHits: Int,
+      numBits: Long): DataFrame = {
     require(minHits >= 1, "minHits must be >= 1")
-    val evalGrams = eval
-      .select(explode(Dedup.shingles(col(evalTextCol), n)).as("__g"))
-      .distinct()
-      .localCheckpoint(true) // consumed by sizing count + build + FP-kill join
     val bf = BloomJoin.buildKeyFilter(evalGrams, "__g",
       sizeBits(numBits, evalGrams.count()))
     training
@@ -105,10 +129,19 @@ object Decontaminate {
   }
 
   /** Training minus every contaminated doc (exact OR n-gram): the export
-    * call. Exact matches are a subset of n-gram hits whenever texts carry
-    * ≥ 1 shingle, but both detectors run so `minHits` > 1 can never
-    * un-flag a verbatim eval copy. Ships only loser ids through the
-    * anti-joins, never documents.
+    * call. Exact matches are a subset of n-gram hits whenever the eval
+    * text carries ≥ 1 shingle; an eval text SHORTER than `n` words
+    * (including empty/whitespace-only) has no shingles and is caught by
+    * the exact detector ONLY — which is why both detectors always run:
+    * neither `minHits` > 1 nor a shingle-free eval doc can un-flag a
+    * verbatim eval copy. Ships only loser ids through the anti-joins,
+    * never documents.
+    *
+    * The eval input is projected, deduped, and materialized ONCE and
+    * shared by both detectors (the gram table derives from it).
+    * `exactNumBits` / `ngramNumBits` pre-size the two Bloom filters for
+    * deployments that know their key counts; the defaults auto-size from
+    * measured counts.
     */
   def clean(
       training: DataFrame,
@@ -117,11 +150,18 @@ object Decontaminate {
       eval: DataFrame,
       evalTextCol: String,
       n: Int = 8,
-      minHits: Int = 1): DataFrame = {
-    val exactIds = exactContaminated(training, textCol, eval, evalTextCol)
+      minHits: Int = 1,
+      exactNumBits: Long = AutoBits,
+      ngramNumBits: Long = AutoBits): DataFrame = {
+    val evalTexts = Materialize(
+      eval.select(col(evalTextCol).as(textCol)).distinct())
+    val evalGrams = Materialize(evalTexts
+      .select(explode(Dedup.shingles(col(textCol), n)).as("__g"))
+      .distinct())
+    val exactIds = exactFromKeys(training, textCol, evalTexts, exactNumBits)
       .select(col(idCol))
-    val ngramIds = ngramContaminated(training, idCol, textCol, eval,
-      evalTextCol, n, minHits).select(col(idCol))
+    val ngramIds = ngramFromGrams(training, idCol, textCol, evalGrams,
+      n, minHits, ngramNumBits).select(col(idCol))
     training.join(exactIds.unionAll(ngramIds).distinct(), Seq(idCol), "left_anti")
   }
 }

@@ -146,9 +146,7 @@ object Dedup {
         xxhash64(slice(col("__sig"), b * rows + 1, rows).cast("string"), lit(b))
       }: _*)).as(Seq("__band", "__key")))
     val (raw, release) = bucketJoin(banded, Nil, maxBucket, persistBanded)
-    val pairs = raw.select(col("id_a"), col("id_b"))
-      .distinct()
-      .localCheckpoint(true)
+    val pairs = Materialize(raw.select(col("id_a"), col("id_b")).distinct())
     release()
     pairs
   }
@@ -274,10 +272,9 @@ object Dedup {
     val banded = sh.select(col("__id"), col("__sim"),
       posexplode(array(keys: _*)).as(Seq("__band", "__key")))
     val (raw, release) = bucketJoin(banded, Seq("__sim"), maxBucket, persistBanded)
-    val pairs = raw.select(col("id_a"), col("id_b"),
+    val pairs = Materialize(raw.select(col("id_a"), col("id_b"),
         (lit(64) - bit_count(col("__sim_a").bitwiseXOR(col("__sim_b")))).as("matching_bits"))
-      .distinct()
-      .localCheckpoint(true) // eager: release the banded cache below
+      .distinct()) // eager: release the banded cache below
     release()
     pairs
   }

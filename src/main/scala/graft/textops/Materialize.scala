@@ -1,0 +1,50 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+
+/** Eager materialization for iterative / multiply-consumed intermediates
+  * (candidate pair sets, CC label tables, eval-side key sets), with a
+  * durability knob.
+  *
+  * `localCheckpoint(true)` stores blocks on the executors themselves —
+  * fast, zero-configuration, and the right default on a healthy cluster —
+  * but an executor LOSS invalidates the blocks and kills the job: a
+  * multi-hour dedup/CC run on a 1000-executor cluster should not die with
+  * one preempted node. `checkpoint(true)` writes to the reliable
+  * checkpoint directory (HDFS/S3) and survives executor loss at the cost
+  * of a write per materialization.
+  *
+  * Mode is read from the session conf `spark.graft.checkpoint`:
+  *
+  *  - `"auto"` (default): reliable iff `sparkContext.setCheckpointDir`
+  *    has been called — a cluster job that configures a checkpoint dir
+  *    gets durability with zero API changes; local-mode runs and tests
+  *    (no dir) keep the fast path.
+  *  - `"local"`: always `localCheckpoint` (force-fast even with a dir
+  *    set for other purposes).
+  *  - `"reliable"`: always `checkpoint` — fails loudly via Spark's own
+  *    error if no checkpoint dir is configured, for deployments that
+  *    must never fall back silently.
+  *
+  * Both forms are EAGER and truncate lineage identically, so operator
+  * outputs are byte-identical across modes (asserted in ClustersSpec).
+  */
+object Materialize {
+
+  /** Session-conf key selecting the materialization mode. */
+  final val ConfKey = "spark.graft.checkpoint"
+
+  def apply(df: DataFrame): DataFrame = {
+    val mode = df.sparkSession.conf.get(ConfKey, "auto")
+    mode match {
+      case "local" => df.localCheckpoint(true)
+      case "reliable" => df.checkpoint(true)
+      case "auto" =>
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(true)
+        else df.localCheckpoint(true)
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be one of auto|local|reliable, got '$other'")
+    }
+  }
+}

@@ -89,7 +89,7 @@ object Similarity {
       k: Int,
       smallQueries: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cands = cands0.localCheckpoint(true)
+    val cands = Materialize(cands0)
     val qv0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val qv = if (smallQueries) broadcast(qv0) else qv0
     val nv = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__nv"))
@@ -245,6 +245,24 @@ object Similarity {
       smallQueries)
   }
 
+  /** `bitsPerTable` sentinel for [[cosineNearDuplicates]]: derive the
+    * signature width from a corpus count (see [[autoBitsPerTable]]).
+    */
+  final val AutoBits: Int = -1
+
+  /** Signature bits so a RANDOM bucket holds ~`targetBucket` vectors:
+    * ceil(log2(n / targetBucket)), clamped to [10, 26]. 10 bits floors
+    * small corpora (wider tables there only cost recall); 26 caps the
+    * key space at 10^10+ corpora where `maxBucket` quarantine governs
+    * hot buckets anyway.
+    */
+  def autoBitsPerTable(n: Long, targetBucket: Int = 64): Int = {
+    require(targetBucket >= 1, "targetBucket must be >= 1")
+    val raw = math.ceil(math.log(math.max(1L, n).toDouble / targetBucket)
+      / math.log(2.0)).toInt
+    math.max(10, math.min(26, raw))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, via LSH
     * (the embedding analog of Dedup.nearDuplicates), routed through the
     * shared hot-bucket quarantine: buckets larger than `maxBucket`
@@ -255,9 +273,11 @@ object Similarity {
     * shuffle carries (id, band, 8-byte key) only; vectors join back by id
     * for the exact-cosine verify.
     *
-    * `bitsPerTable` should grow with log2(corpus size) — at the 10-bit
-    * default a random bucket holds ~N/1024 vectors, so raise it (or lower
-    * `maxBucket`) for 10^8+ corpora.
+    * `bitsPerTable` defaults to [[AutoBits]]: one cheap count job sizes
+    * the signature so random buckets stay ~64 vectors at ANY corpus size
+    * (the fixed 10-bit default put ~N/1024 vectors in every bucket —
+    * quadratic verify work at 10^8+ corpora unless the caller remembered
+    * to raise it). Pass an explicit width to skip the count.
     */
   def cosineNearDuplicates(
       vectors: DataFrame,
@@ -265,16 +285,19 @@ object Similarity {
       vecCol: String,
       threshold: Double = 0.95,
       tables: Int = 12,
-      bitsPerTable: Int = 10,
+      bitsPerTable: Int = AutoBits,
       maxBucket: Int = 10000,
       persistBanded: Boolean = true): DataFrame = {
+    val bits =
+      if (bitsPerTable == AutoBits) autoBitsPerTable(vectors.count())
+      else bitsPerTable
     val banded = vectors.select(col(idCol).as("__id"),
-      posexplode(lshSignatures(col(vecCol), tables, bitsPerTable))
+      posexplode(lshSignatures(col(vecCol), tables, bits))
         .as(Seq("__band", "__key")))
     val (raw, release) = Dedup.bucketJoin(banded, Nil, maxBucket, persistBanded)
     // eager id-pair checkpoint: consumed twice below (semi + join) and
     // lets the banded cache release immediately
-    val cands = raw.select("id_a", "id_b").distinct().localCheckpoint(true)
+    val cands = Materialize(raw.select("id_a", "id_b").distinct())
     release()
     val candIds = cands.select(col("id_a").as("__vid"))
       .unionAll(cands.select(col("id_b").as("__vid")))
