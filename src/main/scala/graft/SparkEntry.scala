@@ -793,6 +793,35 @@ object SparkEntry {
           ).as("fractions_in_range"))
     }),
 
+    // cross-doc repeated-span flagging over deterministically planted
+    // boilerplate: every 3rd doc carries a fixed 10-word tail, all other
+    // text is doc_id-unique tokens (so ONLY the three 8-gram windows
+    // inside the tail are cross-doc-hot). Per-lang flag counts are id
+    // arithmetic DuckDB restates; clean docs must score exactly 0; and
+    // every flagged doc's covered_chars must equal the tail's exact char
+    // length — the three hot grams OVERLAP, so any double-counting in the
+    // interval union fails the gate (3 raw spans sum to ~2.4× the tail)
+    "q_spanrep" -> ((s, d) => {
+      val bp = "quick brown foxes jump over lazy dogs near riverbank tonight"
+      require(bp.split(" ").length == 10)
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      val uniq = concat_ws(" ",
+        (1 to 12).map(i => concat(lit("u"), col("doc_id"), lit("q" + i))): _*)
+      val text = when(col("doc_id") % 3 === 0,
+        concat(uniq, lit(" " + bp))).otherwise(uniq)
+      val corpus = docs.select(col("doc_id"), col("lang"), text.as("text"))
+      val stats = graft.textops.SpanRep.repeatedSpanStats(
+        corpus, "doc_id", "text", n = 8, minOtherDocs = 1)
+      corpus.join(stats, "doc_id").groupBy("lang").agg(
+        count(lit(1)).as("cnt_docs"),
+        sum(when(col("covered_frac") > 0.2, 1L).otherwise(0L)).as("n_flagged"),
+        (sum(when(col("doc_id") % 3 =!= 0 && col("covered_chars") =!= 0L, 1L)
+          .otherwise(0L)) === 0L).as("clean_docs_zero"),
+        (sum(when(col("doc_id") % 3 === 0 &&
+            col("covered_chars") =!= lit(bp.length.toLong), 1L)
+          .otherwise(0L)) === 0L).as("covered_exact"))
+    }),
+
     // composed training-data pipeline with a fully EXACT oracle: quality
     // filter -> exact dedup (min doc_id wins, its row carries through) ->
     // per-lang doc counts and token sums; DuckDB replays every stage
@@ -1412,6 +1441,11 @@ object SparkEntry {
       """SELECT least(count(*), 10) AS n_planted_found,
         | TRUE AS all_above_threshold
         |FROM documents""".stripMargin,
+    "q_spanrep" ->
+      """SELECT lang, count(*) AS cnt_docs,
+        | count(*) FILTER (WHERE doc_id % 3 = 0) AS n_flagged,
+        | TRUE AS clean_docs_zero, TRUE AS covered_exact
+        |FROM documents GROUP BY 1""".stripMargin,
     "q_hll_formats" ->
       "SELECT TRUE AS eq_8_6, TRUE AS eq_8_5, TRUE AS close_8_4, TRUE AS sizes_ok",
     "q_streaming_window" ->

@@ -99,6 +99,55 @@ object TextScaleRun {
     val clusteredEval = (clusteredDocs + 99) / 100 // %100==0 ⇒ cluster base
     val expectNgram = nEval + 3 * clusteredEval
 
+    // ---- decontamination at ADVERSARIAL eval scale: eval = every 3rd
+    // unique-region doc (~rows/3.75 docs × 34 distinct 8-grams ≈ 10^7
+    // grams at 1M rows) — far beyond any broadcast threshold, so the
+    // FP-kill join against the eval-gram table MUST take the shuffle
+    // path. Closed form: unique-region docs share no grams with anything
+    // (id-seeded words over a 4096^8 space, unique salt), so the hits are
+    // exactly the eval docs themselves.
+    val evalBig = corpus
+      .filter(col("doc_id") >= clusteredDocs && col("doc_id") % 3 === 0)
+      .select(col("text"))
+    val nEvalBig = evalBig.count()
+    val bigDf = graft.textops.Decontaminate.ngramContaminated(
+      corpus, "doc_id", "text", evalBig, "text", n = 8, minHits = 1)
+    val (deconBig, deconBigSec) = timed {
+      bigDf.queryExecution.toRdd.count()
+    }
+    // the FINAL adaptive plan must not have broadcast the 10^7-row gram
+    // table (the Bloom literal is the intended broadcast-free prefilter)
+    val bigJoin =
+      if (bigDf.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+        "broadcast" else "shuffle"
+
+    // ---- cross-doc repeated-span flagging at size: every 3rd doc ends
+    // with a fixed 20-word boilerplate tail, every other word is globally
+    // unique (id-derived) — exactly the five 16-gram windows inside the
+    // tail are cross-doc-hot and their union is the tail span, so every
+    // flagged doc's covered_chars must equal len(tail) EXACTLY and every
+    // clean doc must score exactly 0
+    val bp20 = (1 to 20).map(i => s"bp$i").mkString(" ")
+    val srUniq = concat_ws(" ",
+      (1 to 24).map(i => concat(lit("u"), col("id"), lit("x" + i))): _*)
+    val srCorpus = spark.range(rows).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, concat(srUniq, lit(" " + bp20)))
+        .otherwise(srUniq).as("text"))
+    val (sr, srSec) = timed {
+      graft.textops.SpanRep.repeatedSpanStats(
+          srCorpus, "doc_id", "text", n = 16, minOtherDocs = 1)
+        .agg(
+          sum(when(col("covered_frac") > 0.2, 1L).otherwise(0L)),
+          sum(when(col("covered_chars") =!= 0L &&
+            col("covered_chars") =!= lit(bp20.length.toLong), 1L).otherwise(0L)),
+          sum(when(col("covered_chars") =!= 0L, 1L).otherwise(0L)))
+        .first()
+    }
+    val srFlagged = sr.getLong(0)
+    val srBadCover = sr.getLong(1)
+    val srNonzero = sr.getLong(2)
+    val srExpected = (rows + 2) / 3
+
     val expectDrop = clusteredDocs - clusteredDocs / 4
     println(
       s"""{"text_scale_rows":$nDocs,"neardup_pairs":$nPairs""" +
@@ -110,7 +159,14 @@ object TextScaleRun {
       s""","decon_exact":$deconExact,"decon_exact_expected":$nEval""" +
       s""","decon_exact_sec":${f"$deconExactSec%.1f"}""" +
       s""","decon_ngram":$deconNgram,"decon_ngram_expected":$expectNgram""" +
-      s""","decon_ngram_sec":${f"$deconNgramSec%.1f"}}""")
+      s""","decon_ngram_sec":${f"$deconNgramSec%.1f"}""" +
+      s""","decon_big_eval_docs":$nEvalBig""" +
+      s""","decon_big_grams_est":${nEvalBig * 34}""" +
+      s""","decon_big_hits":$deconBig,"decon_big_expected":$nEvalBig""" +
+      s""","decon_big_sec":${f"$deconBigSec%.1f"},"decon_big_join":"$bigJoin"""" +
+      s""","spanrep_flagged":$srFlagged,"spanrep_expected":$srExpected""" +
+      s""","spanrep_bad_cover":$srBadCover,"spanrep_nonzero":$srNonzero""" +
+      s""","spanrep_sec":${f"$srSec%.1f"}}""")
     spark.stop()
   }
 }

@@ -140,6 +140,10 @@ object GraftExtensions {
     "dup_ngram_char_fraction" -> { args =>
       RepetitionExpr(args.head, RepetitionExpr.DupNgramCharFrac,
         intArg(args, 1, 5, "n")) },
+    "gram_spans" -> { args =>
+      GramSpansExpr(args.head, intArg(args, 1, 16, "n")) },
+    "gram_hashes" -> { args =>
+      GramSpansExpr(args.head, intArg(args, 1, 16, "n"), distinctHashes = true) },
     // ---- vector kernels ----
     "cosine_sim" -> { args => CosineSimExpr(args(0), args(1)) },
     "minhash_signature" -> { args =>

@@ -1,0 +1,117 @@
+package graft.spark
+
+import graft.core.Murmur64A
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Word n-gram OCCURRENCES with character spans, for the cross-document
+  * repeated-span flagger (`textops.SpanRep`): every FULL `n`-word window
+  * of the text as (gram hash, start char, end char), where
+  * [start, end) is the original-text span from the first word's first
+  * char to the last word's char-after-last.
+  *
+  * Tokenization is `MinHashSigExpr.wordBounds` — THE shared tokenizer of
+  * the minhash/shingle/repetition kernels — and the gram string hashed is
+  * the same single-space-joined form `ShinglesExpr` emits, so "this gram
+  * repeats across documents" agrees structurally with what the dedup
+  * operators would see. Grams ride as 64-bit Murmur64A hashes, never
+  * strings: the downstream frequency and coverage shuffles carry
+  * fixed-width rows. (Hash collisions can only ADD coverage, at a rate of
+  * ~k²/2^64 colliding gram pairs corpus-wide — negligible against any
+  * useful flagging threshold.)
+  *
+  * Unlike `foreachShingle`, texts with fewer than `n` words emit NOTHING
+  * (no whole-text fallback shingle): a document too short to contain an
+  * `n`-word span cannot have one repeated.
+  *
+  * `distinctHashes = true` emits just the DISTINCT gram hashes
+  * (array<bigint>) — the document-frequency pass needs only "which grams
+  * does this doc contain", and deduplicating inside the kernel removes
+  * the (doc, gram) distinct shuffle entirely: the per-doc arrays explode
+  * straight into a partial-aggregated groupBy(gram) count.
+  */
+case class GramSpansExpr(child: Expression, n: Int,
+    distinctHashes: Boolean = false)
+  extends UnaryExpression {
+
+  require(n >= 2 && n <= 64, "n must be in [2,64]")
+
+  override def prettyName: String =
+    if (distinctHashes) "gram_hashes" else "gram_spans"
+
+  override def dataType: DataType =
+    if (distinctHashes) ArrayType(LongType, containsNull = false)
+    else ArrayType(GramSpansExpr.SpanType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    if (distinctHashes) GramSpansExpr.hashes(input.asInstanceOf[UTF8String], n)
+    else GramSpansExpr.spans(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (distinctHashes) "hashes" else "spans"
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)" +
+        s"graft.spark.GramSpansExpr.$fn($s, $n);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramSpansExpr =
+    copy(child = c)
+}
+
+object GramSpansExpr {
+
+  val SpanType: StructType = StructType(Seq(
+    StructField("gram", LongType, nullable = false),
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false)))
+
+  private def gramHash(s: String, starts: Array[Int], ends: Array[Int],
+      from: Int, to: Int): Long = {
+    val gram = MinHashSigExpr.joinWords(s, starts, ends, from, to)
+    Murmur64A.hashBytes(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Every full n-word window as (gram, start, end); < n words ⇒ empty. */
+  def spans(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    val (starts, ends) = MinHashSigExpr.wordBounds(s)
+    val words = starts.length
+    if (words < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words - n + 1)
+    var w = 0
+    while (w <= words - n) {
+      out(w) = new GenericInternalRow(Array[Any](
+        gramHash(s, starts, ends, w, w + n - 1), starts(w), ends(w + n - 1)))
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct gram hashes of the full n-word windows; < n words ⇒ empty. */
+  def hashes(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toString
+    val (starts, ends) = MinHashSigExpr.wordBounds(s)
+    val words = starts.length
+    if (words < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w <= words - n) {
+      seen.add(gramHash(s, starts, ends, w, w + n - 1))
+      w += 1
+    }
+    val out = new Array[Long](seen.size)
+    var i = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}

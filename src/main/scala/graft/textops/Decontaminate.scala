@@ -35,7 +35,8 @@ object Decontaminate {
   final val AutoBits: Long = -1L
 
   // keys by-name: a caller-supplied numBits must not pay the count job
-  private def sizeBits(requested: Long, keys: => Long): Long =
+  // (shared with SpanRep's hot-gram filter — same sizing policy)
+  private[textops] def sizeBits(requested: Long, keys: => Long): Long =
     if (requested != AutoBits) requested
     else math.max(1L << 20, math.min(1L << 28,
       java.lang.Long.highestOneBit(math.max(1L, 12 * keys)) << 1))

@@ -1,0 +1,137 @@
+package graft.textops
+
+import graft.pipeline.BloomJoin
+import graft.spark.{sketchFunctions => sketch}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-document repeated-span flagging — "exact substring dedup lite"
+  * (the Lee et al. 2022 "Deduplicating Training Data Makes Language
+  * Models Better" failure mode): boilerplate paragraphs, license
+  * headers, and templated page chrome repeat VERBATIM across documents
+  * that are not near-duplicates as wholes, so doc-level MinHash/SimHash
+  * never pairs them and within-doc repetition filters
+  * (`RepetitionExpr.dupNgram`) never see them. This operator is the
+  * cross-doc analog: for every document, the fraction of its characters
+  * covered by word `n`-grams that also occur in ≥ `minOtherDocs` OTHER
+  * documents.
+  *
+  * Shape (no suffix arrays — two corpus scans and three fixed-width
+  * shuffles):
+  *
+  *  1. document frequency: distinct gram HASHES per doc (deduped inside
+  *     the codegen'd kernel — no (doc, gram) distinct exchange) explode
+  *     into a partial-aggregated `groupBy(gram).count`; grams reaching
+  *     `minOtherDocs + 1` docs form the hot set (a gram in d docs is "in
+  *     ≥ minOtherDocs OTHER docs" for each of its d containers).
+  *  2. the hot set folds into a literal Bloom filter
+  *     ([[graft.pipeline.BloomJoin.buildKeyFilter]], auto-sized ~12
+  *     bits/key) so the second corpus scan drops cold occurrences AT THE
+  *     SCAN — only hot-gram occurrences (plus Bloom FPR, killed by the
+  *     exact join against the hot table) enter any shuffle.
+  *  3. coverage: surviving (id, start, end) spans union per doc with one
+  *     gaps-and-islands window (running max(end) partitioned by doc) +
+  *     one aggregate — overlapping spans never double-count.
+  *
+  * Everything that shuffles is (id, 8-byte gram [, two ints]) — document
+  * text never rides an exchange. Re-scanning the corpus for pass 2
+  * instead of caching pass 1's occurrences is deliberate: at 10^12 docs
+  * the occurrence table is ~words-per-corpus rows, far more than two
+  * projection scans cost.
+  *
+  * Gram identity is the shared dedup tokenizer
+  * (`MinHashSigExpr.wordBounds`, single-space-joined — see
+  * [[graft.spark.GramSpansExpr]]); docs with < `n` words have no
+  * `n`-word span and score 0 by construction.
+  */
+object SpanRep {
+
+  private def bridge = org.apache.spark.sql.graftbridge.Bridge
+
+  /** (gram hash, start, end) per full n-word window (codegen'd kernel). */
+  def gramSpans(text: Column, n: Int): Column =
+    bridge.column(graft.spark.GramSpansExpr(bridge.expression(text), n))
+
+  /** Distinct gram hashes per text (the document-frequency unit). */
+  def gramHashes(text: Column, n: Int): Column =
+    bridge.column(graft.spark.GramSpansExpr(bridge.expression(text), n,
+      distinctHashes = true))
+
+  /** Per-document repeated-span coverage:
+    * (idCol, total_chars, covered_chars, covered_frac) for EVERY input
+    * row — `covered_chars` is the size of the union of character spans
+    * of `n`-word grams occurring in ≥ `minOtherDocs` other documents;
+    * docs with no such gram (including < n-word docs) score 0.
+    *
+    * `numBits` sizes the hot-gram Bloom prefilter
+    * ([[Decontaminate.AutoBits]] = size from the measured hot-gram
+    * count). Flagging is one `filter(col("covered_frac") > t)` away;
+    * typical boilerplate thresholds are 0.2–0.5 at n ≈ 8–32.
+    */
+  def repeatedSpanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 16,
+      minOtherDocs: Int = 1,
+      numBits: Long = Decontaminate.AutoBits): DataFrame = {
+    require(minOtherDocs >= 1, "minOtherDocs must be >= 1")
+    // pass 1: document frequency over kernel-deduped gram hashes
+    val hot = Materialize(df
+      .select(explode(gramHashes(col(textCol), n)).as("__g"))
+      .groupBy("__g").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= minOtherDocs + 1)
+      .select("__g")) // consumed by sizing count + Bloom build + FP-kill join
+    val bf = BloomJoin.buildKeyFilter(hot, "__g",
+      Decontaminate.sizeBits(numBits, hot.count()))
+    // pass 2: occurrences, Bloom-dropped at the scan, FPs killed exactly
+    val occ = df
+      .select(col(idCol).as("__id"),
+        explode(gramSpans(col(textCol), n)).as("__o"))
+      .select(col("__id"), col("__o.gram").as("__g"),
+        col("__o.start").as("__s"), col("__o.end").as("__e"))
+      .filter(sketch.bloom_contains(bf, col("__g")))
+      .join(hot, Seq("__g"), "left_semi")
+    // gaps-and-islands union of [start, end) spans per doc
+    val w = Window.partitionBy("__id").orderBy(col("__s"), col("__e"))
+    val covered = occ
+      .withColumn("__pmax",
+        max(col("__e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__ie") - col("__is")).as("covered_chars"))
+    df.select(col(idCol), length(col(textCol)).cast("long").as("total_chars"))
+      .join(covered.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), col("total_chars"),
+        coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),
+        when(col("total_chars") > 0,
+          coalesce(col("covered_chars"), lit(0L)).cast("double")
+            / col("total_chars"))
+          .otherwise(0.0).as("covered_frac"))
+  }
+
+  /** Input rows minus documents whose repeated-span coverage exceeds
+    * `maxCoveredFrac` — the export form. Ships only loser ids through
+    * the anti-join.
+    */
+  def dropRepeatedSpanDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxCoveredFrac: Double,
+      n: Int = 16,
+      minOtherDocs: Int = 1,
+      numBits: Long = Decontaminate.AutoBits): DataFrame = {
+    val losers = repeatedSpanStats(df, idCol, textCol, n, minOtherDocs, numBits)
+      .filter(col("covered_frac") > maxCoveredFrac)
+      .select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+}

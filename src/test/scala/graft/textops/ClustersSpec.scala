@@ -142,4 +142,43 @@ class ClustersSpec extends AnyFunSuite with SparkTestBase {
     docs.unpersist()
     spark.catalog.clearCache()
   }
+
+  test("Materialize modes: reliable checkpointing yields identical components") {
+    val edges = spark.range(0, 4000)
+      .filter($"id" % 16 =!= 15)
+      .select($"id".as("id_a"), ($"id" + 1).as("id_b"))
+    val local = Clusters.connectedComponents(edges)
+      .orderBy("node").collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ck-spec")
+    try {
+      // auto mode senses the configured checkpoint dir → durable path
+      spark.sparkContext.setCheckpointDir(dir.toString)
+      val reliable = Clusters.connectedComponents(edges)
+        .orderBy("node").collect().toSeq
+      assert(reliable == local, "durable-checkpoint output differs from local")
+      val entries = new java.io.File(dir.toString).listFiles()
+      assert(entries != null && entries.nonEmpty,
+        "auto mode with a checkpoint dir must actually write checkpoints")
+      // explicit override: force local even with a dir configured
+      spark.conf.set(Materialize.ConfKey, "local")
+      val forced = Clusters.connectedComponents(edges)
+        .orderBy("node").collect().toSeq
+      assert(forced == local)
+      // bad mode fails loudly
+      spark.conf.set(Materialize.ConfKey, "sometimes")
+      intercept[IllegalArgumentException] {
+        Materialize(edges.toDF())
+      }
+    } finally {
+      // the checkpoint dir can't be UNSET on a live context, and the
+      // session is shared across suites in this JVM — pin the conf to
+      // "local" (the pre-knob behavior) so no later Materialize call
+      // resolves "auto" against the soon-deleted temp dir
+      spark.conf.set(Materialize.ConfKey, "local")
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm); f.delete()
+      }
+      rm(dir.toFile)
+    }
+  }
 }

@@ -1,0 +1,129 @@
+package graft.textops
+
+import graft.spark.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SpanRepSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // ---- independent reference implementation (driver-side, sets and a
+  // boolean coverage array; shares nothing with the operator beyond the
+  // whitespace definition) ----
+  private def wordSpans(s: String): Vector[(Int, Int)] = {
+    val out = Vector.newBuilder[(Int, Int)]
+    var i = 0; var start = -1
+    while (i <= s.length) {
+      val ws = i == s.length || Character.isWhitespace(s.charAt(i))
+      if (!ws && start < 0) start = i
+      else if (ws && start >= 0) { out += ((start, i)); start = -1 }
+      i += 1
+    }
+    out.result()
+  }
+
+  private def bruteCovered(corpus: Seq[(Long, String)], n: Int,
+      minOther: Int): Map[Long, Long] = {
+    def grams(t: String): Seq[(String, Int, Int)] = {
+      val w = wordSpans(t)
+      (0 to w.length - n).map { i =>
+        val g = (i until i + n).map { k => t.substring(w(k)._1, w(k)._2) }
+          .mkString(" ")
+        (g, w(i)._1, w(i + n - 1)._2)
+      }
+    }
+    val docGrams = corpus.map { case (id, t) => id -> grams(t) }.toMap
+    val byGram = docGrams.toSeq
+      .flatMap { case (id, gs) => gs.map(g => (g._1, id)) }
+      .distinct.groupBy(_._1).view.mapValues(_.size).toMap
+    corpus.map { case (id, t) =>
+      val mask = new Array[Boolean](t.length)
+      docGrams(id).foreach { case (g, s, e) =>
+        if (byGram(g) >= minOther + 1) (s until e).foreach(mask(_) = true)
+      }
+      id -> mask.count(identity).toLong
+    }.toMap
+  }
+
+  private val corpus = Seq(
+    1L -> "PRE1 aa bb cc dd POST1",                    // shares aa..dd with 2
+    2L -> "ZZZZ aa bb cc dd YY",
+    3L -> "entirely unique words that nobody else has anywhere",
+    4L -> "tiny doc",                                  // < n words: no grams
+    5L -> "same1 same2 same3 same4 same5",             // exact dup of 6
+    6L -> "same1 same2 same3 same4 same5",
+    7L -> "aa bb cc S1 S2 S3 S4 S5 xx yy zz",          // two disjoint islands
+    8L -> "aa bb cc Q1 Q2 Q3 Q4 Q5 xx yy zz",
+    9L -> "w1\t\taa  bb　cc dd  w2")               // odd whitespace, hot middle
+
+  test("repeatedSpanStats matches the brute-force reference on every doc") {
+    for (n <- Seq(3, 4); minOther <- Seq(1, 2)) {
+      val expected = bruteCovered(corpus, n, minOther)
+      val got = SpanRep.repeatedSpanStats(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", n, minOther)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+      assert(got.keySet == corpus.map(_._1).toSet, s"n=$n row coverage")
+      corpus.foreach { case (id, t) =>
+        assert(got(id)._1 == t.length.toLong, s"n=$n total_chars doc $id")
+        assert(got(id)._2 == expected(id),
+          s"n=$n minOther=$minOther covered_chars doc $id: " +
+            s"got ${got(id)._2}, brute ${expected(id)}")
+      }
+    }
+  }
+
+  test("overlapping hot grams never double-count (island union)") {
+    // docs 5/6 are verbatim duplicates: with n=3 the three overlapping
+    // grams cover the whole 34-char text exactly once (3 raw spans sum
+    // to well over the text length)
+    val got = SpanRep.repeatedSpanStats(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", n = 3, minOtherDocs = 1)
+      .filter($"doc_id".isin(5L, 6L)).collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1), "full-dup doc must be fully covered")
+      assert(r.getDouble(3) == 1.0)
+    }
+  }
+
+  test("disjoint islands sum separately; unique middles stay uncovered") {
+    val got = SpanRep.repeatedSpanStats(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", n = 3, minOtherDocs = 1)
+      .filter($"doc_id" === 7L).collect().head
+    // "aa bb cc" (8 chars) + "xx yy zz" (8 chars), middle S1..S5 unique
+    assert(got.getLong(2) == 16L)
+    assert(got.getDouble(3) < 0.6)
+  }
+
+  test("dropRepeatedSpanDocs removes only high-coverage docs") {
+    val kept = SpanRep.dropRepeatedSpanDocs(
+        corpus.toDF("doc_id", "text"), "doc_id", "text",
+        maxCoveredFrac = 0.9, n = 3, minOtherDocs = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 7L, 8L, 9L)) // 5,6 fully covered
+  }
+
+  test("gram kernel: < n words yields zero spans and zero hashes") {
+    val df = Seq("one two", "", "   ", "a b c").toDF("t")
+    val spans = df.select(F.size(SpanRep.gramSpans($"t", 3)).as("k"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(spans == Seq(0, 0, 0, 1))
+    val hashes = df.select(F.size(SpanRep.gramHashes($"t", 3)).as("k"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(hashes == Seq(0, 0, 0, 1))
+  }
+
+  test("gram kernel: distinctHashes dedupes repeated grams") {
+    val df = Seq("p q r p q r p q r").toDF("t") // 9 words, 7 windows of 3
+    val nSpans = df.select(F.size(SpanRep.gramSpans($"t", 3))).first().getInt(0)
+    val nHash = df.select(F.size(SpanRep.gramHashes($"t", 3))).first().getInt(0)
+    assert(nSpans == 7)
+    assert(nHash == 3) // "p q r", "q r p", "r p q"
+  }
+
+  test("autoBitsPerTable derives from corpus size with clamps") {
+    assert(Similarity.autoBitsPerTable(1000L) == 10) // floor clamp
+    assert(Similarity.autoBitsPerTable(65536L) == 10) // 2^16/64 = 2^10
+    assert(Similarity.autoBitsPerTable(100000000L) == 21)
+    assert(Similarity.autoBitsPerTable(1L << 40) == 26) // ceiling clamp
+  }
+}
