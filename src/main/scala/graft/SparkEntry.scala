@@ -271,6 +271,31 @@ object SparkEntry {
           max("n_chars").as("max_chars"),
           count(lit(1)).as("cnt_docs"))),
 
+    // tokenizer-exact BPE counts against the hand-computed fixture vocab
+    // (alpha → [alph,a] = 2 tokens, beta → [be,ta] = 2): texts derive
+    // from doc_id so per-doc counts are closed-form arithmetic DuckDB
+    // restates; every doc is also checked for exact equality against the
+    // closed form AND against the SQL-registered form of the kernel
+    "q_bpe_count" -> ((s, d) => {
+      val mergesSql = "a l,p h,al ph,b e,t a"
+      val vocab = graft.spark.BpeVocab.parse(mergesSql)
+      val reps = (col("doc_id") % 3 + 1).cast("int")
+      val t0 = concat_ws(" ", array_repeat(lit("alpha"), reps))
+      val text = when(col("doc_id") % 2 === 0, concat(t0, lit(" beta")))
+        .otherwise(t0)
+      val expected = (col("doc_id") % 3 + 1) * 2 +
+        when(col("doc_id") % 2 === 0, 2L).otherwise(0L)
+      t(s, d, "documents").select(col("doc_id"), col("lang"), text.as("__t"))
+        .withColumn("__n", tf.bpe_token_count(col("__t"), vocab))
+        .withColumn("__nsql",
+          expr(s"bpe_token_count(__t, '$mergesSql')"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("cnt_docs"),
+          sum(col("__n")).as("sum_bpe_tokens"),
+          (sum(when(col("__n") =!= expected || col("__nsql") =!= col("__n"),
+            1L).otherwise(0L)) === 0L).as("all_exact"))
+    }),
+
     // ---- north-rule sketch family (SURVEY.md §7.1 item 8) ----
     // count-min: per-source frequency estimates must bound the exact count
     // from above and stay under exact + eps*N (deterministic sketch)
@@ -1445,6 +1470,13 @@ object SparkEntry {
       """SELECT lang, count(*) AS cnt_docs,
         | count(*) FILTER (WHERE doc_id % 3 = 0) AS n_flagged,
         | TRUE AS clean_docs_zero, TRUE AS covered_exact
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_bpe_count" ->
+      """SELECT lang, count(*) AS cnt_docs,
+        | CAST(sum((doc_id % 3 + 1) * 2
+        |   + CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END) AS BIGINT)
+        |   AS sum_bpe_tokens,
+        | TRUE AS all_exact
         |FROM documents GROUP BY 1""".stripMargin,
     "q_hll_formats" ->
       "SELECT TRUE AS eq_8_6, TRUE AS eq_8_5, TRUE AS close_8_4, TRUE AS sizes_ok",

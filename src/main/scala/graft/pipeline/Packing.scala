@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * extra job over the id column); each bucket computes its running sum in
   * parallel (window partitioned BY bucket); bucket totals (≤ `buckets`
   * longs) come to the driver once and scan into exclusive bucket offsets
-  * that broadcast back. Three jobs total (quantiles + bucket window +
-  * total agg) regardless of row count; driver state is O(buckets).
+  * that broadcast back. Three bounded driver actions (id bounds, sampled
+  * quantiles, bucket totals) regardless of row count — the consumer's own
+  * action then executes the window; driver state is O(buckets).
   *
   * Quantile boundaries — not a uniform (max−min)/buckets span — because
   * post-dedup corpora rarely have dense id spaces: hashed ids, or a dense

@@ -53,6 +53,13 @@ object GraftExtensions {
         s"$name must be an integer literal, got $other")
     } else default
 
+  private def strArg(args: Seq[Expression], idx: Int, name: String): String =
+    if (args.length > idx) args(idx) match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$name must be a string literal, got $other")
+    } else throw new IllegalArgumentException(s"$name is required")
+
   private def precision(args: Seq[Expression], idx: Int): Int = {
     val p = intArg(args, idx, 12, "hllLeadingBits")
     if (p < 1 || p > 16) throw new IllegalArgumentException(
@@ -144,6 +151,13 @@ object GraftExtensions {
       GramSpansExpr(args.head, intArg(args, 1, 16, "n")) },
     "gram_hashes" -> { args =>
       GramSpansExpr(args.head, intArg(args, 1, 16, "n"), distinctHashes = true) },
+    // SQL form takes the merge table as a string literal:
+    // bpe_token_count(text, 'a l,al p,p h')
+    "bpe_token_count" -> { args =>
+      BpeCountExpr(args.head, BpeVocab.parse(strArg(args, 1, "merges"))) },
+    "bpe_tokens" -> { args =>
+      BpeCountExpr(args.head, BpeVocab.parse(strArg(args, 1, "merges")),
+        emitTokens = true) },
     // ---- vector kernels ----
     "cosine_sim" -> { args => CosineSimExpr(args(0), args(1)) },
     "minhash_signature" -> { args =>

@@ -314,6 +314,22 @@ object textFunctions {
   def dup_ngram_char_fraction(text: Column, n: Int): Column =
     rep(text, RepetitionExpr.DupNgramCharFrac, n)
 
+  /** Tokenizer-exact BPE token count against a merge vocab (see
+    * [[BpeCountExpr]]): real greedy byte-pair-encoding application, so
+    * packing budgets and data-mix weights can be stated in the tokens an
+    * actual tokenizer would produce — unlike the heuristic
+    * [[token_count]]/[[subword_count]]. The vocab is driver-held and
+    * rides the plan as a reference object; build it once
+    * (`BpeVocab(merges)` or `BpeVocab.parse("a l,al p")`) and reuse
+    * across any number of columns.
+    */
+  def bpe_token_count(text: Column, vocab: BpeVocab): Column =
+    Bridge.column(BpeCountExpr(Bridge.expression(text), vocab))
+
+  /** The BPE token strings themselves (fixtures, debugging, vocab QA). */
+  def bpe_tokens(text: Column, vocab: BpeVocab): Column =
+    Bridge.column(BpeCountExpr(Bridge.expression(text), vocab, emitTokens = true))
+
   /** Whitespace token count (columnar). */
   def token_count(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))

@@ -1,0 +1,106 @@
+package graft.spark
+
+import graft.spark.{textFunctions => tf}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  // hand-computed fixture vocab:
+  //   alpha: a l p h a → al p h a → al ph a → alph a        = [alph, a]
+  //   beta:  b e t a   → be t a   → be ta                   = [be, ta]
+  //   gamma: no applicable merge                            = 5 chars
+  private val vocab = BpeVocab(Seq(
+    ("a", "l"), ("p", "h"), ("al", "ph"), ("b", "e"), ("t", "a")))
+
+  private def tokensOf(text: String, v: BpeVocab = vocab): Seq[String] =
+    Seq(text).toDF("t")
+      .select(tf.bpe_tokens($"t", v)).first().getSeq[String](0)
+
+  private def countOf(text: String, v: BpeVocab = vocab): Long =
+    Seq(text).toDF("t")
+      .select(tf.bpe_token_count($"t", v)).first().getLong(0)
+
+  test("greedy merges match the hand-computed fixture exactly") {
+    assert(tokensOf("alpha") == Seq("alph", "a"))
+    assert(tokensOf("beta") == Seq("be", "ta"))
+    assert(tokensOf("gamma") == Seq("g", "a", "m", "m", "a"))
+    assert(tokensOf("alpha beta gamma") ==
+      Seq("alph", "a", "be", "ta", "g", "a", "m", "m", "a"))
+    assert(countOf("alpha beta gamma") == 9L)
+  }
+
+  test("rank priority wins over textual order") {
+    // (b,c) outranks (a,b): "abc" must become [a, bc], never [abc] via
+    // the ab-first path
+    val v = BpeVocab(Seq(("b", "c"), ("a", "b"), ("ab", "c")))
+    assert(tokensOf("abc", v) == Seq("a", "bc"))
+  }
+
+  test("same-rank occurrences merge left to right in one pass") {
+    val v = BpeVocab(Seq(("a", "a")))
+    assert(tokensOf("aaa", v) == Seq("aa", "a"))
+    assert(tokensOf("aaaa", v) == Seq("aa", "aa"))
+    assert(tokensOf("aaaaa", v) == Seq("aa", "aa", "a"))
+  }
+
+  test("edge inputs: empty, whitespace, unknown chars, empty vocab") {
+    assert(countOf("") == 0L)
+    assert(countOf("   \t ") == 0L)
+    assert(countOf("xyz") == 3L) // untouched chars stay single tokens
+    assert(countOf("alpha", BpeVocab(Seq.empty)) == 5L)
+    assert(tokensOf("al pha") == Seq("al", "ph", "a")) // merges never cross words
+  }
+
+  test("SQL literal form agrees with the Column API") {
+    val got = spark.sql(
+      "SELECT bpe_token_count('alpha beta gamma', 'a l,p h,al ph,b e,t a')," +
+        " bpe_tokens('alpha', 'a l,p h,al ph,b e,t a')").first()
+    assert(got.getLong(0) == 9L)
+    assert(got.getSeq[String](1) == Seq("alph", "a"))
+  }
+
+  test("count equals token-array size on corpus text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+    val bad = docs.select(
+        tf.bpe_token_count($"text", vocab).as("n"),
+        F.size(tf.bpe_tokens($"text", vocab)).cast("long").as("k"))
+      .filter($"n" =!= $"k").count()
+    assert(bad == 0L)
+  }
+
+  test("vocab content equality (reference-object canonicalization)") {
+    val a = BpeVocab(Seq(("a", "l"), ("p", "h")))
+    val b = BpeVocab(Seq(("a", "l"), ("p", "h")))
+    val c = BpeVocab(Seq(("p", "h"), ("a", "l")))
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a != c)
+    intercept[IllegalArgumentException] {
+      BpeVocab(Seq(("a", "l"), ("a", "l")))
+    }
+    intercept[IllegalArgumentException] { BpeVocab.parse("a l,badmerge") }
+  }
+
+  test("packing budgeted in real BPE tokens respects the budget") {
+    // docs of 1..20 'alpha's → 2..40 real tokens each; budget 64
+    val docs = spark.range(500).select($"id".as("doc_id"),
+      F.concat_ws(" ",
+        F.array_repeat(F.lit("alpha"), ($"id" % 20 + 1).cast("int"))).as("text"))
+    val packed = graft.pipeline.Packing.packByBudget(
+        docs, "doc_id", tf.bpe_token_count($"text", vocab), budget = 64,
+        buckets = 8)
+      .select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact next-fit replay with the REAL token counts (2 per 'alpha'):
+    // shard(i) = floor(exclusive prefix / budget)
+    var cum = 0L
+    (0L until 500L).foreach { id =>
+      val w = (id % 20 + 1) * 2
+      assert(packed(id) == cum / 64,
+        s"doc $id: got shard ${packed(id)}, expected ${cum / 64}")
+      cum += w
+    }
+  }
+}
