@@ -185,9 +185,21 @@ object GraftExtensions {
       builder)
   }
 
-  /** Imperative registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Imperative registration on a live session: SQL functions AND the
+    * opt-in rewrite rule. The rule must come along — without it a session
+    * built without `spark.sql.extensions` silently keeps STOCK
+    * `approx_count_distinct`, whose partial buffer at rsd≈0.004 (p=16)
+    * is a 13,108-column aggregation row (measured 7.4 s vs 0.34 s for
+    * this library's object aggregate on the same 600k rows — the gate
+    * then benchmarks Spark's operator, not ours, and `rewrite_fired`
+    * is false). Idempotent: re-registration never duplicates the rule.
+    */
+  def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    val em = spark.sessionState.experimentalMethods
+    if (!em.extraOptimizations.contains(RewriteApproxCountDistinct))
+      em.extraOptimizations = em.extraOptimizations :+ RewriteApproxCountDistinct
+  }
 }

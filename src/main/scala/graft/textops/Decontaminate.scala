@@ -131,12 +131,14 @@ object Decontaminate {
 
   /** Training minus every contaminated doc (exact OR n-gram): the export
     * call. Exact matches are a subset of n-gram hits whenever the eval
-    * text carries ≥ 1 shingle; an eval text SHORTER than `n` words
-    * (including empty/whitespace-only) has no shingles and is caught by
-    * the exact detector ONLY — which is why both detectors always run:
+    * text carries ≥ 1 shingle — which includes SHORT texts (1..n-1
+    * words), whose whole text becomes one fallback shingle (shared
+    * tokenizer semantics, `MinHashSigExpr.foreachShingle`); only a
+    * ZERO-word eval text (empty/whitespace-only) has no shingles and is
+    * caught by the exact detector alone. Both detectors always run, so
     * neither `minHits` > 1 nor a shingle-free eval doc can un-flag a
-    * verbatim eval copy. Ships only loser ids through the anti-joins,
-    * never documents.
+    * verbatim eval copy (pinned in DecontaminateSpec). Ships only loser
+    * ids through the anti-joins, never documents.
     *
     * The eval input is projected, deduped, and materialized ONCE and
     * shared by both detectors (the gram table derives from it).

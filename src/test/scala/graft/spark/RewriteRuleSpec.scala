@@ -25,6 +25,27 @@ class RewriteRuleSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set(RewriteApproxCountDistinct.ConfKey, "false")
   }
 
+  test("imperative register() injects the rule into an extensions-free session") {
+    // newSession(): fresh sessionState (no spark.sql.extensions wiring,
+    // no registered functions) sharing the context — the shape of a user
+    // session built without the extensions conf, and of Bench's session
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    GraftExtensions.register(s2) // idempotent: no duplicate rule
+    assert(s2.sessionState.experimentalMethods.extraOptimizations
+      .count(_ eq RewriteApproxCountDistinct) == 1)
+    s2.conf.set(RewriteApproxCountDistinct.ConfKey, "true")
+    try {
+      val df = s2.range(0L, 1000L).toDF("v")
+        .agg(F.approx_count_distinct("v", 0.02))
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(plan.contains("hll_approx_count_distinct"),
+        s"rule must fire through register() alone:\n$plan")
+      // and the 13k-column stock HLL++ partial buffer is gone
+      assert(!df.queryExecution.executedPlan.toString.contains("MS[0]"))
+    } finally s2.conf.set(RewriteApproxCountDistinct.ConfKey, "false")
+  }
+
   test("precision mapping honors the 1.04/sqrt(2^p) bound") {
     assert(RewriteApproxCountDistinct.precisionFor(0.05) == 9)
     assert(RewriteApproxCountDistinct.precisionFor(0.01) == 14)

@@ -81,4 +81,31 @@ class DecontaminateSpec extends AnyFunSuite with SparkTestBase {
     assert(!survStrict.contains(1L) && !survStrict.contains(5L))
     assert(survStrict.contains(3L) && survStrict.contains(4L))
   }
+
+  test("degenerate eval texts: short ones get the whole-text fallback shingle, zero-word ones are exact-only; clean drops verbatim copies of both") {
+    // the shared tokenizer emits ONE whole-text shingle for texts with
+    // 1..n-1 words, so a short eval doc IS ngram-visible to its verbatim
+    // copy; only a zero-word (empty/whitespace) eval text has no
+    // shingles at all — the exact detector still catches its copies, and
+    // clean()'s union drops them either way
+    val eval = Seq("tiny eval", "   ").toDF("etext")
+    val training = Seq(
+      (1L, "tiny eval"), // verbatim copy of the short eval doc
+      (2L, "tiny eval plus unrelated tail words beyond"), // full 3-gram windows only — no whole-text fallback, so no shared gram
+      (3L, "completely unrelated document text here"),
+      (4L, "   ")) // verbatim copy of the whitespace eval doc
+      .toDF("doc_id", "text")
+    val exact = Decontaminate.exactContaminated(training, "text", eval, "etext")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact == Set(1L, 4L))
+    val ngram = Decontaminate.ngramContaminated(
+        training, "doc_id", "text", eval, "etext", n = 3, minHits = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ngram == Set(1L),
+      "short eval is ngram-visible via the fallback shingle; zero-word is not")
+    val surv = Decontaminate.clean(training, "doc_id", "text", eval, "etext",
+        n = 3, minHits = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv == Set(2L, 3L))
+  }
 }

@@ -120,6 +120,21 @@ class SpanRepSpec extends AnyFunSuite with SparkTestBase {
     assert(nHash == 3) // "p q r", "q r p", "r p q"
   }
 
+  test("plan shape: hot-gram Bloom literal filter sits below the FP-kill join") {
+    val df = SpanRep.repeatedSpanStats(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", n = 3, minOtherDocs = 1)
+    val plan = df.queryExecution.executedPlan.toString
+    val joinIdxs = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .map(plan.indexOf).filter(_ >= 0)
+    assert(joinIdxs.nonEmpty, s"no join operator found in plan:\n$plan")
+    // tree prints top-down: the scan-side filter printing AFTER a join
+    // node means cold gram occurrences drop before any join exchange
+    assert(plan.indexOf("bloom_contains") > joinIdxs.min,
+      s"bloom prefilter must sit under the FP-kill join:\n$plan")
+    assert(plan.contains("sketch_literal("),
+      s"hot-gram payload must ride as a SketchLiteral:\n$plan")
+  }
+
   test("autoBitsPerTable derives from corpus size with clamps") {
     assert(Similarity.autoBitsPerTable(1000L) == 10) // floor clamp
     assert(Similarity.autoBitsPerTable(65536L) == 10) // 2^16/64 = 2^10
