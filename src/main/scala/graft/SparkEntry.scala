@@ -277,6 +277,10 @@ object SparkEntry {
     // restates; every doc is also checked for exact equality against the
     // closed form AND against the SQL-registered form of the kernel
     "q_bpe_count" -> ((s, d) => {
+      // the SQL form below needs the function registered — never rely on
+      // another gate having run first in this session (Bench's session
+      // has no spark.sql.extensions)
+      graft.spark.GraftExtensions.register(s)
       val mergesSql = "a l,p h,al ph,b e,t a"
       val vocab = graft.spark.BpeVocab.parse(mergesSql)
       val reps = (col("doc_id") % 3 + 1).cast("int")

@@ -20,7 +20,7 @@ case class TextKernelExpr(child: Expression, op: Int) extends UnaryExpression {
   override def prettyName: String = nameOf(op)
 
   override def dataType: DataType = op match {
-    case SimHash | SimHashChar | Fingerprint => LongType
+    case SimHash | SimHashChar | Fingerprint | Utf16Len => LongType
     case LangId => StringType
   }
 
@@ -53,12 +53,14 @@ object TextKernelExpr {
   final val LangId = 1
   final val Fingerprint = 2
   final val SimHashChar = 3
+  final val Utf16Len = 4
 
   def nameOf(op: Int): String = op match {
     case SimHash => "simhash64"
     case LangId => "lang_id"
     case Fingerprint => "doc_fingerprint"
     case SimHashChar => "simhash64_chars"
+    case Utf16Len => "utf16_length"
   }
 
   def dispatch(text: UTF8String, op: Int): Any = op match {
@@ -66,6 +68,11 @@ object TextKernelExpr {
     case LangId => UTF8String.fromString(LangProfiles.detect(text.toString))
     case Fingerprint => java.lang.Long.valueOf(fingerprint(text.toString))
     case SimHashChar => java.lang.Long.valueOf(simhash64Chars(text.toString))
+    // UTF-16 code-unit length: Spark's `length()` counts CODE POINTS, so
+    // operators whose offsets come from Java String indices (SpanRep's
+    // gram spans) must measure totals in the SAME unit or fractions
+    // drift above 1.0 on astral chars (emoji)
+    case Utf16Len => java.lang.Long.valueOf(text.toString.length.toLong)
   }
 
   /** Charikar SimHash over whitespace tokens: per bit, sum +1/-1 weighted
@@ -297,6 +304,11 @@ object textFunctions {
   def simhash64_chars(text: Column): Column = k(text, TextKernelExpr.SimHashChar)
   def lang_id(text: Column): Column = k(text, TextKernelExpr.LangId)
   def doc_fingerprint(text: Column): Column = k(text, TextKernelExpr.Fingerprint)
+
+  /** Length in UTF-16 code units (Spark's `length()` counts code
+    * points) — the unit of SpanRep's char offsets.
+    */
+  def utf16_length(text: Column): Column = k(text, TextKernelExpr.Utf16Len)
 
   private def rep(col: Column, mode: Int, n: Int = 1): Column =
     Bridge.column(RepetitionExpr(Bridge.expression(col), mode, n))

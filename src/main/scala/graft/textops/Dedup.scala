@@ -116,8 +116,10 @@ object Dedup {
     * bands (rows per band = numHashes/bands), hot buckets quarantined via
     * [[bucketJoin]]. Output: (id_a, id_b) with id_a < id_b, distinct.
     *
-    * EAGER: the distinct id-pair set is materialized (`localCheckpoint`)
-    * before returning and the banded cache is released. Candidates are
+    * EAGER: the distinct id-pair set is materialized ([[Materialize]] —
+    * executor-local by default, durable when a checkpoint dir is
+    * configured) before returning and the banded cache is released.
+    * Candidates are
     * 16-byte id pairs — bounded by true-pair count plus the banding FP
     * rate — and downstream verify stages consume them MORE THAN ONCE
     * (semi prefilter + payload joins), which without materialization

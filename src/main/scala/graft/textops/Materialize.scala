@@ -28,6 +28,16 @@ import org.apache.spark.sql.DataFrame
   *
   * Both forms are EAGER and truncate lineage identically, so operator
   * outputs are byte-identical across modes (asserted in ClustersSpec).
+  *
+  * RELIABLE-MODE HOUSEKEEPING: Spark only deletes reliable checkpoint
+  * files for garbage-collected RDDs when
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+  * FALSE, and read at context start — it cannot be enabled later). Set
+  * it for any long iterative run (connectedComponents checkpoints every
+  * pointer-doubling round); otherwise each round's label table stays on
+  * storage until the application exits, and a 10^12-node run accumulates
+  * dozens of full-table copies. Local mode self-cleans (executor block
+  * eviction) and needs nothing.
   */
 object Materialize {
 

@@ -62,7 +62,9 @@ object SpanRep {
     * (idCol, total_chars, covered_chars, covered_frac) for EVERY input
     * row — `covered_chars` is the size of the union of character spans
     * of `n`-word grams occurring in ≥ `minOtherDocs` other documents;
-    * docs with no such gram (including < n-word docs) score 0.
+    * docs with no such gram (including < n-word docs) score 0. Both
+    * char counts are UTF-16 code units (covered_frac is unit-consistent
+    * and ≤ 1 even on astral/emoji text — spec-pinned).
     *
     * `numBits` sizes the hot-gram Bloom prefilter
     * ([[Decontaminate.AutoBits]] = size from the measured hot-gram
@@ -107,7 +109,11 @@ object SpanRep {
       .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"))
       .groupBy(col("__id"))
       .agg(sum(col("__ie") - col("__is")).as("covered_chars"))
-    df.select(col(idCol), length(col(textCol)).cast("long").as("total_chars"))
+    // total_chars in UTF-16 code units — the SAME unit as the gram span
+    // offsets (Java String indices); Spark's `length()` counts code
+    // points, which would inflate covered_frac past 1.0 on astral chars
+    df.select(col(idCol),
+        graft.spark.textFunctions.utf16_length(col(textCol)).as("total_chars"))
       .join(covered.withColumnRenamed("__id", idCol), Seq(idCol), "left")
       .select(col(idCol), col("total_chars"),
         coalesce(col("covered_chars"), lit(0L)).as("covered_chars"),

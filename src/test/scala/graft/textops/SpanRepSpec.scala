@@ -54,7 +54,8 @@ class SpanRepSpec extends AnyFunSuite with SparkTestBase {
     6L -> "same1 same2 same3 same4 same5",
     7L -> "aa bb cc S1 S2 S3 S4 S5 xx yy zz",          // two disjoint islands
     8L -> "aa bb cc Q1 Q2 Q3 Q4 Q5 xx yy zz",
-    9L -> "w1\t\taa  bb　cc dd  w2")               // odd whitespace, hot middle
+    9L -> "w1\t\taa  bb　cc dd  w2",              // odd whitespace, hot middle
+    10L -> "😀x 😀y aa bb cc dd 😀z")              // astral chars around a hot middle
 
   test("repeatedSpanStats matches the brute-force reference on every doc") {
     for (n <- Seq(3, 4); minOther <- Seq(1, 2)) {
@@ -99,7 +100,7 @@ class SpanRepSpec extends AnyFunSuite with SparkTestBase {
         corpus.toDF("doc_id", "text"), "doc_id", "text",
         maxCoveredFrac = 0.9, n = 3, minOtherDocs = 1)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(kept == Set(1L, 2L, 3L, 4L, 7L, 8L, 9L)) // 5,6 fully covered
+    assert(kept == Set(1L, 2L, 3L, 4L, 7L, 8L, 9L, 10L)) // 5,6 fully covered
   }
 
   test("gram kernel: < n words yields zero spans and zero hashes") {
@@ -118,6 +119,23 @@ class SpanRepSpec extends AnyFunSuite with SparkTestBase {
     val nHash = df.select(F.size(SpanRep.gramHashes($"t", 3))).first().getInt(0)
     assert(nSpans == 7)
     assert(nHash == 3) // "p q r", "q r p", "r p q"
+  }
+
+  test("astral text: covered_frac is unit-consistent and never exceeds 1") {
+    // two identical emoji-heavy docs: full coverage must be EXACTLY 1.0,
+    // which requires total_chars in UTF-16 units like the span offsets
+    // (Spark's length() counts code points and would give frac > 1)
+    val astral = Seq(
+      21L -> "😀a 😀b 😀c 😀d",
+      22L -> "😀a 😀b 😀c 😀d")
+    val got = SpanRep.repeatedSpanStats(
+        astral.toDF("doc_id", "text"), "doc_id", "text", n = 3, minOtherDocs = 1)
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == astral.head._2.length.toLong) // 15 UTF-16 units
+      assert(r.getLong(2) == r.getLong(1), "identical docs fully covered")
+      assert(r.getDouble(3) == 1.0)
+    }
   }
 
   test("plan shape: hot-gram Bloom literal filter sits below the FP-kill join") {
