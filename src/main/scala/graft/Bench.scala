@@ -259,20 +259,17 @@ object Bench {
     println(summary)
   }
 
-  /** Robust hardware-ceiling estimate: 5 burns, reject any that disagree
-    * with the sample median by more than 2× (a co-tenant throttle window
-    * landing inside ONE burn once produced a physically impossible
-    * raw_cpu_ceiling of 4.19 — the 4-core burn itself was throttled ~4×
-    * and best-of-3 didn't recover), then take the max of the survivors:
-    * throttling only ever LOWERS a burn, so after outlier rejection the
-    * max is the best estimate of unthrottled capability.
+  /** Robust hardware-ceiling estimate: best of 5 burns. Co-tenant
+    * throttling only ever LOWERS a burn (elapsed nanoTime is monotone —
+    * a burn cannot finish impossibly fast), so the max over more samples
+    * is the faithful estimator of unthrottled capability; a median or
+    * any upper-outlier rejection would DISCARD the genuine unthrottled
+    * sample exactly when most of the window was throttled (r4 shipped a
+    * physically impossible 4.19 ceiling because all three 4-core burns
+    * landed inside one throttle window — more samples, keep the max).
     */
-  private def robustBurn(threads: Int): Double = {
-    val samples = (1 to 5).map(_ => burnThroughput(threads)).sorted
-    val med = samples(samples.length / 2)
-    val kept = samples.filter(s => s >= med / 2 && s <= med * 2)
-    kept.max
-  }
+  private def robustBurn(threads: Int): Double =
+    (1 to 5).map(_ => burnThroughput(threads)).max
 
   /** Pure-JVM arithmetic throughput (ops/s) at a thread count — the
     * hardware ceiling against which job scaling is judged on this

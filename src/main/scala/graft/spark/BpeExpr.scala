@@ -64,7 +64,12 @@ object BpeVocab {
   }
 
   /** Parse the SQL-literal form: merges separated by commas, each pair's
-    * two symbols separated by one space — `"a l,al p,p h"`.
+    * two symbols separated by one space — `"a l,al p,p h"`. The grammar
+    * cannot express symbols that CONTAIN a comma (e.g. the merge
+    * `("o", ",")` a prose vocab needs for words like "hello,world") —
+    * such pairs fail the two-symbol check here but are perfectly valid
+    * through the Scala API (`BpeVocab(Seq(...))`); use that for vocabs
+    * with comma symbols.
     */
   def parse(spec: String): BpeVocab =
     apply(spec.split(',').toSeq.filter(_.nonEmpty).map { m =>

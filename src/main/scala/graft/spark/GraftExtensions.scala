@@ -137,6 +137,7 @@ object GraftExtensions {
       TextKernelExpr(args.head, TextKernelExpr.SimHashChar) },
     "lang_id" -> { args => TextKernelExpr(args.head, TextKernelExpr.LangId) },
     "doc_fingerprint" -> { args => TextKernelExpr(args.head, TextKernelExpr.Fingerprint) },
+    "utf16_length" -> { args => TextKernelExpr(args.head, TextKernelExpr.Utf16Len) },
     "dup_line_fraction" -> { args =>
       RepetitionExpr(args.head, RepetitionExpr.DupLineFrac, 1) },
     "dup_line_char_fraction" -> { args =>

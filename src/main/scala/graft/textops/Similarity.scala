@@ -273,11 +273,15 @@ object Similarity {
     * shuffle carries (id, band, 8-byte key) only; vectors join back by id
     * for the exact-cosine verify.
     *
-    * `bitsPerTable` defaults to [[AutoBits]]: one cheap count job sizes
-    * the signature so random buckets stay ~64 vectors at ANY corpus size
-    * (the fixed 10-bit default put ~N/1024 vectors in every bucket —
-    * quadratic verify work at 10^8+ corpora unless the caller remembered
-    * to raise it). Pass an explicit width to skip the count.
+    * `bitsPerTable` defaults to [[AutoBits]]: one count job over
+    * `vectors` sizes the signature so random buckets stay ~64 vectors at
+    * ANY corpus size (the fixed 10-bit default put ~N/1024 vectors in
+    * every bucket — quadratic verify work at 10^8+ corpora unless the
+    * caller remembered to raise it). The count is cheap for a
+    * materialized table but re-executes a DERIVED input's whole upstream
+    * plan — persist expensive upstreams first (they feed the banded scan
+    * anyway), or pass `autoBitsPerTable(knownCount)` /an explicit width
+    * to skip the job.
     */
   def cosineNearDuplicates(
       vectors: DataFrame,

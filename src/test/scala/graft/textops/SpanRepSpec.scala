@@ -136,6 +136,10 @@ class SpanRepSpec extends AnyFunSuite with SparkTestBase {
       assert(r.getLong(2) == r.getLong(1), "identical docs fully covered")
       assert(r.getDouble(3) == 1.0)
     }
+    // the SQL-registered kernel counts UTF-16 units; Spark's length()
+    // counts code points — both visible side by side
+    val units = spark.sql("SELECT utf16_length('😀a'), length('😀a')").first()
+    assert(units.getLong(0) == 3L && units.getInt(1) == 2)
   }
 
   test("plan shape: hot-gram Bloom literal filter sits below the FP-kill join") {
@@ -154,9 +158,11 @@ class SpanRepSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("autoBitsPerTable derives from corpus size with clamps") {
+    // values chosen OFF exact power-of-two ratios: ceil(log2(x)) at an
+    // exact boundary can flip on one float ulp (CLAUDE.md round-2 gotcha)
     assert(Similarity.autoBitsPerTable(1000L) == 10) // floor clamp
-    assert(Similarity.autoBitsPerTable(65536L) == 10) // 2^16/64 = 2^10
+    assert(Similarity.autoBitsPerTable(60000L) == 10) // 60000/64 → log2≈9.87
     assert(Similarity.autoBitsPerTable(100000000L) == 21)
-    assert(Similarity.autoBitsPerTable(1L << 40) == 26) // ceiling clamp
+    assert(Similarity.autoBitsPerTable((1L << 40) + 7) == 26) // ceiling clamp
   }
 }
