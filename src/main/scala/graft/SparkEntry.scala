@@ -679,6 +679,29 @@ object SparkEntry {
       strat.unionAll(global)
     }),
 
+    // per-key quota capping (the C4-style "at most k pages per domain"
+    // rule): keep the 7 bottom-md5 docs per source — the whole mapping is
+    // a pure function of (source, md5(text), doc_id), so DuckDB replays
+    // it row-for-row (counts AND id sums hash-checked)
+    "q_quota" -> ((s, d) =>
+      graft.textops.Sampling.capPerKey(
+          t(s, d, "documents"), "source", k = 7,
+          orderBy = md5(col("text")).asc, tieBreak = col("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("kept_docs"), sum("doc_id").as("sum_kept_ids"))),
+
+    // training-mix construction: per-lang deterministic keep-rates over
+    // the md5 uniform (en 50%, de 25%, zh 100% — exercising the
+    // rate-1.0 lexicographic threshold — others 10%); a pure scan-side
+    // filter DuckDB replays exactly, ids and counts hash-checked
+    "q_mix" -> ((s, d) =>
+      graft.textops.Sampling.mixSample(
+          t(s, d, "documents"), "lang",
+          Map("en" -> 0.5, "de" -> 0.25, "zh" -> 1.0),
+          defaultRate = 0.1, hashInput = col("text"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("kept_docs"), sum("doc_id").as("sum_kept_ids"))),
+
     // text quality scoring distribution (deterministic formula; DuckDB
     // replicates it exactly on integer-char counts)
     "q_quality" -> ((s, d) =>
@@ -1475,6 +1498,22 @@ object SparkEntry {
         | count(*) FILTER (WHERE doc_id % 3 = 0) AS n_flagged,
         | TRUE AS clean_docs_zero, TRUE AS covered_exact
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_quota" ->
+      """SELECT source, count(*) AS kept_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+        |FROM (SELECT source, doc_id,
+        |   row_number() OVER (PARTITION BY source
+        |     ORDER BY md5(text), doc_id) AS rn
+        | FROM documents)
+        |WHERE rn <= 7 GROUP BY 1""".stripMargin,
+    "q_mix" ->
+      """SELECT lang, count(*) AS kept_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
+        |FROM documents
+        |WHERE substr(md5(text), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+        |    WHEN 'zh' THEN 'g' ELSE '1999999a' END
+        |GROUP BY 1""".stripMargin,
     "q_bpe_count" ->
       """SELECT lang, count(*) AS cnt_docs,
         | CAST(sum((doc_id % 3 + 1) * 2

@@ -41,4 +41,73 @@ object Sampling {
     df.withColumn(rankCol, row_number().over(w))
       .filter(col(rankCol) <= k)
   }
+
+  /** Per-key quota cap (the C4-style "at most k pages per domain" rule):
+    * keep at most `k` rows per `keyCol` value, winners chosen by
+    * `orderBy` then `tieBreak` — pass e.g. a quality score `.desc` to
+    * keep the best k, or a content hash `.asc` for an unbiased k. One
+    * shuffle by key; rank truncation happens map-side via Spark's
+    * WindowGroupLimit pushdown, so a million-row hot domain never
+    * materializes more than k rows per task after the scan.
+    */
+  def capPerKey(
+      df: DataFrame,
+      keyCol: String,
+      k: Int,
+      orderBy: Column,
+      tieBreak: Column,
+      rankCol: String = "quota_rank"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCol).orderBy(orderBy, tieBreak.asc)
+    df.withColumn(rankCol, row_number().over(w))
+      .filter(col(rankCol) <= k)
+  }
+
+  /** Lowercase-hex md5 prefix threshold for a keep-rate in [0,1]: a row
+    * with `substr(md5(x),1,8) < threshold` is kept. 8 hex digits = 2^32
+    * buckets, so the realized rate is exact to ~2.3e-10. Shared by
+    * [[rateSample]] / [[mixSample]] and any external replayer (DuckDB's
+    * `md5` produces the identical lowercase hex).
+    */
+  def rateThresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    val n = math.round(rate * 4294967296.0)
+    // the comparison is LEXICOGRAPHIC on same-length lowercase hex (equal
+    // to numeric there); rate 1.0 cannot use "100000000" — '1' sorts
+    // BELOW 'f', so "ffffffff" < "100000000" is false — use a char above
+    // the hex alphabet instead, which every prefix sorts under
+    if (n >= 4294967296L) "g" else f"$n%08x"
+  }
+
+  /** Deterministic rate sampling: keep rows whose content-hash uniform
+    * lies below `rate`. Same rows on any partitioning/cluster size, zero
+    * shuffle (a scan-side filter), and exactly replayable by any engine
+    * with md5 — the primitive for downsampling a source to a target
+    * fraction. Complementary rates partition the corpus: `rate` and its
+    * complement select disjoint row sets whose union is the input.
+    */
+  def rateSample(df: DataFrame, hashInput: Column, rate: Double): DataFrame =
+    df.filter(substring(md5(hashInput), 1, 8) < lit(rateThresholdHex(rate)))
+
+  /** Training-mix construction: per-stratum deterministic keep-rates
+    * (e.g. lang → rate, domain-bucket → rate), unlisted strata fall back
+    * to `defaultRate`. Still a pure scan-side filter — the per-stratum
+    * threshold resolves via a small when-chain (O(#strata) driver-held),
+    * so building a 40%-web/30%-code/30%-books mix over 10^12 rows costs
+    * one filtered scan and no shuffle.
+    */
+  def mixSample(
+      df: DataFrame,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      hashInput: Column): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateThresholdHex(defaultRate)): Column) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(rateThresholdHex(rate)))
+          .otherwise(acc)
+    }
+    df.filter(substring(md5(hashInput), 1, 8) < threshold)
+  }
 }

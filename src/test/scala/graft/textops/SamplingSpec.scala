@@ -1,0 +1,103 @@
+package graft.textops
+
+import graft.spark.SparkTestBase
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private lazy val docs = {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"source", $"text")
+    df.cache(); df.count(); df
+  }
+
+  test("rateThresholdHex: exact hex prefixes, lexicographic 1.0 sentinel") {
+    assert(Sampling.rateThresholdHex(0.5) == "80000000")
+    assert(Sampling.rateThresholdHex(0.25) == "40000000")
+    assert(Sampling.rateThresholdHex(0.1) == "1999999a")
+    assert(Sampling.rateThresholdHex(0.0) == "00000000")
+    // 1.0 must sort ABOVE every hex prefix: "ffffffff" < "100000000" is
+    // FALSE lexicographically, so the sentinel is a supra-hex char
+    assert(Sampling.rateThresholdHex(1.0) == "g")
+    assert("ffffffff" < "g" && "00000000" < "g")
+    intercept[IllegalArgumentException] { Sampling.rateThresholdHex(1.5) }
+  }
+
+  test("rateSample matches an exact driver-side md5 replay; 0 and 1 edges") {
+    val all = docs.select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = all.filter { case (_, t) =>
+      md5hex(t).substring(0, 8) < "40000000" }.map(_._1).toSet
+    val got = Sampling.rateSample(docs, $"text", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    assert(Sampling.rateSample(docs, $"text", 0.0).count() == 0L)
+    assert(Sampling.rateSample(docs, $"text", 1.0).count() == docs.count())
+    // repartitioning never changes the kept set (scan-side filter)
+    val got2 = Sampling.rateSample(docs.repartition(13), $"text", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got2 == got)
+  }
+
+  test("complementary rates partition the corpus disjointly") {
+    val keep = Sampling.rateSample(docs, $"text", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // complement = NOT(prefix < t) — same threshold, inverted predicate
+    val drop = docs.filter(!(F.substring(F.md5($"text"), 1, 8)
+        < F.lit(Sampling.rateThresholdHex(0.3))))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keep.intersect(drop).isEmpty)
+    assert(keep.size + drop.size == docs.count())
+  }
+
+  test("mixSample routes each stratum to its own rate with a default") {
+    val rates = Map("s1" -> 1.0, "s2" -> 0.0)
+    val rows = Seq(
+      (1L, "s1", "alpha text one"), (2L, "s1", "beta text two"),
+      (3L, "s2", "gamma text three"), (4L, "s2", "delta text four"),
+      (5L, "s3", "epsilon text five"), (6L, "s3", "zeta text six"))
+      .toDF("doc_id", "stratum", "text")
+    val kept = Sampling.mixSample(rows, "stratum", rates,
+        defaultRate = 0.5, hashInput = $"text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && kept.contains(2L), "rate-1.0 stratum keeps all")
+    assert(!kept.contains(3L) && !kept.contains(4L), "rate-0 stratum keeps none")
+    val s3expected = Seq(5L -> "epsilon text five", 6L -> "zeta text six")
+      .filter { case (_, t) => md5hex(t).substring(0, 8) < "80000000" }
+      .map(_._1).toSet
+    assert(kept.filter(_ >= 5L) == s3expected, "default rate applies to unlisted strata")
+  }
+
+  test("capPerKey keeps at most k winners per key by the given order") {
+    val capped = Sampling.capPerKey(docs, "source", k = 3,
+      orderBy = F.md5($"text").asc, tieBreak = $"doc_id")
+    val bySource = capped.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource.values.forall(_ <= 3L))
+    // exact winners: driver-side replay of the same (md5, id) ordering
+    val expected = docs.select($"source", $"doc_id", $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), md5hex(r.getString(2))))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(3).map(_._2)
+      }.toSet
+    val got = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+    // keep-the-best variant: a descending order column selects the other tail
+    val best = Sampling.capPerKey(docs, "source", k = 1,
+      orderBy = F.md5($"text").desc, tieBreak = $"doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bestExpected = docs.select($"source", $"doc_id", $"text").collect()
+      .map(r => (r.getString(0), r.getLong(1), md5hex(r.getString(2))))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (r._3, r._2))(Ordering.Tuple2(
+          Ordering.String.reverse, Ordering.Long)).take(1).map(_._2)
+      }.toSet
+    assert(best == bestExpected)
+  }
+}
