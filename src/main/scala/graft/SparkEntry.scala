@@ -679,6 +679,32 @@ object SparkEntry {
       strat.unionAll(global)
     }),
 
+    // HTML -> text extraction, both halves gated: (a) the input_hint
+    // per-row invariant — extract(html) must reproduce `text`
+    // BYTE-IDENTICALLY for every generated web page; (b) adversarial
+    // markup (script/style content, comments, entities incl. numeric)
+    // built from doc_id with a closed-form expected text
+    "q_extract" -> ((s, d) => {
+      val pages = graft.data.WebPages.generate(s, rows = 20000, distinctUrls = 10000)
+      val rt = pages.agg(
+        count(lit(1)).as("n"),
+        sum(when(tf.html_extract_text(col("html")) === col("text"), 1L)
+          .otherwise(0L)).as("ok")).first()
+      val html = concat(
+        lit("<html><head><script>var x = '</p>';</script><style>p{color:red}" +
+          "</style></head><body><!-- hidden --><p>doc&nbsp;"),
+        col("doc_id"),
+        lit(" &amp; &lt;tag&gt; &#65;&#x42;</p></body></html>"))
+      val expected = concat(lit("doc "), col("doc_id"), lit(" & <tag> AB"))
+      val badMarkup = t(s, d, "documents").select(col("doc_id"))
+        .agg(sum(when(tf.html_extract_text(html) === expected, 0L)
+          .otherwise(1L))).first().getLong(0)
+      s.range(1).select(
+        lit(rt.getLong(0)).as("n_pages"),
+        lit(rt.getLong(1)).as("n_extract_exact"),
+        lit(badMarkup == 0L).as("markup_ok"))
+    }),
+
     // per-key quota capping (the C4-style "at most k pages per domain"
     // rule): keep the 7 bottom-md5 docs per source — the whole mapping is
     // a pure function of (source, md5(text), doc_id), so DuckDB replays
@@ -1498,6 +1524,10 @@ object SparkEntry {
         | count(*) FILTER (WHERE doc_id % 3 = 0) AS n_flagged,
         | TRUE AS clean_docs_zero, TRUE AS covered_exact
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_extract" ->
+      """SELECT CAST(20000 AS BIGINT) AS n_pages,
+        | CAST(20000 AS BIGINT) AS n_extract_exact,
+        | TRUE AS markup_ok""".stripMargin,
     "q_quota" ->
       """SELECT source, count(*) AS kept_docs,
         | CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids

@@ -138,6 +138,7 @@ object GraftExtensions {
     "lang_id" -> { args => TextKernelExpr(args.head, TextKernelExpr.LangId) },
     "doc_fingerprint" -> { args => TextKernelExpr(args.head, TextKernelExpr.Fingerprint) },
     "utf16_length" -> { args => TextKernelExpr(args.head, TextKernelExpr.Utf16Len) },
+    "html_extract_text" -> { args => HtmlExtractExpr(args.head) },
     "dup_line_fraction" -> { args =>
       RepetitionExpr(args.head, RepetitionExpr.DupLineFrac, 1) },
     "dup_line_char_fraction" -> { args =>

@@ -1,0 +1,151 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic HTML → text extraction (the `html BINARY` → `text
+  * STRING` edge of the Common-Crawl-style page schema): one linear pass
+  * that drops `<script>`/`<style>` element CONTENT and `<!-- -->`
+  * comments, strips every other tag, and decodes the common entities
+  * (named amp/lt/gt/quot/apos/nbsp plus decimal `&#nnn;` and hex
+  * `&#xhh;` forms). Nothing else is altered — no whitespace collapsing,
+  * no block-level newline synthesis — so extraction is a pure,
+  * replayable function of the bytes and `extract(render(text)) == text`
+  * byte-identically whenever `text` contains no markup metacharacters
+  * (the per-url invariant the web-pages table is generated under,
+  * gated by `q_extract`).
+  *
+  * This is a MINIMAL extractor by design (a boilerplate/readability
+  * engine is a modeling choice, not a kernel): malformed input degrades
+  * deterministically — an unterminated tag, comment, or script block
+  * swallows the remainder; a bare `&` that matches no entity form is
+  * kept literally.
+  *
+  * Accepts `binary` (UTF-8 bytes) or `string` input.
+  */
+case class HtmlExtractExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "html_extract_text"
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary or string, got ${other.catalogString}")
+  }
+
+  private lazy val isBinary = child.dataType == BinaryType
+
+  protected override def nullSafeEval(input: Any): Any =
+    if (isBinary) HtmlExtractExpr.extractBytes(input.asInstanceOf[Array[Byte]])
+    else HtmlExtractExpr.extract(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isBinary) "extractBytes" else "extract"
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.spark.HtmlExtractExpr.$fn($s);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): HtmlExtractExpr =
+    copy(child = c)
+}
+
+object HtmlExtractExpr {
+
+  def extractBytes(html: Array[Byte]): UTF8String =
+    UTF8String.fromString(
+      extractText(new String(html, java.nio.charset.StandardCharsets.UTF_8)))
+
+  def extract(html: UTF8String): UTF8String =
+    UTF8String.fromString(extractText(html.toString))
+
+  /** Case-insensitive region match of an ASCII-lowercase `needle`. */
+  private def matchesAt(s: String, i: Int, needle: String): Boolean =
+    s.regionMatches(true, i, needle, 0, needle.length)
+
+  /** Index just past the closing `>` of `</name ...>` at/after `from`,
+    * or the string end if unterminated.
+    */
+  private def skipPastClose(s: String, from: Int, name: String): Int = {
+    var i = from
+    val close = "</" + name
+    while (i < s.length) {
+      if (matchesAt(s, i, close)) {
+        var j = i + close.length
+        while (j < s.length && s.charAt(j) != '>') j += 1
+        return if (j < s.length) j + 1 else s.length
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  def extractText(html: String): String = {
+    val n = html.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (matchesAt(html, i, "<!--")) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (matchesAt(html, i, "<script")) {
+          i = skipPastClose(html, i + 7, "script")
+        } else if (matchesAt(html, i, "<style")) {
+          i = skipPastClose(html, i + 6, "style")
+        } else {
+          val e = html.indexOf('>', i + 1)
+          i = if (e < 0) n else e + 1
+        }
+      } else if (c == '&') {
+        val decoded = decodeEntity(html, i, sb)
+        i = if (decoded > 0) i + decoded else { sb.append('&'); i + 1 }
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+  // nbsp decodes to a REGULAR space deliberately: Java's isWhitespace
+  // (the shared tokenizer's definition) is false for U+00A0, and a
+  // boilerplate "&nbsp;" should split words downstream, not glue them
+  private val NamedEntities: Array[(String, String)] = Array(
+    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", "\""), ("&apos;", "'"), ("&nbsp;", " "))
+
+
+  /** Decode an entity at `i` (which points at '&') into `sb`; returns
+    * the consumed length, or 0 if nothing recognizable starts here.
+    */
+  private def decodeEntity(s: String, i: Int, sb: java.lang.StringBuilder): Int = {
+    var k = 0
+    while (k < NamedEntities.length) {
+      val ent = NamedEntities(k)._1
+      if (matchesAt(s, i, ent)) { sb.append(NamedEntities(k)._2); return ent.length }
+      k += 1
+    }
+    // numeric: &#123; or &#x1F600; (code point, incl. astral)
+    if (i + 2 < s.length && s.charAt(i + 1) == '#') {
+      val hex = s.charAt(i + 2) == 'x' || s.charAt(i + 2) == 'X'
+      var j = i + (if (hex) 3 else 2)
+      var cp = 0L
+      var digits = 0
+      while (j < s.length && digits <= 7 && {
+        val d = Character.digit(s.charAt(j), if (hex) 16 else 10)
+        if (d >= 0) { cp = cp * (if (hex) 16 else 10) + d; digits += 1; true }
+        else false
+      }) j += 1
+      if (digits > 0 && j < s.length && s.charAt(j) == ';' &&
+          cp > 0 && cp <= Character.MAX_CODE_POINT) {
+        sb.appendCodePoint(cp.toInt)
+        return j + 1 - i
+      }
+    }
+    0
+  }
+}

@@ -310,6 +310,13 @@ object textFunctions {
     */
   def utf16_length(text: Column): Column = k(text, TextKernelExpr.Utf16Len)
 
+  /** Deterministic HTML → text (see [[HtmlExtractExpr]]): drops
+    * script/style content and comments, strips tags, decodes common
+    * entities. Accepts binary (UTF-8) or string input.
+    */
+  def html_extract_text(html: Column): Column =
+    Bridge.column(HtmlExtractExpr(Bridge.expression(html)))
+
   private def rep(col: Column, mode: Int, n: Int = 1): Column =
     Bridge.column(RepetitionExpr(Bridge.expression(col), mode, n))
 

@@ -1,0 +1,59 @@
+package graft.spark
+
+import graft.spark.{textFunctions => tf}
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def x(html: String): String = HtmlExtractExpr.extractText(html)
+
+  test("tags strip; script/style content and comments drop entirely") {
+    assert(x("<html><body>hello world</body></html>") == "hello world")
+    assert(x("a<p class='x'>b</p>c") == "abc")
+    assert(x("a<script>var p = '</p>';</script>b") == "ab")
+    assert(x("a<SCRIPT type='x'>nested <b>tag</b></SCRIPT>b") == "ab")
+    assert(x("a<style>p { color: red }</style>b") == "ab")
+    assert(x("a<!-- <p>not text</p> -->b") == "ab")
+    assert(x("") == "")
+    assert(x("plain, no markup & no entity") == "plain, no markup & no entity")
+  }
+
+  test("malformed input degrades deterministically") {
+    assert(x("a<unterminated") == "a")
+    assert(x("a<!-- never closed") == "a")
+    assert(x("a<script>never closed") == "a")
+    assert(x("a<script>x</script") == "a") // close tag missing its '>'
+  }
+
+  test("entities: named, decimal, hex, astral, unknown stays literal") {
+    assert(x("a&amp;b &lt;x&gt; &quot;q&quot; &apos;s&apos;") == "a&b <x> \"q\" 's'")
+    assert(x("no&nbsp;break") == "no break")
+    assert(x("&#65;&#x42;&#x1F600;") == "AB😀")
+    assert(x("5 &gt 4 & x&unknown;y") == "5 &gt 4 & x&unknown;y")
+    assert(x("&#;&#x;&#65") == "&#;&#x;&#65") // malformed numerics literal
+    assert(x("&#0;") == "&#0;") // NUL never decodes
+  }
+
+  test("binary and string inputs agree; SQL form registered") {
+    val df = Seq("<p>a&amp;b</p>").toDF("h")
+      .withColumn("hb", F.encode($"h", "UTF-8"))
+    val r = df.select(
+      tf.html_extract_text($"h"), tf.html_extract_text($"hb")).first()
+    assert(r.getString(0) == "a&b" && r.getString(1) == "a&b")
+    assert(spark.sql("SELECT html_extract_text('<b>x</b>&lt;')")
+      .first().getString(0) == "x<")
+  }
+
+  test("web-pages invariant: extract(html) == text byte-identically") {
+    val pages = graft.data.WebPages.generate(spark, rows = 2000, distinctUrls = 500)
+    val bad = pages
+      .filter(tf.html_extract_text($"html") =!= $"text").count()
+    assert(bad == 0L)
+    // and partitioning-invariant (pure row function)
+    val bad2 = pages.repartition(7)
+      .filter(tf.html_extract_text($"html") =!= $"text").count()
+    assert(bad2 == 0L)
+  }
+}
