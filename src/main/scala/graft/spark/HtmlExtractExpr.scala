@@ -62,9 +62,28 @@ object HtmlExtractExpr {
   def extract(html: UTF8String): UTF8String =
     UTF8String.fromString(extractText(html.toString))
 
-  /** Case-insensitive region match of an ASCII-lowercase `needle`. */
+  /** Case-insensitive region match of an ASCII-lowercase `needle`
+    * (tag NAMES are case-insensitive in HTML; entity names are not —
+    * entities use exact matching below).
+    */
   private def matchesAt(s: String, i: Int, needle: String): Boolean =
     s.regionMatches(true, i, needle, 0, needle.length)
+
+  /** The char at `i` legally ends a tag NAME: '>' , '/', whitespace, or
+    * the string end. Without this check "<styleguide>" would match the
+    * "<style" prefix and swallow its content.
+    */
+  private def tagBoundary(s: String, i: Int): Boolean =
+    i >= s.length || {
+      val c = s.charAt(i)
+      c == '>' || c == '/' || Character.isWhitespace(c)
+    }
+
+  /** Case-insensitive match of a raw-text element's open/close tag name
+    * prefix WITH the name-boundary check.
+    */
+  private def tagAt(s: String, i: Int, tag: String): Boolean =
+    matchesAt(s, i, tag) && tagBoundary(s, i + tag.length)
 
   /** Index just past the closing `>` of `</name ...>` at/after `from`,
     * or the string end if unterminated.
@@ -73,7 +92,7 @@ object HtmlExtractExpr {
     var i = from
     val close = "</" + name
     while (i < s.length) {
-      if (matchesAt(s, i, close)) {
+      if (tagAt(s, i, close)) {
         var j = i + close.length
         while (j < s.length && s.charAt(j) != '>') j += 1
         return if (j < s.length) j + 1 else s.length
@@ -93,9 +112,9 @@ object HtmlExtractExpr {
         if (matchesAt(html, i, "<!--")) {
           val e = html.indexOf("-->", i + 4)
           i = if (e < 0) n else e + 3
-        } else if (matchesAt(html, i, "<script")) {
+        } else if (tagAt(html, i, "<script")) {
           i = skipPastClose(html, i + 7, "script")
-        } else if (matchesAt(html, i, "<style")) {
+        } else if (tagAt(html, i, "<style")) {
           i = skipPastClose(html, i + 6, "style")
         } else {
           val e = html.indexOf('>', i + 1)
@@ -123,10 +142,12 @@ object HtmlExtractExpr {
     * the consumed length, or 0 if nothing recognizable starts here.
     */
   private def decodeEntity(s: String, i: Int, sb: java.lang.StringBuilder): Int = {
+    // entity names are CASE-SENSITIVE ("&NBSP;" is literal text in HTML;
+    // only a few legacy uppercase forms exist and we decode none of them)
     var k = 0
     while (k < NamedEntities.length) {
       val ent = NamedEntities(k)._1
-      if (matchesAt(s, i, ent)) { sb.append(NamedEntities(k)._2); return ent.length }
+      if (s.startsWith(ent, i)) { sb.append(NamedEntities(k)._2); return ent.length }
       k += 1
     }
     // numeric: &#123; or &#x1F600; (code point, incl. astral)

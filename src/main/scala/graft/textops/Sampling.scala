@@ -27,7 +27,8 @@ object Sampling {
     df.orderBy(hashCol.asc, tieBreak.asc).limit(k)
 
   /** Deterministic k-rows-per-stratum sample with the sample rank exposed
-    * as `rankCol` (1-based within the stratum).
+    * as `rankCol` (1-based within the stratum) — [[capPerKey]] with
+    * hash-ascending order (one window-truncation implementation, not two).
     */
   def stratifiedBottomK(
       df: DataFrame,
@@ -35,12 +36,8 @@ object Sampling {
       hashCol: Column,
       k: Int,
       tieBreak: Column,
-      rankCol: String = "sample_rank"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(strataCol).orderBy(hashCol.asc, tieBreak.asc)
-    df.withColumn(rankCol, row_number().over(w))
-      .filter(col(rankCol) <= k)
-  }
+      rankCol: String = "sample_rank"): DataFrame =
+    capPerKey(df, strataCol, k, hashCol.asc, tieBreak, rankCol)
 
   /** Per-key quota cap (the C4-style "at most k pages per domain" rule):
     * keep at most `k` rows per `keyCol` value, winners chosen by
@@ -84,18 +81,36 @@ object Sampling {
     * lies below `rate`. Same rows on any partitioning/cluster size, zero
     * shuffle (a scan-side filter), and exactly replayable by any engine
     * with md5 — the primitive for downsampling a source to a target
-    * fraction. Complementary rates partition the corpus: `rate` and its
-    * complement select disjoint row sets whose union is the input.
+    * fraction.
+    *
+    * Rates are NESTED, not complementary: keep(r1) ⊆ keep(r2) whenever
+    * r1 ≤ r2 (the same threshold family), so downsampling further always
+    * selects a subset — stable across rate changes. For a DISJOINT
+    * train/eval split use [[rateSampleComplement]] at the same rate:
+    * `rateSample(df, h, r)` and `rateSampleComplement(df, h, r)`
+    * partition the non-null-hash rows exactly. Rows whose `hashInput`
+    * is NULL are always dropped by BOTH sides (a null comparison is a
+    * null predicate) — coalesce or filter nulls upstream if they must
+    * be routed.
     */
   def rateSample(df: DataFrame, hashInput: Column, rate: Double): DataFrame =
     df.filter(substring(md5(hashInput), 1, 8) < lit(rateThresholdHex(rate)))
+
+  /** The exact complement of [[rateSample]] at the same rate: rows whose
+    * hash prefix is AT OR ABOVE the threshold. The two calls partition
+    * the non-null-hash input disjointly (spec-pinned); null-hash rows
+    * are dropped by both (see [[rateSample]]).
+    */
+  def rateSampleComplement(df: DataFrame, hashInput: Column, rate: Double): DataFrame =
+    df.filter(substring(md5(hashInput), 1, 8) >= lit(rateThresholdHex(rate)))
 
   /** Training-mix construction: per-stratum deterministic keep-rates
     * (e.g. lang → rate, domain-bucket → rate), unlisted strata fall back
     * to `defaultRate`. Still a pure scan-side filter — the per-stratum
     * threshold resolves via a small when-chain (O(#strata) driver-held),
     * so building a 40%-web/30%-code/30%-books mix over 10^12 rows costs
-    * one filtered scan and no shuffle.
+    * one filtered scan and no shuffle. Null-hash rows drop (see
+    * [[rateSample]]); per-stratum rates nest exactly like rateSample's.
     */
   def mixSample(
       df: DataFrame,

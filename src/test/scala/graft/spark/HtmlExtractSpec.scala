@@ -16,6 +16,12 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(x("a<SCRIPT type='x'>nested <b>tag</b></SCRIPT>b") == "ab")
     assert(x("a<style>p { color: red }</style>b") == "ab")
     assert(x("a<!-- <p>not text</p> -->b") == "ab")
+    // tag-NAME boundary: <styleguide>/<scripted> are ordinary tags, not
+    // raw-text elements — their content must survive
+    assert(x("<styleguide>hi</styleguide>") == "hi")
+    assert(x("<scripted>keep</scripted>") == "keep")
+    // and a close-tag prefix inside the block does not end it
+    assert(x("<script>a</scriptfoo>x</script>b") == "b")
     assert(x("") == "")
     assert(x("plain, no markup & no entity") == "plain, no markup & no entity")
   }
@@ -30,6 +36,9 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
   test("entities: named, decimal, hex, astral, unknown stays literal") {
     assert(x("a&amp;b &lt;x&gt; &quot;q&quot; &apos;s&apos;") == "a&b <x> \"q\" 's'")
     assert(x("no&nbsp;break") == "no break")
+    // entity names are case-sensitive: &NBSP; is literal text in HTML
+    assert(x("a&NBSP;b") == "a&NBSP;b")
+    assert(x("a&AMP;b") == "a&AMP;b")
     assert(x("&#65;&#x42;&#x1F600;") == "AB😀")
     assert(x("5 &gt 4 & x&unknown;y") == "5 &gt 4 & x&unknown;y")
     assert(x("&#;&#x;&#65") == "&#;&#x;&#65") // malformed numerics literal

@@ -11,11 +11,12 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
-  private lazy val docs = {
-    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  // deliberately NOT cached: a suite-lifetime cache on the shared session
+  // can substitute its subtree into later suites' plan-shape assertions
+  // (CLAUDE.md round-3 gotcha); sf0.001 recompute is negligible
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"source", $"text")
-    df.cache(); df.count(); df
-  }
 
   test("rateThresholdHex: exact hex prefixes, lexicographic 1.0 sentinel") {
     assert(Sampling.rateThresholdHex(0.5) == "80000000")
@@ -45,15 +46,25 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(got2 == got)
   }
 
-  test("complementary rates partition the corpus disjointly") {
+  test("rateSample + rateSampleComplement partition the corpus disjointly; rates nest") {
     val keep = Sampling.rateSample(docs, $"text", 0.3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // complement = NOT(prefix < t) — same threshold, inverted predicate
-    val drop = docs.filter(!(F.substring(F.md5($"text"), 1, 8)
-        < F.lit(Sampling.rateThresholdHex(0.3))))
+    val drop = Sampling.rateSampleComplement(docs, $"text", 0.3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keep.intersect(drop).isEmpty)
     assert(keep.size + drop.size == docs.count())
+    // NESTING (the documented property): keep(0.1) ⊆ keep(0.3) — and the
+    // corollary trap: rateSample(r) and rateSample(1-r) do NOT partition
+    val keep01 = Sampling.rateSample(docs, $"text", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keep01.subsetOf(keep))
+    // null hash input is dropped by BOTH sides at every rate (documented)
+    val withNull = docs.unionByName(
+      Seq((999999L, "srcX", null: String)).toDF("doc_id", "source", "text"))
+    assert(Sampling.rateSample(withNull, $"text", 1.0)
+      .filter($"doc_id" === 999999L).count() == 0L)
+    assert(Sampling.rateSampleComplement(withNull, $"text", 0.0)
+      .filter($"doc_id" === 999999L).count() == 0L)
   }
 
   test("mixSample routes each stratum to its own rate with a default") {
