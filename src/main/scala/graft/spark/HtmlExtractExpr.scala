@@ -110,7 +110,10 @@ object HtmlExtractExpr {
       val c = html.charAt(i)
       if (c == '<') {
         if (matchesAt(html, i, "<!--")) {
-          val e = html.indexOf("-->", i + 4)
+          // search from i+2 (the opener's own "--"), so the HTML5
+          // spec-complete EMPTY comments "<!-->" and "<!--->" terminate
+          // instead of swallowing the remainder
+          val e = html.indexOf("-->", i + 2)
           i = if (e < 0) n else e + 3
         } else if (tagAt(html, i, "<script")) {
           i = skipPastClose(html, i + 7, "script")
@@ -162,7 +165,11 @@ object HtmlExtractExpr {
         else false
       }) j += 1
       if (digits > 0 && j < s.length && s.charAt(j) == ';' &&
-          cp > 0 && cp <= Character.MAX_CODE_POINT) {
+          cp > 0 && cp <= Character.MAX_CODE_POINT &&
+          // a surrogate code point would append an unpaired surrogate
+          // that UTF-8 encoding mangles to '?' — treat as unrecognized
+          // (stays literal), per this expression's contract
+          !(cp >= Character.MIN_SURROGATE.toLong && cp <= Character.MAX_SURROGATE.toLong)) {
         sb.appendCodePoint(cp.toInt)
         return j + 1 - i
       }

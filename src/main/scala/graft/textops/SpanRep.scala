@@ -35,10 +35,11 @@ import org.apache.spark.sql.functions._
   *     one aggregate — overlapping spans never double-count.
   *
   * Everything that shuffles is (id, 8-byte gram [, two ints]) — document
-  * text never rides an exchange. Re-scanning the corpus for pass 2
-  * instead of caching pass 1's occurrences is deliberate: at 10^12 docs
-  * the occurrence table is ~words-per-corpus rows, far more than two
-  * projection scans cost.
+  * text never rides an exchange. THREE corpus scans total (frequency
+  * pass, span pass, and the (id, text-length) totals projection);
+  * re-scanning instead of caching pass 1's occurrences is deliberate:
+  * at 10^12 docs the occurrence table is ~words-per-corpus rows, far
+  * more than the projection scans cost.
   *
   * Gram identity is the shared dedup tokenizer
   * (`MinHashSigExpr.wordBounds`, single-space-joined — see

@@ -16,6 +16,9 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(x("a<SCRIPT type='x'>nested <b>tag</b></SCRIPT>b") == "ab")
     assert(x("a<style>p { color: red }</style>b") == "ab")
     assert(x("a<!-- <p>not text</p> -->b") == "ab")
+    // HTML5 spec-complete EMPTY comments terminate, never swallow
+    assert(x("<!-->hello world") == "hello world")
+    assert(x("<!--->still here") == "still here")
     // tag-NAME boundary: <styleguide>/<scripted> are ordinary tags, not
     // raw-text elements — their content must survive
     assert(x("<styleguide>hi</styleguide>") == "hi")
@@ -43,6 +46,10 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
     assert(x("5 &gt 4 & x&unknown;y") == "5 &gt 4 & x&unknown;y")
     assert(x("&#;&#x;&#65") == "&#;&#x;&#65") // malformed numerics literal
     assert(x("&#0;") == "&#0;") // NUL never decodes
+    // surrogate code points never decode (an unpaired surrogate would be
+    // mangled to '?' by UTF-8 encoding) — they stay literal
+    assert(x("a&#xD800;b") == "a&#xD800;b")
+    assert(x("a&#56320;b") == "a&#56320;b") // 0xDC00 decimal form
   }
 
   test("binary and string inputs agree; SQL form registered") {

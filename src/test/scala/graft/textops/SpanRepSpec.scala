@@ -140,6 +140,12 @@ class SpanRepSpec extends AnyFunSuite with SparkTestBase {
     // counts code points — both visible side by side
     val units = spark.sql("SELECT utf16_length('😀a'), length('😀a')").first()
     assert(units.getLong(0) == 3L && units.getInt(1) == 2)
+    // byte-scan kernel == String.length on mixed-script inputs
+    Seq("", "ascii only", "中文字符", "mixed 中文 and 😀😀 emoji", "😀", "é́")
+      .foreach { s =>
+        val got = spark.sql(s"SELECT utf16_length('$s')").first().getLong(0)
+        assert(got == s.length.toLong, s"utf16_length('$s')")
+      }
   }
 
   test("plan shape: hot-gram Bloom literal filter sits below the FP-kill join") {
