@@ -147,6 +147,17 @@ object TextScaleRun {
     val srBadCover = sr.getLong(1)
     val srNonzero = sr.getLong(2)
     val srExpected = (rows + 2) / 3
+    // sampled hot-gram discovery at 2%: the tail rides in rows/3 docs, so
+    // candidate recall is certain (miss prob ~ e^(-0.02·333k)); counts
+    // are recounted exactly, so the flag set must be IDENTICAL while the
+    // frequency-pass shuffle shrinks from every gram to tail occurrences
+    val (srSampledFlagged, srSampledSec) = timed {
+      graft.textops.SpanRep.repeatedSpanStats(
+          srCorpus, "doc_id", "text", n = 16, minOtherDocs = 1,
+          sampleRate = 0.02)
+        .agg(sum(when(col("covered_frac") > 0.2, 1L).otherwise(0L)))
+        .first().getLong(0)
+    }
 
     val expectDrop = clusteredDocs - clusteredDocs / 4
     println(
@@ -166,7 +177,9 @@ object TextScaleRun {
       s""","decon_big_sec":${f"$deconBigSec%.1f"},"decon_big_join":"$bigJoin"""" +
       s""","spanrep_flagged":$srFlagged,"spanrep_expected":$srExpected""" +
       s""","spanrep_bad_cover":$srBadCover,"spanrep_nonzero":$srNonzero""" +
-      s""","spanrep_sec":${f"$srSec%.1f"}}""")
+      s""","spanrep_sec":${f"$srSec%.1f"}""" +
+      s""","spanrep_sampled_flagged":$srSampledFlagged""" +
+      s""","spanrep_sampled_sec":${f"$srSampledSec%.1f"}}""")
     spark.stop()
   }
 }

@@ -69,8 +69,12 @@ object SpanRep {
     *
     * `numBits` sizes the hot-gram Bloom prefilter
     * ([[Decontaminate.AutoBits]] = size from the measured hot-gram
-    * count). Flagging is one `filter(col("covered_frac") > t)` away;
-    * typical boilerplate thresholds are 0.2–0.5 at n ≈ 8–32.
+    * count). `sampleRate` < 1 switches the document-frequency pass to
+    * sampled candidate discovery + exact recount (see the inline note —
+    * the corpus-sized gram shuffle shrinks to boilerplate volume; counts
+    * stay exact, candidate recall misses a d-doc gram with probability
+    * ≤ e^(-rate·d)). Flagging is one `filter(col("covered_frac") > t)`
+    * away; typical boilerplate thresholds are 0.2–0.5 at n ≈ 8–32.
     */
   def repeatedSpanStats(
       df: DataFrame,
@@ -78,12 +82,48 @@ object SpanRep {
       textCol: String,
       n: Int = 16,
       minOtherDocs: Int = 1,
-      numBits: Long = Decontaminate.AutoBits): DataFrame = {
+      numBits: Long = Decontaminate.AutoBits,
+      sampleRate: Double = 1.0): DataFrame = {
     require(minOtherDocs >= 1, "minOtherDocs must be >= 1")
-    // pass 1: document frequency over kernel-deduped gram hashes
-    val hot = Materialize(df
-      .select(explode(gramHashes(col(textCol), n)).as("__g"))
-      .groupBy("__g").agg(count(lit(1)).as("__docs"))
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      "sampleRate must be in (0,1]")
+    // pass 1: document frequency over kernel-deduped gram hashes.
+    //
+    // At sampleRate 1.0 this shuffles every distinct (well, kernel-
+    // deduped) gram once — exact, but the shuffle is corpus-sized at
+    // 10^12 docs. sampleRate < 1 first discovers CANDIDATE grams on a
+    // deterministic doc sample (rateSample over the id — same sample on
+    // any partitioning), folds them into a Bloom filter, and only then
+    // runs the full-corpus frequency pass Bloom-FILTERED AT THE SCAN:
+    // the big shuffle shrinks from all-grams to candidate occurrences
+    // (boilerplate volume). Candidate counts stay EXACT — the full pass
+    // recounts them over all documents, and a Bloom false positive just
+    // gets an exact count too (kept iff genuinely hot, so FPs can only
+    // ADD true recall, never error). The one approximation is candidate
+    // RECALL: a gram in d docs is missed iff NO sampled doc contains it,
+    // probability (1-p)^d ≤ e^(-p·d) — choose p ≥ ln(1/δ)/(minOtherDocs+1)
+    // for miss probability ≤ δ at the flagging threshold; grams well
+    // above the threshold (the boilerplate this operator exists for)
+    // are found with near certainty.
+    val gramCounts =
+      if (sampleRate >= 1.0)
+        df.select(explode(gramHashes(col(textCol), n)).as("__g"))
+          .groupBy("__g").agg(count(lit(1)).as("__docs"))
+      else {
+        val sampled = Sampling.rateSample(
+          df.select(col(idCol).cast("string").as("__sid"), col(textCol)),
+          col("__sid"), sampleRate)
+        val candidates = Materialize(sampled
+          .select(explode(gramHashes(col(textCol), n)).as("__g"))
+          .groupBy("__g").agg(count(lit(1)))
+          .select("__g"))
+        val candBf = BloomJoin.buildKeyFilter(candidates, "__g",
+          Decontaminate.sizeBits(numBits, candidates.count()))
+        df.select(explode(gramHashes(col(textCol), n)).as("__g"))
+          .filter(sketch.bloom_contains(candBf, col("__g")))
+          .groupBy("__g").agg(count(lit(1)).as("__docs"))
+      }
+    val hot = Materialize(gramCounts
       .filter(col("__docs") >= minOtherDocs + 1)
       .select("__g")) // consumed by sizing count + Bloom build + FP-kill join
     val bf = BloomJoin.buildKeyFilter(hot, "__g",
@@ -135,8 +175,10 @@ object SpanRep {
       maxCoveredFrac: Double,
       n: Int = 16,
       minOtherDocs: Int = 1,
-      numBits: Long = Decontaminate.AutoBits): DataFrame = {
-    val losers = repeatedSpanStats(df, idCol, textCol, n, minOtherDocs, numBits)
+      numBits: Long = Decontaminate.AutoBits,
+      sampleRate: Double = 1.0): DataFrame = {
+    val losers = repeatedSpanStats(df, idCol, textCol, n, minOtherDocs,
+        numBits, sampleRate)
       .filter(col("covered_frac") > maxCoveredFrac)
       .select(col(idCol))
     df.join(losers, Seq(idCol), "left_anti")

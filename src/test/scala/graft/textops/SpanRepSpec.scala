@@ -148,6 +148,31 @@ class SpanRepSpec extends AnyFunSuite with SparkTestBase {
       }
   }
 
+  test("sampled hot-gram discovery reproduces the exact result on heavy boilerplate") {
+    // 100 of 200 docs share a 12-word tail; at sampleRate 0.3 the
+    // deterministic md5 doc sample certainly contains tail carriers, so
+    // the candidate set covers the hot grams and the EXACT recount makes
+    // the sampled output identical to the unsampled one, row for row
+    val bp = (1 to 12).map(i => s"bb$i").mkString(" ")
+    val corpus2 = (0L until 200L).map { id =>
+      val uniq = (1 to 10).map(i => s"u${id}x$i").mkString(" ")
+      id -> (if (id % 2 == 0) s"$uniq $bp" else uniq)
+    }
+    val df = corpus2.toDF("doc_id", "text")
+    val exact = SpanRep.repeatedSpanStats(df, "doc_id", "text",
+        n = 8, minOtherDocs = 1)
+      .orderBy("doc_id").collect().toSeq
+    val sampled = SpanRep.repeatedSpanStats(df, "doc_id", "text",
+        n = 8, minOtherDocs = 1, sampleRate = 0.3)
+      .orderBy("doc_id").collect().toSeq
+    assert(sampled == exact)
+    val flagged = exact.count(_.getDouble(3) > 0.2)
+    assert(flagged == 100, s"all tail carriers flagged, got $flagged")
+    intercept[IllegalArgumentException] {
+      SpanRep.repeatedSpanStats(df, "doc_id", "text", sampleRate = 0.0)
+    }
+  }
+
   test("plan shape: hot-gram Bloom literal filter sits below the FP-kill join") {
     val df = SpanRep.repeatedSpanStats(
       corpus.toDF("doc_id", "text"), "doc_id", "text", n = 3, minOtherDocs = 1)
