@@ -82,7 +82,8 @@ object BpeVocab {
 
 /** BPE tokenization kernel: `count` mode (bigint tokens per text) and
   * `tokens` mode (array<string>, for fixtures/debugging). Within each
-  * whitespace word, symbols start as single characters and the
+  * whitespace word, symbols start as single Unicode CODE POINTS
+  * (surrogate pairs are never torn apart) and the
   * lowest-rank adjacent pair merges (left-to-right within a rank) until
   * no adjacent pair is in the vocab — exactly the published greedy BPE
   * application loop. Characters never in any merge stay single-char
@@ -130,12 +131,20 @@ object BpeCountExpr {
     */
   private def bpeWord(s: String, from: Int, until: Int, vocab: BpeVocab,
       out: java.util.ArrayList[String]): Int = {
-    val n = until - from
-    if (n == 0) return 0
-    var syms = new Array[String](n)
-    var i = 0
-    while (i < n) { syms(i) = String.valueOf(s.charAt(from + i)); i += 1 }
-    var len = n
+    if (until == from) return 0
+    // initial symbols are Unicode CODE POINTS, never UTF-16 units: a
+    // char-level split would tear an astral char (emoji) into two lone
+    // surrogates that no merge can rejoin and UTF-8 mangles to '?'
+    // (property-caught). Capacity until-from bounds the code-point count.
+    var syms = new Array[String](until - from)
+    var len = 0
+    var i = from
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      syms(len) = new String(Character.toChars(cp))
+      len += 1
+      i += Character.charCount(cp)
+    }
     val ranks = vocab.ranks
     var done = vocab.size == 0
     while (!done && len > 1) {

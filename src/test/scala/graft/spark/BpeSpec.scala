@@ -51,6 +51,11 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(countOf("xyz") == 3L) // untouched chars stay single tokens
     assert(countOf("alpha", BpeVocab(Seq.empty)) == 5L)
     assert(tokensOf("al pha") == Seq("al", "ph", "a")) // merges never cross words
+    // astral chars are ONE symbol (code points, not UTF-16 units): a
+    // char-level split would tear the surrogate pair into two lone
+    // surrogates that mangle to '?' on output
+    assert(tokensOf("😀x") == Seq("😀", "x"))
+    assert(countOf("😀😀") == 2L)
   }
 
   test("SQL literal form agrees with the Column API") {

@@ -1,0 +1,134 @@
+package graft.spark
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck property suite for the round-5 text kernels — all checked
+  * at the JVM kernel level (the same static methods codegen dispatches
+  * to), so thousands of generated inputs run without Spark jobs.
+  */
+class TextKernelPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(200)
+      .withInitialSeed(org.scalacheck.rng.Seed(42L)) // deterministic CI
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // text with interesting structure: words from a small alphabet (forces
+  // cross-doc/gram collisions), varied whitespace incl. unicode, astral
+  // chars, empties
+  private val genWord: Gen[String] = Gen.oneOf(
+    Gen.stringOfN(3, Gen.alphaLowerChar),
+    Gen.oneOf("aa", "bb", "cc", "😀x", "中文", "a", "Zz9"))
+  private val genWs: Gen[String] =
+    Gen.oneOf(" ", "  ", "\t", "\n", "　", " \t ")
+  private val genText: Gen[String] = for {
+    k <- Gen.choose(0, 30)
+    words <- Gen.listOfN(k, genWord)
+    seps <- Gen.listOfN(k + 1, genWs)
+  } yield seps.zipAll(words.map(Some(_)), " ", None)
+    .flatMap { case (s, w) => s +: w.toSeq }.mkString
+
+  private def wordsOf(s: String): Seq[String] = {
+    val (st, en) = MinHashSigExpr.wordBounds(s)
+    st.indices.map(i => s.substring(st(i), en(i)))
+  }
+
+  private val vocab = BpeVocab(Seq(
+    ("a", "a"), ("b", "b"), ("aa", "a"), ("c", "c"), ("中", "文")))
+
+  test("property: BPE token concatenation reconstructs the word chars exactly") {
+    check(Prop.forAll(genText) { t =>
+      val u = UTF8String.fromString(t)
+      val toks = BpeCountExpr.tokens(u, vocab).toObjectArray(
+        org.apache.spark.sql.types.StringType).map(_.toString)
+      val cnt = BpeCountExpr.count(u, vocab)
+      cnt == toks.length.toLong &&
+        toks.mkString == wordsOf(t).mkString // merges never drop/add chars
+    })
+  }
+
+  test("property: empty vocab makes BPE count equal the word code-point count") {
+    val empty = BpeVocab(Seq.empty)
+    check(Prop.forAll(genText) { t =>
+      BpeCountExpr.count(UTF8String.fromString(t), empty) ==
+        wordsOf(t).map(w => w.codePointCount(0, w.length).toLong).sum
+    })
+  }
+
+  test("property: a superset vocab never increases the BPE token count") {
+    val smaller = BpeVocab(Seq(("a", "a"), ("b", "b")))
+    check(Prop.forAll(genText) { t =>
+      val u = UTF8String.fromString(t)
+      BpeCountExpr.count(u, vocab) <= BpeCountExpr.count(u, smaller)
+    })
+  }
+
+  test("property: gram spans count full windows and reconstruct gram text") {
+    check(Prop.forAll(genText, Gen.choose(2, 5)) { (t, n) =>
+      val u = UTF8String.fromString(t)
+      val rows = GramSpansExpr.spans(u, n)
+      val words = wordsOf(t)
+      val expected = math.max(0, words.length - n + 1)
+      rows.numElements() == expected && (0 until rows.numElements()).forall { i =>
+        val r = rows.getStruct(i, 3)
+        val (s, e) = (r.getInt(1), r.getInt(2))
+        // the span's own words, single-space-joined, hash to the gram
+        val sub = t.substring(s, e)
+        val g = wordsOf(sub).mkString(" ")
+        wordsOf(sub).length == n &&
+          graft.core.Murmur64A.hashBytes(
+            g.getBytes(java.nio.charset.StandardCharsets.UTF_8)) == r.getLong(0)
+      }
+    })
+  }
+
+  test("property: distinct gram hashes equal the span hashes deduped") {
+    check(Prop.forAll(genText, Gen.choose(2, 5)) { (t, n) =>
+      val u = UTF8String.fromString(t)
+      val spanHashes = {
+        val rows = GramSpansExpr.spans(u, n)
+        (0 until rows.numElements()).map(rows.getStruct(_, 3).getLong(0))
+      }
+      GramSpansExpr.hashes(u, n).toLongArray().toSeq == spanHashes.distinct
+    })
+  }
+
+  test("property: utf16 unit count equals String.length") {
+    check(Prop.forAll(genText) { t =>
+      TextKernelExpr.utf16Units(UTF8String.fromString(t)) == t.length.toLong
+    })
+  }
+
+  test("property: html extraction is identity on markup-free text and inverts tag wrapping") {
+    val genClean = genText.map(_.filterNot(c => c == '<' || c == '&'))
+    check(Prop.forAll(genClean) { t =>
+      HtmlExtractExpr.extractText(t) == t &&
+        HtmlExtractExpr.extractText(s"<p>$t</p>") == t &&
+        HtmlExtractExpr.extractText(
+          s"<html><script>x</script><body>$t</body></html>") == t
+    })
+  }
+
+  test("property: html binary and string paths agree") {
+    check(Prop.forAll(genText) { t =>
+      val viaString = HtmlExtractExpr.extract(UTF8String.fromString(t)).toString
+      val viaBytes = HtmlExtractExpr.extractBytes(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+      viaString == viaBytes
+    })
+  }
+
+  test("property: rate thresholds are monotone and bounded") {
+    check(Prop.forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val (tl, th) = (graft.textops.Sampling.rateThresholdHex(lo),
+        graft.textops.Sampling.rateThresholdHex(hi))
+      tl <= th && tl.length >= 1 && (th == "g" || th.length == 8)
+    })
+  }
+}
