@@ -71,10 +71,13 @@ object TextKernelExpr {
     // UTF-16 code-unit length: Spark's `length()` counts CODE POINTS, so
     // operators whose offsets come from Java String indices (SpanRep's
     // gram spans) must measure totals in the SAME unit or fractions
-    // drift above 1.0 on astral chars (emoji). Counted straight off the
-    // UTF-8 bytes — units = non-continuation bytes, +1 per 4-byte lead
-    // (surrogate pair) — so no per-row String materialization.
-    case Utf16Len => java.lang.Long.valueOf(utf16Units(text))
+    // drift above 1.0 on astral chars (emoji). Via toString DELIBERATELY:
+    // counting units off the raw UTF-8 bytes is alloc-free but diverges
+    // from String decoding on MALFORMED input (a lone continuation byte
+    // is 0 bytes-derived units but decodes to one U+FFFD unit), and the
+    // span offsets this must stay consistent with come from toString —
+    // consistency-by-construction beats the saved allocation.
+    case Utf16Len => java.lang.Long.valueOf(text.toString.length.toLong)
   }
 
   /** Charikar SimHash over whitespace tokens: per bit, sum +1/-1 weighted
@@ -147,26 +150,6 @@ object TextKernelExpr {
     var b = 0
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
-  }
-
-  /** UTF-16 code units from the UTF-8 buffer in place: every byte that is
-    * not a continuation byte (10xxxxxx) starts a code point (+1 unit),
-    * and a 4-byte lead (11110xxx) starts an astral code point that needs
-    * a surrogate PAIR (+1 more). Valid UTF-8 assumed (Spark guarantees).
-    */
-  def utf16Units(text: UTF8String): Long = {
-    var i = 0
-    var units = 0L
-    val n = text.numBytes()
-    while (i < n) {
-      val b = text.getByte(i)
-      if ((b & 0xc0) != 0x80) {
-        units += 1
-        if ((b & 0xf8) == 0xf0) units += 1
-      }
-      i += 1
-    }
-    units
   }
 
   /** Winnowing-style document fingerprint (Schleimer et al., MOSS): minimum

@@ -71,8 +71,8 @@ object SpanRep {
     * ([[Decontaminate.AutoBits]] = size from the measured hot-gram
     * count). `sampleRate` < 1 switches the document-frequency pass to
     * sampled candidate discovery + exact recount (see the inline note —
-    * the corpus-sized gram shuffle shrinks to boilerplate volume; counts
-    * stay exact, candidate recall misses a d-doc gram with probability
+    * the gram shuffle shrinks ~1/rate; counts stay exact, candidate
+    * recall misses a d-doc gram with probability
     * ≤ e^(-rate·d)). Flagging is one `filter(col("covered_frac") > t)`
     * away; typical boilerplate thresholds are 0.2–0.5 at n ≈ 8–32.
     */
@@ -94,17 +94,22 @@ object SpanRep {
     // 10^12 docs. sampleRate < 1 first discovers CANDIDATE grams on a
     // deterministic doc sample (rateSample over the id — same sample on
     // any partitioning), folds them into a Bloom filter, and only then
-    // runs the full-corpus frequency pass Bloom-FILTERED AT THE SCAN:
-    // the big shuffle shrinks from all-grams to candidate occurrences
-    // (boilerplate volume). Candidate counts stay EXACT — the full pass
-    // recounts them over all documents, and a Bloom false positive just
-    // gets an exact count too (kept iff genuinely hot, so FPs can only
-    // ADD true recall, never error). The one approximation is candidate
-    // RECALL: a gram in d docs is missed iff NO sampled doc contains it,
-    // probability (1-p)^d ≤ e^(-p·d) — choose p ≥ ln(1/δ)/(minOtherDocs+1)
-    // for miss probability ≤ δ at the flagging threshold; grams well
-    // above the threshold (the boilerplate this operator exists for)
-    // are found with near certainty.
+    // runs the full-corpus frequency pass Bloom-FILTERED AT THE SCAN.
+    // Every gram of a sampled doc is a candidate (discovery is
+    // intentionally THRESHOLD-FREE — a sample-count cut would break the
+    // recall bound below), so the recount shuffle shrinks by ~1/rate on
+    // sample-unique grams PLUS all occurrences of genuinely repeated
+    // grams — a ~50x smaller shuffle at rate 0.02, NOT boilerplate-only.
+    // Candidate counts stay EXACT — the full pass recounts them over
+    // all documents, and a Bloom false positive just gets an exact
+    // count too (kept iff genuinely hot, so FPs can only ADD true
+    // recall, never error; an undersized candidate filter degrades
+    // shuffle size, never correctness). The one approximation is
+    // candidate RECALL: a gram in d docs is missed iff NO sampled doc
+    // contains it, probability (1-p)^d ≤ e^(-p·d) — choose
+    // p ≥ ln(1/δ)/(minOtherDocs+1) for miss probability ≤ δ at the
+    // flagging threshold; grams well above the threshold (the
+    // boilerplate this operator exists for) are found near-certainly.
     val gramCounts =
       if (sampleRate >= 1.0)
         df.select(explode(gramHashes(col(textCol), n)).as("__g"))
@@ -115,10 +120,12 @@ object SpanRep {
           col("__sid"), sampleRate)
         val candidates = Materialize(sampled
           .select(explode(gramHashes(col(textCol), n)).as("__g"))
-          .groupBy("__g").agg(count(lit(1)))
-          .select("__g"))
+          .distinct())
+        // the candidate filter sizes from ITS OWN measured key count —
+        // candidates are ~rate × all distinct grams, far more keys than
+        // the hot-gram set the caller's `numBits` is documented to size
         val candBf = BloomJoin.buildKeyFilter(candidates, "__g",
-          Decontaminate.sizeBits(numBits, candidates.count()))
+          Decontaminate.sizeBits(Decontaminate.AutoBits, candidates.count()))
         df.select(explode(gramHashes(col(textCol), n)).as("__g"))
           .filter(sketch.bloom_contains(candBf, col("__g")))
           .groupBy("__g").agg(count(lit(1)).as("__docs"))

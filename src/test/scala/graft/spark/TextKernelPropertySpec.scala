@@ -100,7 +100,8 @@ class TextKernelPropertySpec extends AnyFunSuite {
 
   test("property: utf16 unit count equals String.length") {
     check(Prop.forAll(genText) { t =>
-      TextKernelExpr.utf16Units(UTF8String.fromString(t)) == t.length.toLong
+      TextKernelExpr.dispatch(UTF8String.fromString(t), TextKernelExpr.Utf16Len)
+        .asInstanceOf[java.lang.Long].longValue() == t.length.toLong
     })
   }
 
