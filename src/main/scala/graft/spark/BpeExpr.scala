@@ -9,18 +9,30 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** A byte-pair-encoding merge table (Sennrich et al. 2016; the GPT-2
   * tokenizer family's core loop): an ORDERED list of symbol-pair merges,
-  * applied greedily lowest-rank-first. This library's variant is
-  * character-level within whitespace words (the shared
-  * `MinHashSigExpr.wordBounds` tokenizer pre-splits; merges never cross
-  * word boundaries), which keeps it deterministic and self-contained —
-  * byte-level pre-tokenization regexes are a vocab-packaging concern,
-  * not a counting-semantics one.
+  * applied greedily lowest-rank-first. Two modes:
+  *
+  *  - `byteLevel = false` (default): character-level within whitespace
+  *    words (the shared `MinHashSigExpr.wordBounds` tokenizer pre-splits;
+  *    merges never cross word boundaries). Deterministic and
+  *    self-contained — the right mode for hand-built fixture vocabs.
+  *  - `byteLevel = true`: GPT-2-style byte-level BPE. Text is
+  *    pre-tokenized with the published GPT-2 regex (contractions,
+  *    optional-leading-space letter/number/punctuation runs, whitespace),
+  *    each pre-token's UTF-8 bytes map through the GPT-2
+  *    bytes-to-unicode table (printable bytes stay themselves, the rest
+  *    shift to U+0100.. — space becomes 'Ġ' U+0120), and merges apply
+  *    over those byte symbols. This is the decomposition real
+  *    `merges.txt` vocabs (GPT-2/RoBERTa family) are trained over, so
+  *    [[BpeVocab.fromMergesFile]] + this mode counts the tokens the real
+  *    tokenizer would produce.
   *
   * The vocab rides in plans as a driver-held reference object: content
-  * equality/hashCode (not reference) so expression canonicalization and
-  * subexpression elimination work when the same vocab is used twice.
+  * equality/hashCode (not reference, and including the mode flag) so
+  * expression canonicalization and subexpression elimination work when
+  * the same vocab is used twice.
   */
-final class BpeVocab private (val merges: Array[(String, String)])
+final class BpeVocab private (val merges: Array[(String, String)],
+    val byteLevel: Boolean)
   extends Serializable {
 
   /** (left symbol, right symbol) → rank; lower rank merges first. */
@@ -37,30 +49,68 @@ final class BpeVocab private (val merges: Array[(String, String)])
   def size: Int = merges.length
 
   override def hashCode(): Int =
-    java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]])
+    java.util.Arrays.hashCode(merges.asInstanceOf[Array[AnyRef]]) * 31 +
+      (if (byteLevel) 1 else 0)
   override def equals(o: Any): Boolean = o match {
-    case v: BpeVocab => merges.sameElements(v.merges)
+    case v: BpeVocab =>
+      byteLevel == v.byteLevel && merges.sameElements(v.merges)
     case _ => false
   }
-  override def toString: String = s"BpeVocab(${merges.length} merges)"
+  override def toString: String =
+    s"BpeVocab(${merges.length} merges${if (byteLevel) ", byte-level" else ""})"
 }
 
 object BpeVocab {
 
-  private[spark] def pairKey(a: String, b: String): String = a + " " + b
+  private[graft] def pairKey(a: String, b: String): String = a + " " + b
 
-  def apply(merges: Seq[(String, String)]): BpeVocab = {
+  def apply(merges: Seq[(String, String)]): BpeVocab =
+    apply(merges, byteLevel = false)
+
+  def apply(merges: Seq[(String, String)], byteLevel: Boolean): BpeVocab = {
     require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
       "merge symbols must be non-empty")
-    // symbols are intra-word character sequences (words are whitespace-
-    // split before BPE, so whitespace can never occur inside one) — the
-    // guard keeps the space-separated pairKey unambiguous
+    // char mode: symbols are intra-word character sequences (words are
+    // whitespace-split before BPE, so whitespace can never occur inside
+    // one); byte mode: the bytes-to-unicode map shifts every whitespace
+    // byte out of the whitespace range (space → 'Ġ'). Either way the
+    // guard keeps the space-separated pairKey unambiguous.
     require(merges.forall(m =>
       !(m._1 + m._2).exists(Character.isWhitespace)),
       "merge symbols must not contain whitespace")
     val keys = merges.map(m => pairKey(m._1, m._2))
     require(keys.distinct.size == keys.size, "duplicate merge pair in vocab")
-    new BpeVocab(merges.toArray)
+    new BpeVocab(merges.toArray, byteLevel)
+  }
+
+  /** Load a standard `merges.txt` (GPT-2 / RoBERTa / Sennrich
+    * `learn_bpe` output): optional `#version:` header line, then one
+    * merge per line as two space-separated symbols in rank order. Blank
+    * lines are skipped. Defaults to byte-level because that is the
+    * decomposition the standard files are trained over; pass
+    * `byteLevel = false` for a char-level merges file (Sennrich-style
+    * vocabs trained on pre-tokenized characters).
+    *
+    * Driver-side read — the parsed vocab then rides the plan as a
+    * reference object, so one file read serves any number of tasks.
+    */
+  def fromMergesFile(path: String, byteLevel: Boolean = true): BpeVocab = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8).asScala
+    val merges = lines.iterator.zipWithIndex
+      .filterNot { case (l, i) =>
+        (i == 0 && l.startsWith("#version")) || l.trim.isEmpty
+      }
+      .map { case (l, i) =>
+        val parts = l.split(' ')
+        require(parts.length == 2 && parts.forall(_.nonEmpty),
+          s"$path:${i + 1}: merge '$l' must be two space-separated symbols")
+        (parts(0), parts(1))
+      }
+      .toSeq
+    apply(merges, byteLevel)
   }
 
   /** Parse the SQL-literal form: merges separated by commas, each pair's
@@ -71,24 +121,111 @@ object BpeVocab {
     * through the Scala API (`BpeVocab(Seq(...))`); use that for vocabs
     * with comma symbols.
     */
-  def parse(spec: String): BpeVocab =
-    apply(spec.split(',').toSeq.filter(_.nonEmpty).map { m =>
+  def parse(spec: String): BpeVocab = parse(spec, byteLevel = false)
+
+  def parse(spec: String, byteLevel: Boolean): BpeVocab =
+    apply(spec.split(",", -1).toSeq.map { m =>
+      // empty segments (',,' or a trailing comma) are typos in a
+      // SQL-literal vocab — fail loudly like any other malformed merge
+      require(m.nonEmpty, s"empty merge segment in vocab spec '$spec'")
       val parts = m.split(' ')
       require(parts.length == 2,
         s"merge '$m' must be two space-separated symbols")
       (parts(0), parts(1))
-    })
+    }, byteLevel)
+}
+
+/** GPT-2 byte-level plumbing: the published bytes-to-unicode table and
+  * pre-tokenizer regex (Radford et al. 2019, `encoder.py`). Both are the
+  * de-facto wire format for `merges.txt` vocabs, reproduced from the
+  * published algorithm — printable bytes (0x21-0x7E, 0xA1-0xAC,
+  * 0xAE-0xFF) map to themselves; the remaining 68 bytes shift to
+  * U+0100.. in byte order, so space (0x20) lands on U+0120 'Ġ'.
+  */
+object ByteBpe {
+
+  /** byte value → the single BMP char standing for it in merge symbols. */
+  val byteToUnicode: Array[Char] = {
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if ((b >= 0x21 && b <= 0x7e) || (b >= 0xa1 && b <= 0xac) ||
+          (b >= 0xae && b <= 0xff)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  /** Interned one-char symbol strings, one per byte value — the initial
+    * symbols of every byte-level word, allocated once per JVM.
+    */
+  private val symbolOf: Array[String] =
+    byteToUnicode.map(c => String.valueOf(c))
+
+  private val unicodeToByte: java.util.HashMap[Character, Integer] = {
+    val m = new java.util.HashMap[Character, Integer](512)
+    var b = 0
+    while (b < 256) { m.put(byteToUnicode(b), b); b += 1 }
+    m
+  }
+
+  /** Invert the mapping on a token string (spec/debug aid): the raw bytes
+    * a byte-level BPE token stands for.
+    */
+  def decode(token: String): Array[Byte] = {
+    val out = new Array[Byte](token.length)
+    var i = 0
+    while (i < token.length) {
+      val b = unicodeToByte.get(token.charAt(i))
+      require(b != null, s"char U+${token.charAt(i).toInt.toHexString} " +
+        "is not in the byte-level symbol alphabet")
+      out(i) = b.byteValue().toByte
+      i += 1
+    }
+    out
+  }
+
+  /** [[decode]] then UTF-8; the human-readable form of a token. */
+  def decodeToString(token: String): String =
+    new String(decode(token), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** The GPT-2 pre-tokenizer: contractions, optional-leading-space
+    * letter / number / other runs, trailing or inner whitespace runs.
+    * Every char of the input is covered by exactly one match.
+    * UNICODE_CHARACTER_CLASS so `\s` means Unicode whitespace, matching
+    * the reference implementation's `regex` module semantics.
+    */
+  val pretokenPattern: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Initial byte symbols of `s.substring(from, until)`: UTF-8 bytes
+    * mapped through [[byteToUnicode]], one interned 1-char string each.
+    */
+  def symbols(s: String, from: Int, until: Int): Array[String] = {
+    val bytes = s.substring(from, until)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val arr = new Array[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) { arr(i) = symbolOf(bytes(i) & 0xff); i += 1 }
+    arr
+  }
 }
 
 /** BPE tokenization kernel: `count` mode (bigint tokens per text) and
-  * `tokens` mode (array<string>, for fixtures/debugging). Within each
-  * whitespace word, symbols start as single Unicode CODE POINTS
-  * (surrogate pairs are never torn apart) and the
-  * lowest-rank adjacent pair merges (left-to-right within a rank) until
-  * no adjacent pair is in the vocab — exactly the published greedy BPE
-  * application loop. Characters never in any merge stay single-char
-  * tokens, so the count is defined for ANY input (no unknown-token
-  * handling needed for counting).
+  * `tokens` mode (array<string>, for fixtures/debugging). The vocab's
+  * mode picks the decomposition — char-level: whitespace words whose
+  * symbols start as single Unicode CODE POINTS (surrogate pairs are
+  * never torn apart); byte-level: GPT-2 pre-tokens whose symbols start
+  * as mapped UTF-8 bytes (see [[ByteBpe]]; `tokens` mode emits the
+  * mapped-unicode forms, `ByteBpe.decodeToString` recovers the text).
+  * Either way the lowest-rank adjacent pair merges (left-to-right
+  * within a rank) until no adjacent pair is in the vocab — exactly the
+  * published greedy BPE application loop. Symbols never in any merge
+  * stay single-unit tokens, so the count is defined for ANY input (no
+  * unknown-token handling needed for counting).
   */
 case class BpeCountExpr(child: Expression, vocab: BpeVocab,
     emitTokens: Boolean = false)
@@ -124,19 +261,65 @@ case class BpeCountExpr(child: Expression, vocab: BpeVocab,
     copy(child = c)
 }
 
+/** The pre-tokens BPE merges operate within, as raw substrings of the
+  * input (unmapped — byte-symbol mapping is a per-word-TYPE concern the
+  * trainer handles driver-side): GPT-2 regex matches in byte-level mode,
+  * whitespace words in char-level mode. This is the distributed half of
+  * BPE training — `explode(bpe_pretokens(text))` + groupBy/count turns a
+  * corpus into the word-type frequency table the merge learner consumes.
+  */
+case class BpePretokensExpr(child: Expression, byteLevel: Boolean)
+  extends UnaryExpression {
+
+  override def prettyName: String = "bpe_pretokens"
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    BpePretokensExpr.pretokens(input.asInstanceOf[UTF8String], byteLevel)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)" +
+        s"graft.spark.BpePretokensExpr.pretokens($s, $byteLevel);")
+
+  override protected def withNewChildInternal(c: Expression): BpePretokensExpr =
+    copy(child = c)
+}
+
+object BpePretokensExpr {
+  def pretokens(text: UTF8String, byteLevel: Boolean): GenericArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    if (byteLevel) {
+      val m = ByteBpe.pretokenPattern.matcher(s)
+      while (m.find()) out.add(UTF8String.fromString(s.substring(m.start, m.end)))
+    } else {
+      val (starts, ends) = MinHashSigExpr.wordBounds(s)
+      var w = 0
+      while (w < starts.length) {
+        out.add(UTF8String.fromString(s.substring(starts(w), ends(w))))
+        w += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object BpeCountExpr {
 
-  /** Greedy BPE over one word's chars; appends final symbols to `out`
-    * (null ⇒ count only). Returns the symbol count.
+  /** Char-mode initial symbols of one word: Unicode CODE POINTS, never
+    * UTF-16 units — a char-level split would tear an astral char (emoji)
+    * into two lone surrogates that no merge can rejoin and UTF-8 mangles
+    * to '?' (property-caught). Capacity until-from bounds the count.
     */
-  private def bpeWord(s: String, from: Int, until: Int, vocab: BpeVocab,
-      out: java.util.ArrayList[String]): Int = {
-    if (until == from) return 0
-    // initial symbols are Unicode CODE POINTS, never UTF-16 units: a
-    // char-level split would tear an astral char (emoji) into two lone
-    // surrogates that no merge can rejoin and UTF-8 mangles to '?'
-    // (property-caught). Capacity until-from bounds the code-point count.
-    var syms = new Array[String](until - from)
+  private def codePointSymbols(s: String, from: Int, until: Int): Array[String] = {
+    val syms = new Array[String](until - from)
     var len = 0
     var i = from
     while (i < until) {
@@ -145,6 +328,18 @@ object BpeCountExpr {
       len += 1
       i += Character.charCount(cp)
     }
+    if (len == syms.length) syms else java.util.Arrays.copyOf(syms, len)
+  }
+
+  /** Greedy BPE merge loop over one word's initial symbols; appends
+    * final symbols to `out` (null ⇒ count only). Returns the final
+    * symbol count.
+    */
+  private def bpeWord(syms0: Array[String], vocab: BpeVocab,
+      out: java.util.ArrayList[String]): Int = {
+    var syms = syms0
+    var len = syms.length
+    if (len == 0) return 0
     val ranks = vocab.ranks
     var done = vocab.size == 0
     while (!done && len > 1) {
@@ -182,14 +377,26 @@ object BpeCountExpr {
   private def overWords(text: UTF8String, vocab: BpeVocab,
       out: java.util.ArrayList[String]): Long = {
     val s = text.toString
-    val (starts, ends) = MinHashSigExpr.wordBounds(s)
-    var total = 0L
-    var w = 0
-    while (w < starts.length) {
-      total += bpeWord(s, starts(w), ends(w), vocab, out)
-      w += 1
+    if (vocab.byteLevel) {
+      // GPT-2 pre-tokenization: every char lands in exactly one match;
+      // whitespace runs are tokens too (a lone trailing space counts),
+      // matching the reference tokenizer's accounting
+      val m = ByteBpe.pretokenPattern.matcher(s)
+      var total = 0L
+      while (m.find()) {
+        total += bpeWord(ByteBpe.symbols(s, m.start, m.end), vocab, out)
+      }
+      total
+    } else {
+      val (starts, ends) = MinHashSigExpr.wordBounds(s)
+      var total = 0L
+      var w = 0
+      while (w < starts.length) {
+        total += bpeWord(codePointSymbols(s, starts(w), ends(w)), vocab, out)
+        w += 1
+      }
+      total
     }
-    total
   }
 
   def count(text: UTF8String, vocab: BpeVocab): Long =

@@ -139,6 +139,7 @@ object GraftExtensions {
     "doc_fingerprint" -> { args => TextKernelExpr(args.head, TextKernelExpr.Fingerprint) },
     "utf16_length" -> { args => TextKernelExpr(args.head, TextKernelExpr.Utf16Len) },
     "html_extract_text" -> { args => HtmlExtractExpr(args.head) },
+    "html_extract_status" -> { args => HtmlExtractStatusExpr(args.head) },
     "dup_line_fraction" -> { args =>
       RepetitionExpr(args.head, RepetitionExpr.DupLineFrac, 1) },
     "dup_line_char_fraction" -> { args =>
@@ -153,12 +154,15 @@ object GraftExtensions {
       GramSpansExpr(args.head, intArg(args, 1, 16, "n")) },
     "gram_hashes" -> { args =>
       GramSpansExpr(args.head, intArg(args, 1, 16, "n"), distinctHashes = true) },
-    // SQL form takes the merge table as a string literal:
-    // bpe_token_count(text, 'a l,al p,p h')
+    // SQL form takes the merge table as a string literal, plus an
+    // optional byte-level flag (0 = char-level default, 1 = GPT-2
+    // byte-level): bpe_token_count(text, 'a l,al p,p h'[, 1])
     "bpe_token_count" -> { args =>
-      BpeCountExpr(args.head, BpeVocab.parse(strArg(args, 1, "merges"))) },
+      BpeCountExpr(args.head, BpeVocab.parse(strArg(args, 1, "merges"),
+        byteLevel = intArg(args, 2, 0, "byteLevel") != 0)) },
     "bpe_tokens" -> { args =>
-      BpeCountExpr(args.head, BpeVocab.parse(strArg(args, 1, "merges")),
+      BpeCountExpr(args.head, BpeVocab.parse(strArg(args, 1, "merges"),
+        byteLevel = intArg(args, 2, 0, "byteLevel") != 0),
         emitTokens = true) },
     // ---- vector kernels ----
     "cosine_sim" -> { args => CosineSimExpr(args(0), args(1)) },
@@ -201,7 +205,14 @@ object GraftExtensions {
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
     val em = spark.sessionState.experimentalMethods
-    if (!em.extraOptimizations.contains(RewriteApproxCountDistinct))
+    // sessions built WITH spark.sql.extensions already carry the rule via
+    // injectOptimizerRule — appending it to extraOptimizations there would
+    // run it twice per optimization pass (harmless but redundant); probe
+    // the optimizer's extended rules before appending
+    val viaExtensions = spark.sessionState.optimizer
+      .extendedOperatorOptimizationRules.contains(RewriteApproxCountDistinct)
+    if (!viaExtensions &&
+        !em.extraOptimizations.contains(RewriteApproxCountDistinct))
       em.extraOptimizations = em.extraOptimizations :+ RewriteApproxCountDistinct
   }
 }

@@ -1,9 +1,10 @@
 package graft.spark
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic HTML → text extraction (the `html BINARY` → `text
@@ -53,7 +54,97 @@ case class HtmlExtractExpr(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** [[HtmlExtractExpr]] with a DEAD-LETTER channel: returns
+  * `struct<text: string, status: string>` where `text` is byte-identical
+  * to `html_extract_text`'s output (spec-pinned invariant) and `status`
+  * is `'ok'` or the FIRST defect encountered in scan order —
+  * `'invalid_utf8'` (binary input whose bytes are not well-formed UTF-8;
+  * the text is the replacement-char decode), `'unterminated_comment'` /
+  * `'unterminated_script'` / `'unterminated_style'` / `'unterminated_tag'`
+  * (the construct swallowed the remainder of the document). A corpus
+  * pipeline routes non-`'ok'` rows to a side output instead of silently
+  * shipping degraded text:
+  * `df.withColumn("e", html_extract_status($"html"))` then filter on
+  * `$"e.status"`. A bare `&` matching no entity form is NOT a defect —
+  * it decodes to itself by contract and loses nothing.
+  */
+case class HtmlExtractStatusExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "html_extract_status"
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("status", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType | StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects binary or string, got ${other.catalogString}")
+  }
+
+  private lazy val isBinary = child.dataType == BinaryType
+
+  protected override def nullSafeEval(input: Any): Any =
+    if (isBinary)
+      HtmlExtractExpr.extractStatusBytes(input.asInstanceOf[Array[Byte]])
+    else HtmlExtractExpr.extractStatus(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isBinary) "extractStatusBytes" else "extractStatus"
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.spark.HtmlExtractExpr.$fn($s);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): HtmlExtractStatusExpr =
+    copy(child = c)
+}
+
 object HtmlExtractExpr {
+
+  // defect codes in DEFECT-SITE scan order; 0 = clean. The holder is a
+  // single mutable int so the shared extraction loop stays allocation-
+  // free when the status channel is not requested (null holder).
+  private final class Status { var code: Int = 0 }
+  private val StatusNames: Array[UTF8String] = Array(
+    "ok", "invalid_utf8", "unterminated_comment", "unterminated_script",
+    "unterminated_style", "unterminated_tag").map(UTF8String.fromString)
+
+  private def flag(st: Status, code: Int): Unit =
+    if (st != null && st.code == 0) st.code = code
+
+  /** RFC 3629 well-formedness scan: rejects truncated sequences, bad
+    * continuation bytes, overlong forms, surrogates, and > U+10FFFF —
+    * exactly the inputs `new String(bytes, UTF_8)` silently replaces
+    * with U+FFFD.
+    */
+  private[spark] def validUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else {
+        val len =
+          if (c >= 0xc2 && c <= 0xdf) 2
+          else if (c >= 0xe0 && c <= 0xef) 3
+          else if (c >= 0xf0 && c <= 0xf4) 4
+          else return false // 0x80-0xC1 (continuation/overlong), 0xF5+
+        if (i + len > n) return false
+        var k = 1
+        while (k < len) {
+          if ((b(i + k) & 0xc0) != 0x80) return false
+          k += 1
+        }
+        val b1 = b(i + 1) & 0xff
+        // overlong / surrogate / out-of-range second-byte restrictions
+        if (c == 0xe0 && b1 < 0xa0) return false
+        if (c == 0xed && b1 > 0x9f) return false // UTF-16 surrogate range
+        if (c == 0xf0 && b1 < 0x90) return false
+        if (c == 0xf4 && b1 > 0x8f) return false // > U+10FFFF
+        i += len
+      }
+    }
+    true
+  }
 
   def extractBytes(html: Array[Byte]): UTF8String =
     UTF8String.fromString(
@@ -61,6 +152,22 @@ object HtmlExtractExpr {
 
   def extract(html: UTF8String): UTF8String =
     UTF8String.fromString(extractText(html.toString))
+
+  def extractStatus(html: UTF8String): InternalRow = {
+    val st = new Status
+    val text = extractText(html.toString, st)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(text), StatusNames(st.code)))
+  }
+
+  def extractStatusBytes(html: Array[Byte]): InternalRow = {
+    val st = new Status
+    if (!validUtf8(html)) st.code = 1
+    val text = extractText(
+      new String(html, java.nio.charset.StandardCharsets.UTF_8), st)
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(text), StatusNames(st.code)))
+  }
 
   /** Case-insensitive region match of an ASCII-lowercase `needle`
     * (tag NAMES are case-insensitive in HTML; entity names are not —
@@ -86,7 +193,8 @@ object HtmlExtractExpr {
     matchesAt(s, i, tag) && tagBoundary(s, i + tag.length)
 
   /** Index just past the closing `>` of `</name ...>` at/after `from`,
-    * or the string end if unterminated.
+    * or -1 if the close tag (or its own `>`) never terminates — the
+    * caller consumes to the string end and flags the defect.
     */
   private def skipPastClose(s: String, from: Int, name: String): Int = {
     var i = from
@@ -95,14 +203,16 @@ object HtmlExtractExpr {
       if (tagAt(s, i, close)) {
         var j = i + close.length
         while (j < s.length && s.charAt(j) != '>') j += 1
-        return if (j < s.length) j + 1 else s.length
+        return if (j < s.length) j + 1 else -1
       }
       i += 1
     }
-    s.length
+    -1
   }
 
-  def extractText(html: String): String = {
+  def extractText(html: String): String = extractText(html, null)
+
+  private def extractText(html: String, st: Status): String = {
     val n = html.length
     val sb = new java.lang.StringBuilder(n)
     var i = 0
@@ -114,14 +224,16 @@ object HtmlExtractExpr {
           // spec-complete EMPTY comments "<!-->" and "<!--->" terminate
           // instead of swallowing the remainder
           val e = html.indexOf("-->", i + 2)
-          i = if (e < 0) n else e + 3
+          i = if (e < 0) { flag(st, 2); n } else e + 3
         } else if (tagAt(html, i, "<script")) {
-          i = skipPastClose(html, i + 7, "script")
+          val e = skipPastClose(html, i + 7, "script")
+          i = if (e < 0) { flag(st, 3); n } else e
         } else if (tagAt(html, i, "<style")) {
-          i = skipPastClose(html, i + 6, "style")
+          val e = skipPastClose(html, i + 6, "style")
+          i = if (e < 0) { flag(st, 4); n } else e
         } else {
           val e = html.indexOf('>', i + 1)
-          i = if (e < 0) n else e + 1
+          i = if (e < 0) { flag(st, 5); n } else e + 1
         }
       } else if (c == '&') {
         val decoded = decodeEntity(html, i, sb)

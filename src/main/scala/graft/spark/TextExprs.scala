@@ -322,6 +322,16 @@ object textFunctions {
   def html_extract_text(html: Column): Column =
     Bridge.column(HtmlExtractExpr(Bridge.expression(html)))
 
+  /** [[html_extract_text]] with a dead-letter channel (see
+    * [[HtmlExtractStatusExpr]]): `struct<text, status>` where `text` is
+    * byte-identical to `html_extract_text` and `status` is `'ok'` or the
+    * first defect in scan order (`invalid_utf8`, `unterminated_comment`
+    * / `_script` / `_style` / `_tag`). Route `status != 'ok'` rows to a
+    * side output instead of silently shipping degraded text.
+    */
+  def html_extract_status(html: Column): Column =
+    Bridge.column(HtmlExtractStatusExpr(Bridge.expression(html)))
+
   private def rep(col: Column, mode: Int, n: Int = 1): Column =
     Bridge.column(RepetitionExpr(Bridge.expression(col), mode, n))
 
@@ -344,8 +354,9 @@ object textFunctions {
     * actual tokenizer would produce — unlike the heuristic
     * [[token_count]]/[[subword_count]]. The vocab is driver-held and
     * rides the plan as a reference object; build it once
-    * (`BpeVocab(merges)` or `BpeVocab.parse("a l,al p")`) and reuse
-    * across any number of columns.
+    * (`BpeVocab(merges)`, `BpeVocab.parse("a l,al p")`, or — for real
+    * GPT-2-family byte-level vocabs — `BpeVocab.fromMergesFile(path)`)
+    * and reuse across any number of columns.
     */
   def bpe_token_count(text: Column, vocab: BpeVocab): Column =
     Bridge.column(BpeCountExpr(Bridge.expression(text), vocab))

@@ -1,0 +1,214 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.spark.{BpePretokensExpr, BpeVocab, ByteBpe}
+
+/** BPE merge-table learning (Sennrich et al. 2016 `learn_bpe`, the
+  * algorithm the GPT-2/RoBERTa `merges.txt` files come from), split the
+  * way every production tokenizer trainer splits it:
+  *
+  *  - DISTRIBUTED: the corpus scan. `explode(bpe_pretokens(text))` +
+  *    groupBy/count collapses the corpus to its word-TYPE frequency
+  *    table — map-side combine shrinks each partition to its distinct
+  *    pre-tokens before the one shuffle, so a 10^12-doc corpus moves
+  *    only its vocabulary (plus counts) across the wire.
+  *  - DRIVER-SIDE: the merge-learning loop over that table. The table is
+  *    vocabulary-sized, not corpus-sized (capped at `maxWordTypes` most
+  *    frequent types — the standard trainer practice; rare tail types
+  *    cannot win a merge anyway), which is why HF/`subword-nmt` trainers
+  *    run this part on one node too.
+  *
+  * The learner is the classic greedy loop — repeatedly merge the most
+  * frequent adjacent symbol pair — made deterministic (ties break on the
+  * lexicographically smallest pair) and incremental (a lazy max-heap
+  * over pair counts; only words containing the winning pair are
+  * re-counted). Training stops at `numMerges`, or earlier when no pair
+  * reaches `minPairCount` (= 2 by default, Sennrich's `--min-frequency`):
+  * at that point every word type with corpus count >= minPairCount has
+  * collapsed to a single symbol, which is what makes trained-to-
+  * exhaustion vocabs closed-form testable (token count == pre-token
+  * count on the training corpus itself).
+  */
+object BpeTrain {
+
+  /** The word-type frequency table: one row per distinct pre-token with
+    * its corpus count. The only corpus-sized stage of training.
+    */
+  def pretokenCounts(df: DataFrame, textCol: Column,
+      byteLevel: Boolean = true): DataFrame =
+    df.select(explode(Bridge.column(
+        BpePretokensExpr(Bridge.expression(textCol), byteLevel)))
+        .as("pretoken"))
+      .groupBy("pretoken")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Learn up to `numMerges` merges from a corpus column. Deterministic
+    * for a fixed corpus (count aggregation is exact; ties break
+    * lexicographically).
+    */
+  def learn(
+      df: DataFrame,
+      textCol: Column,
+      numMerges: Int,
+      byteLevel: Boolean = true,
+      minPairCount: Long = 2L,
+      maxWordTypes: Int = 1 << 20): BpeVocab = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
+    val types = pretokenCounts(df, textCol, byteLevel)
+      .orderBy(col("cnt").desc, col("pretoken").asc)
+      .limit(maxWordTypes)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    learnFromTypes(types, numMerges, byteLevel, minPairCount)
+  }
+
+  /** The driver-side merge learner over an explicit word-type table
+    * (exposed for specs and for callers that already have counts).
+    */
+  def learnFromTypes(
+      wordTypes: Array[(String, Long)],
+      numMerges: Int,
+      byteLevel: Boolean,
+      minPairCount: Long): BpeVocab = {
+    // word states: symbol sequences + counts
+    val words = new Array[Array[String]](wordTypes.length)
+    val counts = new Array[Long](wordTypes.length)
+    var i = 0
+    while (i < wordTypes.length) {
+      val w = wordTypes(i)._1
+      words(i) =
+        if (byteLevel) ByteBpe.symbols(w, 0, w.length)
+        else {
+          // code-point symbols, matching the kernel's char-mode split
+          val out = new java.util.ArrayList[String]()
+          var k = 0
+          while (k < w.length) {
+            val cp = w.codePointAt(k)
+            out.add(new String(Character.toChars(cp)))
+            k += Character.charCount(cp)
+          }
+          out.toArray(new Array[String](0))
+        }
+      counts(i) = wordTypes(i)._2
+      i += 1
+    }
+
+    val pairCount = new java.util.HashMap[String, Long]()
+    val pairWords = new java.util.HashMap[String, java.util.HashSet[Integer]]()
+
+    def addWordPairs(wi: Int, sign: Long): Unit = {
+      val syms = words(wi)
+      var k = 0
+      while (k < syms.length - 1) {
+        val key = BpeVocab.pairKey(syms(k), syms(k + 1))
+        val c = pairCount.getOrDefault(key, 0L) + sign * counts(wi)
+        if (c == 0L) pairCount.remove(key) else pairCount.put(key, c)
+        val set = pairWords.computeIfAbsent(key, _ => new java.util.HashSet[Integer]())
+        if (sign > 0) set.add(wi)
+        // on removal keep stale membership — apply() re-checks adjacency
+        k += 1
+      }
+    }
+    i = 0
+    while (i < words.length) { addWordPairs(i, +1L); i += 1 }
+
+    // lazy max-heap: (count, pairKey) snapshots; stale entries are
+    // re-validated against pairCount on pop
+    val ord = Ordering.by[(Long, String), Long](_._1)
+      .orElse(Ordering.by[(Long, String), String](_._2).reverse)
+    val heap = new scala.collection.mutable.PriorityQueue[(Long, String)]()(ord)
+    pairCount.forEach((k, v) => if (v >= minPairCount) heap.enqueue((v, k)))
+
+    /** Merge every adjacency of (a, b) in every word containing it,
+      * updating pair counts incrementally. Mirrors the kernel's
+      * merge-all-occurrences-left-to-right application.
+      */
+    def applyMerge(key: String, a: String, b: String): Unit = {
+      val members = pairWords.remove(key)
+      if (members == null) { pairCount.remove(key); return }
+      val merged = a + b
+      val it = members.iterator()
+      while (it.hasNext) {
+        val wi = it.next().intValue()
+        val syms = words(wi)
+        // stale membership (pair may have been merged away indirectly)
+        var has = false
+        var k = 0
+        while (!has && k < syms.length - 1) {
+          has = syms(k) == a && syms(k + 1) == b
+          k += 1
+        }
+        if (has) {
+          addWordPairs(wi, -1L)
+          val next = new Array[String](syms.length)
+          var w = 0
+          var kk = 0
+          while (kk < syms.length) {
+            if (kk < syms.length - 1 && syms(kk) == a && syms(kk + 1) == b) {
+              next(w) = merged; kk += 2
+            } else { next(w) = syms(kk); kk += 1 }
+            w += 1
+          }
+          words(wi) = java.util.Arrays.copyOf(next, w)
+          addWordPairs(wi, +1L)
+          // enqueue the pairs this word now contributes to
+          var j = 0
+          val ns = words(wi)
+          while (j < ns.length - 1) {
+            val nk = BpeVocab.pairKey(ns(j), ns(j + 1))
+            val c = pairCount.getOrDefault(nk, 0L)
+            if (c >= minPairCount) heap.enqueue((c, nk))
+            j += 1
+          }
+        }
+      }
+      // the +/- deltas above transiently touch `key` itself (every word
+      // decremented its old adjacencies, including the merged pair) —
+      // after merging ALL occurrences its true count is zero; drop the
+      // residue so a later re-arisen adjacency counts from a clean slate
+      pairCount.remove(key)
+      pairWords.remove(key)
+    }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val chosen = new java.util.HashSet[String]()
+    while (merges.length < numMerges && heap.nonEmpty) {
+      val (snapCount, key) = heap.dequeue()
+      val cur = pairCount.getOrDefault(key, 0L)
+      if (cur >= minPairCount) {
+        if (cur != snapCount) {
+          // stale snapshot — re-enqueue at the current count
+          heap.enqueue((cur, key))
+        } else {
+          val sp = key.indexOf(' ')
+          val (a, b) = (key.substring(0, sp), key.substring(sp + 1))
+          // a previously-chosen pair can re-arise when later merges
+          // recreate its adjacency; the application kernel already merges
+          // it (at its original rank), so re-APPLY to keep training state
+          // consistent with kernel semantics, but never append a
+          // duplicate merge
+          if (chosen.add(key)) merges += ((a, b))
+          applyMerge(key, a, b)
+        }
+      }
+      // cur < minPairCount: drop silently (dead or below threshold)
+    }
+    BpeVocab(merges.toSeq, byteLevel)
+  }
+
+  /** Write a vocab in the standard `merges.txt` format
+    * ([[BpeVocab.fromMergesFile]] round-trips it).
+    */
+  def writeMergesFile(vocab: BpeVocab, path: String): Unit = {
+    val sb = new StringBuilder("#version: 0.2\n")
+    vocab.merges.foreach { case (a, b) => sb.append(a).append(' ').append(b).append('\n') }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+}

@@ -70,6 +70,12 @@ object Sampling {
   def rateThresholdHex(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
     val n = math.round(rate * 4294967296.0)
+    // 8-hex granularity: a positive rate below ~1.2e-10 rounds to 0 and
+    // would silently keep NOTHING — fail loudly; pass rate = 0.0 to mean
+    // "keep none" explicitly
+    require(rate == 0.0 || n > 0,
+      s"rate $rate quantizes to zero at 8-hex-digit (2^-32) granularity; " +
+        "use rate = 0.0 explicitly or a rate >= 2.4e-10")
     // the comparison is LEXICOGRAPHIC on same-length lowercase hex (equal
     // to numeric there); rate 1.0 cannot use "100000000" — '1' sorts
     // BELOW 'f', so "ffffffff" < "100000000" is false — use a char above

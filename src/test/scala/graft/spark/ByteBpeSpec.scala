@@ -1,0 +1,169 @@
+package graft.spark
+
+import graft.spark.{textFunctions => tf}
+import graft.textops.BpeTrain
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level (GPT-2-style) BPE: the bytes-to-unicode table, the
+  * pre-tokenizer, merges.txt load/write, and the trainer. Mapping and
+  * pre-token fixtures are hand-computed from the published GPT-2
+  * `encoder.py` algorithm, not from any implementation.
+  */
+class ByteBpeSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def byteTokens(text: String, v: BpeVocab): Seq[String] =
+    Seq(text).toDF("t").select(tf.bpe_tokens($"t", v)).first().getSeq[String](0)
+
+  test("bytes-to-unicode matches the published GPT-2 table") {
+    // printable ranges map to themselves
+    assert(ByteBpe.byteToUnicode('a') == 'a')
+    assert(ByteBpe.byteToUnicode('!') == '!')
+    assert(ByteBpe.byteToUnicode(0x7e) == '~')
+    assert(ByteBpe.byteToUnicode(0xa1) == '¡')
+    assert(ByteBpe.byteToUnicode(0xff) == 'ÿ')
+    // the 68 gap bytes shift to U+0100.. in byte order: the published
+    // landmarks — space 'Ġ' (U+0120), newline 'Ċ' (U+010A), tab 'ĉ',
+    // NUL 'Ā', DEL (0x7F) right after the 33 low bytes, 0xAD last
+    assert(ByteBpe.byteToUnicode(0x20) == 'Ġ')
+    assert(ByteBpe.byteToUnicode(0x0a) == 'Ċ')
+    assert(ByteBpe.byteToUnicode(0x09) == 'ĉ')
+    assert(ByteBpe.byteToUnicode(0x00) == 'Ā')
+    assert(ByteBpe.byteToUnicode(0x7f) == (256 + 33).toChar)
+    assert(ByteBpe.byteToUnicode(0xad) == (256 + 67).toChar)
+    // bijective: 256 distinct chars, decode inverts
+    assert(ByteBpe.byteToUnicode.distinct.length == 256)
+    assert(ByteBpe.decodeToString("Ġwo") == " wo")
+    intercept[IllegalArgumentException] { ByteBpe.decode("中") }
+  }
+
+  test("GPT-2 pre-tokenizer fixtures (contractions, digits, punctuation, spaces)") {
+    def pre(s: String): Seq[String] = {
+      val arr = BpePretokensExpr.pretokens(UTF8String.fromString(s), byteLevel = true)
+      (0 until arr.numElements()).map(arr.getUTF8String(_).toString)
+    }
+    assert(pre("Hello world! it's 42  ") ==
+      Seq("Hello", " world", "!", " it", "'s", " 42", "  "))
+    // letter/digit boundary splits; leading space attaches to the run
+    assert(pre("a1 b") == Seq("a", "1", " b"))
+    // inner multi-space: all but the last space are their own token
+    assert(pre("a  b") == Seq("a", " ", " b"))
+    // char-level mode emits whitespace-split words instead
+    val arr = BpePretokensExpr.pretokens(UTF8String.fromString("a  b"), byteLevel = false)
+    assert((0 until arr.numElements()).map(arr.getUTF8String(_).toString) == Seq("a", "b"))
+  }
+
+  test("byte-level chain merges and Column/SQL agreement") {
+    val v = BpeVocab(Seq(("H", "e"), ("l", "l"), ("He", "ll"), ("Hell", "o"),
+      ("Ġ", "w"), ("Ġw", "o")), byteLevel = true)
+    assert(byteTokens("Hello world", v) == Seq("Hello", "Ġwo", "r", "l", "d"))
+    // empty vocab: every UTF-8 byte is a token (astral char = 4 bytes)
+    val empty = BpeVocab(Seq.empty, byteLevel = true)
+    assert(BpeCountExpr.count(UTF8String.fromString("Hello world!"), empty) == 12L)
+    assert(BpeCountExpr.count(UTF8String.fromString("😀"), empty) == 4L)
+    // SQL form: optional third arg 1 = byte-level
+    val got = spark.sql(
+      "SELECT bpe_token_count('Hello world', 'H e,l l,He ll,Hell o', 1)," +
+        " bpe_token_count('Hello world', 'H e,l l,He ll,Hell o')").first()
+    assert(got.getLong(0) == 7L) // Hello=1 + " world"=Ġ,w,o,r,l,d=6
+    assert(got.getLong(1) == 6L) // char mode: Hello=1, world untouched=5
+  }
+
+  test("byte-level and char-level vocabs are distinct reference objects") {
+    val ms = Seq(("a", "b"))
+    val cv = BpeVocab(ms)
+    val bv = BpeVocab(ms, byteLevel = true)
+    assert(cv != bv && cv.hashCode != bv.hashCode)
+    assert(BpeVocab(ms, byteLevel = true) == bv)
+  }
+
+  test("merges.txt round-trip, header/blank handling, malformed lines") {
+    val dir = java.nio.file.Files.createTempDirectory("bpespec")
+    val p = dir.resolve("merges.txt")
+    java.nio.file.Files.write(p,
+      "#version: 0.2\nt h\nth e\n\nĠ t\n".getBytes("UTF-8"))
+    val v = BpeVocab.fromMergesFile(p.toString)
+    assert(v.byteLevel && v.merges.toSeq ==
+      Seq(("t", "h"), ("th", "e"), ("Ġ", "t")))
+    // writer round-trips to an equal vocab
+    val p2 = dir.resolve("out.txt")
+    BpeTrain.writeMergesFile(v, p2.toString)
+    assert(BpeVocab.fromMergesFile(p2.toString) == v)
+    // char-level load of the same file differs only in the flag
+    assert(BpeVocab.fromMergesFile(p2.toString, byteLevel = false) != v)
+    // malformed: three symbols on a line
+    val p3 = dir.resolve("bad.txt")
+    java.nio.file.Files.write(p3, "a b c\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      BpeVocab.fromMergesFile(p3.toString)
+    }
+    assert(e.getMessage.contains("bad.txt:1"))
+    // SQL grammar strictness: empty segments fail loudly now
+    intercept[IllegalArgumentException] { BpeVocab.parse("a l,,b e") }
+    intercept[IllegalArgumentException] { BpeVocab.parse("a l,") }
+  }
+
+  test("trainer: hand-traceable fixture, determinism, frequency order") {
+    val types = Array(("low", 2L), ("top", 10L))
+    val v = BpeTrain.learnFromTypes(types, 100, byteLevel = true, minPairCount = 2)
+    // "top" (count 10) trains its chain before "low" (count 2); within a
+    // word, adjacent pairs tie on count so the lexicographically smallest
+    // pair wins each round
+    assert(v.merges.take(2).toSeq == Seq(("o", "p"), ("t", "op")))
+    assert(v.merges.toSeq.drop(2) == Seq(("l", "o"), ("lo", "w")))
+    val v2 = BpeTrain.learnFromTypes(types, 100, byteLevel = true, minPairCount = 2)
+    assert(v == v2)
+    // numMerges truncates; minPairCount excludes singleton types
+    assert(BpeTrain.learnFromTypes(types, 1, true, 2).size == 1)
+    assert(BpeTrain.learnFromTypes(Array(("abc", 1L)), 100, true, 2).size == 0)
+  }
+
+  test("trainer collapse invariant: every repeated pre-token becomes ONE kernel token") {
+    // the property q_bpe_file's closed form rests on — checked against
+    // the corpus the gate uses, through the real kernel (not the
+    // trainer's internal word states)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.select($"text")
+      .unionAll(docs.select(F.initcap($"text").as("text")))
+    val v = BpeTrain.learn(corpus, $"text", 4096)
+    assert(v.size > 100, s"expected a substantial vocab, got ${v.size}")
+    val repeated = BpeTrain.pretokenCounts(corpus, $"text")
+      .filter($"cnt" >= 2).collect().map(_.getString(0))
+    assert(repeated.nonEmpty)
+    repeated.foreach { w =>
+      val n = BpeCountExpr.tokens(UTF8String.fromString(w), v).numElements()
+      assert(n == 1, s"pre-token '$w' -> $n tokens")
+    }
+    // and therefore: doc token count == pre-token count == word count
+    val bad = docs.select(tf.bpe_token_count($"text", v).as("n"),
+        F.size(F.split($"text", " ")).cast("long").as("w"))
+      .filter($"n" =!= $"w").count()
+    assert(bad == 0L)
+  }
+
+  test("packing budgeted with a trained file vocab") {
+    // docs of 1..20 'alpha's; train to exhaustion on the packing corpus
+    // itself -> every doc counts exactly its word count in real tokens
+    val docs = spark.range(500).select($"id".as("doc_id"),
+      F.concat_ws(" ",
+        F.array_repeat(F.lit("alpha"), ($"id" % 20 + 1).cast("int"))).as("text"))
+    val trained = BpeTrain.learn(docs, $"text", 4096)
+    val p = java.nio.file.Files.createTempFile("packvocab", ".txt").toString
+    BpeTrain.writeMergesFile(trained, p)
+    val vocab = BpeVocab.fromMergesFile(p)
+    val packed = graft.pipeline.Packing.packByBudget(
+        docs, "doc_id", tf.bpe_token_count($"text", vocab), budget = 64,
+        buckets = 8)
+      .select("doc_id", "shard")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    (0L until 500L).foreach { id =>
+      val w = id % 20 + 1 // real token count = word count (collapsed vocab)
+      assert(packed(id) == cum / 64,
+        s"doc $id: got shard ${packed(id)}, expected ${cum / 64}")
+      cum += w
+    }
+  }
+}

@@ -72,4 +72,53 @@ class HtmlExtractSpec extends AnyFunSuite with SparkTestBase {
       .filter(tf.html_extract_text($"html") =!= $"text").count()
     assert(bad2 == 0L)
   }
+
+  private def status(html: String): (String, String) = {
+    val r = Seq(html).toDF("h")
+      .select(tf.html_extract_status($"h").as("e"))
+      .select($"e.text", $"e.status").first()
+    (r.getString(0), r.getString(1))
+  }
+
+  test("status channel: first defect in scan order; text matches extract") {
+    assert(status("<p>clean</p> text &amp; ok") == ("clean text & ok", "ok"))
+    assert(status("a<!-- never closed") == ("a", "unterminated_comment"))
+    assert(status("a<script>never") == ("a", "unterminated_script"))
+    assert(status("a<script>x</script") == ("a", "unterminated_script"))
+    assert(status("a<style>p{}") == ("a", "unterminated_style"))
+    assert(status("a<p never closed") == ("a", "unterminated_tag"))
+    // first defect wins: the unterminated tag swallows the rest, so the
+    // comment opener after it is never reached
+    assert(status("a<p x<!-- y")._2 == "unterminated_tag")
+    // empty comments / bare '&' / unknown entities are NOT defects
+    assert(status("<!-->x &unknown; & y") == ("x &unknown; & y", "ok"))
+  }
+
+  test("status channel: invalid_utf8 on binary input, priority over markup") {
+    def bstatus(bytes: Array[Byte]): (String, String) = {
+      val r = Seq(Tuple1(bytes)).toDF("h")
+        .select(tf.html_extract_status($"h").as("e"))
+        .select($"e.text", $"e.status").first()
+      (r.getString(0), r.getString(1))
+    }
+    val good = "<p>ok</p>".getBytes("UTF-8")
+    assert(bstatus(good) == ("ok", "ok"))
+    // bare continuation byte: invalid; text is the replacement-char decode
+    val bad = "ab".getBytes("UTF-8") :+ 0x80.toByte
+    assert(bstatus(bad) == ("ab�", "invalid_utf8"))
+    // invalid utf-8 wins over a markup defect in the same row
+    val both = "x<!-- y".getBytes("UTF-8") :+ 0xff.toByte
+    assert(bstatus(both)._2 == "invalid_utf8")
+    // truncated 3-byte sequence, overlong, surrogate, > U+10FFFF
+    assert(!HtmlExtractExpr.validUtf8(Array(0xe4.toByte, 0xb8.toByte)))
+    assert(!HtmlExtractExpr.validUtf8(Array(0xc0.toByte, 0xaf.toByte)))
+    assert(!HtmlExtractExpr.validUtf8(Array(0xed.toByte, 0xa0.toByte, 0x80.toByte)))
+    assert(!HtmlExtractExpr.validUtf8(Array(0xf4.toByte, 0x90.toByte, 0x80.toByte, 0x80.toByte)))
+    // well-formed multibyte (CJK, astral) passes
+    assert(HtmlExtractExpr.validUtf8("中文 😀 ok".getBytes("UTF-8")))
+    // SQL form registered
+    val r = spark.sql(
+      "SELECT html_extract_status('a<script>x').status").first()
+    assert(r.getString(0) == "unterminated_script")
+  }
 }

@@ -25,15 +25,23 @@ class RewriteRuleSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set(RewriteApproxCountDistinct.ConfKey, "false")
   }
 
-  test("imperative register() injects the rule into an extensions-free session") {
-    // newSession(): fresh sessionState (no spark.sql.extensions wiring,
-    // no registered functions) sharing the context — the shape of a user
-    // session built without the extensions conf, and of Bench's session
+  test("imperative register() leaves exactly one copy of the rule") {
+    // newSession(): fresh sessionState and function registry sharing the
+    // context — but Spark carries the parent's SparkSessionExtensions
+    // into it, so the optimizer rule arrives via injectOptimizerRule
+    // here. register() must detect that and NOT append a second copy to
+    // extraOptimizations (in Bench's genuinely extensions-free session
+    // the extended rules are empty and the append side is taken — the
+    // rewrite_fired probe in Bench covers that path end-to-end).
     val s2 = spark.newSession()
     GraftExtensions.register(s2)
     GraftExtensions.register(s2) // idempotent: no duplicate rule
-    assert(s2.sessionState.experimentalMethods.extraOptimizations
-      .count(_ eq RewriteApproxCountDistinct) == 1)
+    val viaExt = s2.sessionState.optimizer.extendedOperatorOptimizationRules
+      .count(_ eq RewriteApproxCountDistinct)
+    val viaEm = s2.sessionState.experimentalMethods.extraOptimizations
+      .count(_ eq RewriteApproxCountDistinct)
+    assert(viaExt + viaEm == 1,
+      s"rule must be present exactly once (extensions=$viaExt, experimental=$viaEm)")
     s2.conf.set(RewriteApproxCountDistinct.ConfKey, "true")
     try {
       val df = s2.range(0L, 1000L).toDF("v")

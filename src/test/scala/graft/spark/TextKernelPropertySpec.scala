@@ -124,12 +124,128 @@ class TextKernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("property: status-channel text is byte-identical to plain extraction") {
+    // inject markup fragments (incl. deliberately unterminated ones) so
+    // both the ok and dead-letter paths are exercised
+    val genFrag = Gen.oneOf("<p>", "</p>", "<!--", "-->", "<script>",
+      "</script>", "&amp;", "&#65;", "&", "<", ">")
+    val genHtmlish = for {
+      t <- genText
+      frags <- Gen.listOf(genFrag)
+      cut <- Gen.choose(0, 5)
+    } yield (frags :+ t).drop(cut).mkString(" ")
+    check(Prop.forAll(genHtmlish) { h =>
+      val row = HtmlExtractExpr.extractStatus(UTF8String.fromString(h))
+      val viaPlain = HtmlExtractExpr.extract(UTF8String.fromString(h))
+      row.getUTF8String(0) == viaPlain && {
+        val st = row.getUTF8String(1).toString
+        // string input can never be invalid_utf8; status is a known name
+        Set("ok", "unterminated_comment", "unterminated_script",
+          "unterminated_style", "unterminated_tag").contains(st)
+      }
+    })
+    // binary path: status text equals the plain binary extraction even
+    // on malformed bytes (replacement-char decode)
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toByte).toArray)) { bytes =>
+      val row = HtmlExtractExpr.extractStatusBytes(bytes)
+      row.getUTF8String(0) == HtmlExtractExpr.extractBytes(bytes) &&
+        ((row.getUTF8String(1).toString == "invalid_utf8") ==
+          !HtmlExtractExpr.validUtf8(bytes))
+    })
+  }
+
   test("property: rate thresholds are monotone and bounded") {
-    check(Prop.forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a, b) =>
+    // stay above the documented 2^-32 quantization floor (rates in
+    // (0, ~1.2e-10) now fail loudly instead of silently keeping nothing)
+    val genRate = Gen.oneOf(Gen.const(0.0), Gen.const(1.0),
+      Gen.choose(1e-9, 1.0))
+    check(Prop.forAll(genRate, genRate) { (a, b) =>
       val (lo, hi) = if (a <= b) (a, b) else (b, a)
       val (tl, th) = (graft.textops.Sampling.rateThresholdHex(lo),
         graft.textops.Sampling.rateThresholdHex(hi))
       tl <= th && tl.length >= 1 && (th == "g" || th.length == 8)
+    })
+    intercept[IllegalArgumentException] {
+      graft.textops.Sampling.rateThresholdHex(1e-12)
+    }
+  }
+
+  // ---- byte-level (GPT-2-style) BPE ----
+
+  test("property: byte-level pre-tokens partition the text exactly") {
+    check(Prop.forAll(genText) { t =>
+      val arr = BpePretokensExpr.pretokens(
+        UTF8String.fromString(t), byteLevel = true)
+      (0 until arr.numElements())
+        .map(arr.getUTF8String(_).toString).mkString == t
+    })
+  }
+
+  private val byteVocab = BpeVocab(Seq(
+    ("a", "a"), ("b", "b"), ("aa", "a"), ("c", "c"), ("Ġ", "a")),
+    byteLevel = true)
+
+  test("property: empty byte-level vocab counts UTF-8 bytes exactly") {
+    val empty = BpeVocab(Seq.empty, byteLevel = true)
+    check(Prop.forAll(genText) { t =>
+      BpeCountExpr.count(UTF8String.fromString(t), empty) ==
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong
+    })
+  }
+
+  test("property: byte-level token concatenation decodes back to the text") {
+    check(Prop.forAll(genText) { t =>
+      val u = UTF8String.fromString(t)
+      val toks = BpeCountExpr.tokens(u, byteVocab).toObjectArray(
+        org.apache.spark.sql.types.StringType).map(_.toString)
+      // decode the BYTE concatenation, not token-by-token: a multi-byte
+      // char's bytes can land in different tokens (each alone is not
+      // valid UTF-8), but the concatenation always reassembles the text
+      val bytes = toks.toSeq.flatMap(tok => ByteBpe.decode(tok).toSeq).toArray
+      BpeCountExpr.count(u, byteVocab) == toks.length.toLong &&
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8) == t
+    })
+  }
+
+  // letter-only single-spaced text: the one regime where byte mode and
+  // char mode are directly comparable — pre-tokens are the words (plus a
+  // leading space each from the second word on), printable-ASCII bytes
+  // map to themselves, and a letter-only vocab can never merge across
+  // the unmergeable 'Ġ'. Digits or punctuation would break the word
+  // alignment (the GPT-2 regex splits letter/digit boundaries).
+  private val genLetterText: Gen[String] = for {
+    k <- Gen.choose(0, 12)
+    words <- Gen.listOfN(k,
+      Gen.choose(1, 6).flatMap(n =>
+        Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))))
+  } yield words.mkString(" ")
+
+  test("property: byte mode = char mode + one Ġ per non-first word on letter text") {
+    val charVocab = BpeVocab(byteVocab.merges.toSeq.filterNot(_._1 == "Ġ"))
+    val bVocab = BpeVocab(charVocab.merges.toSeq, byteLevel = true)
+    check(Prop.forAll(genLetterText) { t =>
+      val u = UTF8String.fromString(t)
+      val words = if (t.isEmpty) 0 else t.split(" ").length
+      BpeCountExpr.count(u, bVocab) ==
+        BpeCountExpr.count(u, charVocab) + math.max(0, words - 1)
+    })
+  }
+
+  test("property: training to exhaustion collapses every repeated type to 1 token") {
+    // the invariant q_bpe_file's closed-form oracle rests on, checked
+    // through the real application kernel on generated word-type tables
+    val genTypes: Gen[Array[(String, Long)]] = Gen.listOf(Gen.zip(
+        Gen.choose(1, 6).flatMap(n =>
+          Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c'))),
+        Gen.choose(1L, 5L)))
+      .map(_.groupBy(_._1).map { case (w, cs) => (w, cs.map(_._2).sum) }
+        .toArray.sortBy(_._1))
+    check(Prop.forAll(genTypes) { types =>
+      val v = graft.textops.BpeTrain.learnFromTypes(
+        types, numMerges = 1000, byteLevel = true, minPairCount = 2L)
+      types.filter(_._2 >= 2L).forall { case (w, _) =>
+        BpeCountExpr.tokens(UTF8String.fromString(w), v).numElements() == 1
+      }
     })
   }
 }
