@@ -39,6 +39,26 @@ object SparkEntry {
   private def lcWithinP14(est: Long, exact: Long): Boolean =
     math.abs(est - exact) <= math.max(2.0, exact * 2 * boundP14)
 
+  /** Streaming gates drive tiny MemoryStream batches where each
+    * microbatch pays per-STATE-PARTITION fixed work — incremental
+    * re-planning, one state-store commit, offset/commit-log writes per
+    * partition — so 32 session shuffle partitions mean 32x that fixed
+    * cost for a few hundred rows. Run the stream itself with ONE state
+    * partition (measured across the five gates in one window:
+    * 23.3 s at 4 partitions, 8.8 s at 1; at the session's 32 the same
+    * gates once cost ~47 s). The conf window covers only the EAGER streaming run
+    * inside the gate body (conf is read at query start); the returned
+    * batch query over the memory sink executes later under the
+    * session's normal conf. At real scale the state-partition count is
+    * a genuine sizing knob — one state-store instance per partition per
+    * stateful operator — sized to keyspace, not to batch row count.
+    */
+  private def withStreamConf[T](s: SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", 1)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q_hll_orders")(spark, "/root/testdata/sf0.001")
@@ -1020,6 +1040,54 @@ object SparkEntry {
           .otherwise(0L)) === 0L).as("covered_exact"))
     }),
 
+    // TRUE maximal repeated spans over a planted overlap trap: victims
+    // (doc_id%3==0) end in "za zb zc zd ze", group 1 in "za zb zc",
+    // group 2 in "zc zd ze", everything else doc-unique. Closed form:
+    // each victim reports exactly THREE maximal spans — the left 3-word
+    // block shared with group 1, the right 3-word block shared with
+    // group 2, and the full 5-word block shared with other victims —
+    // never a chained union; each side doc exactly one. Per-lang span
+    // counts, summed partner counts, and summed span char lengths are
+    // id arithmetic DuckDB restates exactly
+    "q_spanrep_max" -> ((s, d) => {
+      val lim = 300
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        .filter(col("doc_id") < lim)
+      val uniq = concat_ws(" ",
+        (1 to 12).map(i => concat(lit("u"), col("doc_id"), lit("q" + i))): _*)
+      val tail = when(col("doc_id") % 3 === 0, lit(" za zb zc zd ze"))
+        .when(col("doc_id") % 3 === 1, lit(" za zb zc"))
+        .otherwise(lit(" zc zd ze"))
+      val corpus = docs.select(col("doc_id"), col("lang"),
+        concat(uniq, tail).as("text"))
+      val grp = corpus.groupBy((col("doc_id") % 3).as("r"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val (nv, n1, n2) = (grp.getOrElse(0L, 0L), grp.getOrElse(1L, 0L),
+        grp.getOrElse(2L, 0L))
+      val spans = graft.textops.SpanRep.maximalRepeatSpans(
+        corpus, "doc_id", "text", n = 3, partnersPerGram = lim)
+      val perDoc = spans.groupBy("doc_id").agg(
+        count(lit(1)).as("ns"), sum("span_words").as("sw"),
+        sum(col("span_end") - col("span_start")).as("sc"),
+        sum("n_partners").as("sp"), max("span_words").as("mw"))
+      corpus.join(perDoc, "doc_id").groupBy("lang").agg(
+        sum("ns").as("n_spans"),
+        sum("sp").as("sum_partners"),
+        sum("sc").as("sum_span_chars"),
+        (sum(when(col("doc_id") % 3 === 0 &&
+            !(col("ns") === 3L && col("sw") === 11L && col("sc") === 30L &&
+              col("mw") === 5L && col("sp") === lit(n1 + n2 + nv - 1)),
+            1L).otherwise(0L)) === 0L).as("victims_ok"),
+        (sum(when((col("doc_id") % 3 === 1 &&
+            !(col("ns") === 1L && col("sw") === 3L && col("sc") === 8L &&
+              col("sp") === lit(nv + n1 - 1))) ||
+            (col("doc_id") % 3 === 2 &&
+            !(col("ns") === 1L && col("sw") === 3L && col("sc") === 8L &&
+              col("sp") === lit(nv + n2 - 1))),
+            1L).otherwise(0L)) === 0L).as("sides_ok"))
+    }),
+
     // composed training-data pipeline with a fully EXACT oracle: quality
     // filter -> exact dedup (min doc_id wins, its row carries through) ->
     // per-lang doc counts and token sums; DuckDB replays every stage
@@ -1213,23 +1281,26 @@ object SparkEntry {
     // per-window estimates and the cross-window batch fold must hit the
     // p=14 LC-regime accuracy (deterministic)
     "q_streaming_window" -> ((s, d) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      val input = MemoryStream[(java.sql.Timestamp, Long, String)]
-      val events = input.toDF().toDF("ts", "user_id", "site")
-      val agg = graft.streaming.StreamingSketch.windowedSynopsis(
-        events, "ts", "user_id", Seq("site"), "1 minute", "2 minutes", p = 14)
-      val qn = "q_streaming_sink_" + System.nanoTime()
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode("update").start()
-      try {
-        val base = 1700000040000L // minute-aligned fixed epoch
-        def ts(min: Int, sec: Int) = new java.sql.Timestamp(base + (min * 60 + sec) * 1000L)
-        input.addData((0 until 500).map(i => (ts(0, i % 60), (i + 1).toLong, "a")): _*)
-        input.addData((0 until 500).map(i => (ts(1, i % 60), (i + 251).toLong, "a")): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+      val qn = withStreamConf(s) {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+        val events = input.toDF().toDF("ts", "user_id", "site")
+        val agg = graft.streaming.StreamingSketch.windowedSynopsis(
+          events, "ts", "user_id", Seq("site"), "1 minute", "2 minutes", p = 14)
+        val name = "q_streaming_sink_" + System.nanoTime()
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          val base = 1700000040000L // minute-aligned fixed epoch
+          def ts(min: Int, sec: Int) = new java.sql.Timestamp(base + (min * 60 + sec) * 1000L)
+          input.addData((0 until 500).map(i => (ts(0, i % 60), (i + 1).toLong, "a")): _*)
+          input.addData((0 until 500).map(i => (ts(1, i % 60), (i + 251).toLong, "a")): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        name
+      }
       val latest = s.table(qn)
         .groupBy(col("window_start"), col("site"))
         .agg(max("rows").as("n_rows"), max("estimate").as("est"), max("syn").as("syn"))
@@ -1248,27 +1319,30 @@ object SparkEntry {
     // the state store). Two deterministic windows with known host mixes;
     // k=64 >= distinct, so per-window top-2 items and counts are exact
     "q_streaming_topk" -> ((s, d) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      val input = MemoryStream[(java.sql.Timestamp, String)]
-      val events = input.toDF().toDF("ts", "host")
-      val agg = graft.streaming.StreamingSketch.windowedTopK(
-        events, "ts", "host", Nil, "1 minute", "2 minutes", k = 64, topN = 2)
-      val qn = "q_streaming_topk_sink_" + System.nanoTime()
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode("update").start()
-      try {
-        val base = 1700000040000L // minute-aligned fixed epoch
-        def ts(min: Int, sec: Int) =
-          new java.sql.Timestamp(base + (min * 60 + sec) * 1000L)
-        input.addData(((0 until 30).map(i => (ts(0, i % 60), "a")) ++
-          (0 until 20).map(i => (ts(0, i % 60), "b")) ++
-          (0 until 10).map(i => (ts(0, i % 60), "c"))): _*)
-        input.addData(((0 until 25).map(i => (ts(1, i % 60), "b")) ++
-          (0 until 5).map(i => (ts(1, i % 60), "c"))): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+      val qn = withStreamConf(s) {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val input = MemoryStream[(java.sql.Timestamp, String)]
+        val events = input.toDF().toDF("ts", "host")
+        val agg = graft.streaming.StreamingSketch.windowedTopK(
+          events, "ts", "host", Nil, "1 minute", "2 minutes", k = 64, topN = 2)
+        val name = "q_streaming_topk_sink_" + System.nanoTime()
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          val base = 1700000040000L // minute-aligned fixed epoch
+          def ts(min: Int, sec: Int) =
+            new java.sql.Timestamp(base + (min * 60 + sec) * 1000L)
+          input.addData(((0 until 30).map(i => (ts(0, i % 60), "a")) ++
+            (0 until 20).map(i => (ts(0, i % 60), "b")) ++
+            (0 until 10).map(i => (ts(0, i % 60), "c"))): _*)
+          input.addData(((0 until 25).map(i => (ts(1, i % 60), "b")) ++
+            (0 until 5).map(i => (ts(1, i % 60), "c"))): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        name
+      }
       s.table(qn)
         .groupBy("window_start")
         .agg(max("rows").as("n_rows"),
@@ -1285,23 +1359,26 @@ object SparkEntry {
     // of the exact values 0..99 — at k=256 nothing compacts, so each
     // estimated quantile's exact rank must sit within 3% of the target
     "q_streaming_quantiles" -> ((s, d) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      val input = MemoryStream[(java.sql.Timestamp, Double)]
-      val events = input.toDF().toDF("ts", "v")
-      val agg = graft.streaming.StreamingSketch.windowedQuantiles(
-        events, "ts", "v", Nil, "1 minute", "2 minutes", k = 256,
-        quantiles = Seq(0.25, 0.5, 0.75))
-      val qn = "q_streaming_quantiles_sink_" + System.nanoTime()
-      val q = agg.writeStream.format("memory").queryName(qn)
-        .outputMode("update").start()
-      try {
-        val base = 1700000040000L
-        def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
-        input.addData((0 until 100).map(i => (ts(i % 60), i.toDouble)): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+      val qn = withStreamConf(s) {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val input = MemoryStream[(java.sql.Timestamp, Double)]
+        val events = input.toDF().toDF("ts", "v")
+        val agg = graft.streaming.StreamingSketch.windowedQuantiles(
+          events, "ts", "v", Nil, "1 minute", "2 minutes", k = 256,
+          quantiles = Seq(0.25, 0.5, 0.75))
+        val name = "q_streaming_quantiles_sink_" + System.nanoTime()
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          val base = 1700000040000L
+          def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+          input.addData((0 until 100).map(i => (ts(i % 60), i.toDouble)): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        name
+      }
       def rankOk(est: Column, target: Double): Column = {
         // exact rank of the estimate within the known value set 0..99
         val rank = (least(greatest(ceil(est), lit(0.0)), lit(100.0))) / 100.0
@@ -1318,27 +1395,30 @@ object SparkEntry {
     // in batch 1, 20 repeats in batch 2 — exactly the 20 first arrivals
     // survive (exact counts DuckDB states as literals)
     "q_streaming_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      val input = MemoryStream[(java.sql.Timestamp, Long, String)]
-      val events = input.toDF().toDF("ts", "doc_id", "text")
-      val deduped = graft.streaming.StreamingSketch.streamingDedup(
-        events, "ts", "text", "10 minutes")
-      val qn = "q_streaming_dedup_sink_" + System.nanoTime()
-      val q = deduped.writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      try {
-        val base = 1700000040000L
-        def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
-        input.addData((0 until 50).map(i => (ts(i), i.toLong, s"doc-${i % 20}")): _*)
-        q.processAllAvailable()
-        input.addData((0 until 20).map(i => (ts(60 + i), (100 + i).toLong, s"doc-$i")): _*)
-        q.processAllAvailable()
-        // advance the watermark far enough to flush the append buffer
-        input.addData((ts(3600), 999L, "flush-marker"))
-        q.processAllAvailable()
-      } finally q.stop()
+      val qn = withStreamConf(s) {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+        val events = input.toDF().toDF("ts", "doc_id", "text")
+        val deduped = graft.streaming.StreamingSketch.streamingDedup(
+          events, "ts", "text", "10 minutes")
+        val name = "q_streaming_dedup_sink_" + System.nanoTime()
+        val q = deduped.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val base = 1700000040000L
+          def ts(sec: Int) = new java.sql.Timestamp(base + sec * 1000L)
+          input.addData((0 until 50).map(i => (ts(i), i.toLong, s"doc-${i % 20}")): _*)
+          q.processAllAvailable()
+          input.addData((0 until 20).map(i => (ts(60 + i), (100 + i).toLong, s"doc-$i")): _*)
+          q.processAllAvailable()
+          // advance the watermark far enough to flush the append buffer
+          input.addData((ts(3600), 999L, "flush-marker"))
+          q.processAllAvailable()
+        } finally q.stop()
+        name
+      }
       // which of a key's batch-1 rows wins is shuffle-order-dependent (not
       // guaranteed by Spark), but batch-2 repeats MUST lose to batch-1
       // state — gate on the batch boundary, not intra-batch order
@@ -1356,22 +1436,25 @@ object SparkEntry {
     // positive probability is ~1e-15 per key — deterministically zero
     // first-occurrence drops, so DuckDB states the exact counts as literals
     "q_bloom_dedup" -> ((s, d) => {
-      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-      implicit val sqlCtx = s.sqlContext
-      import s.implicits._
-      val input = MemoryStream[(Long, String)]
-      val deduped = graft.streaming.StreamingSketch.bloomDedup(
-        input.toDS(), shards = 8, numBits = 1L << 22, numHashes = 5)
-      val qn = "q_bloom_dedup_sink_" + System.nanoTime()
-      val q = deduped.toDF("doc_id", "text").writeStream.format("memory")
-        .queryName(qn).outputMode("update").start()
-      try {
-        input.addData((0 until 1000).map(i => (i.toLong, s"doc-$i")): _*)
-        q.processAllAvailable()
-        // batch 2: repeats MUST be dropped by batch-1 Bloom state
-        input.addData((0 until 500).map(i => ((2000 + i).toLong, s"doc-$i")): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+      val qn = withStreamConf(s) {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        implicit val sqlCtx = s.sqlContext
+        import s.implicits._
+        val input = MemoryStream[(Long, String)]
+        val deduped = graft.streaming.StreamingSketch.bloomDedup(
+          input.toDS(), shards = 8, numBits = 1L << 22, numHashes = 5)
+        val name = "q_bloom_dedup_sink_" + System.nanoTime()
+        val q = deduped.toDF("doc_id", "text").writeStream.format("memory")
+          .queryName(name).outputMode("update").start()
+        try {
+          input.addData((0 until 1000).map(i => (i.toLong, s"doc-$i")): _*)
+          q.processAllAvailable()
+          // batch 2: repeats MUST be dropped by batch-1 Bloom state
+          input.addData((0 until 500).map(i => ((2000 + i).toLong, s"doc-$i")): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+        name
+      }
       s.table(qn).agg(count(lit(1)).as("n_survivors"),
         countDistinct("text").as("dc_texts"),
         (max("doc_id") < 1000L).as("from_first_batch"))
@@ -1649,6 +1732,24 @@ object SparkEntry {
         | count(*) FILTER (WHERE doc_id % 3 = 0) AS n_flagged,
         | TRUE AS clean_docs_zero, TRUE AS covered_exact
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_spanrep_max" ->
+      """WITH s AS (SELECT doc_id, lang FROM documents WHERE doc_id < 300),
+        |c AS (SELECT
+        |  count(*) FILTER (WHERE doc_id % 3 = 0) AS v,
+        |  count(*) FILTER (WHERE doc_id % 3 = 1) AS g1,
+        |  count(*) FILTER (WHERE doc_id % 3 = 2) AS g2 FROM s)
+        |SELECT lang,
+        | CAST(3 * count(*) FILTER (WHERE doc_id % 3 = 0)
+        |   + count(*) FILTER (WHERE doc_id % 3 <> 0) AS BIGINT) AS n_spans,
+        | CAST(count(*) FILTER (WHERE doc_id % 3 = 0) * (c.g1 + c.g2 + c.v - 1)
+        |   + count(*) FILTER (WHERE doc_id % 3 = 1) * (c.v + c.g1 - 1)
+        |   + count(*) FILTER (WHERE doc_id % 3 = 2) * (c.v + c.g2 - 1)
+        |   AS BIGINT) AS sum_partners,
+        | CAST(count(*) FILTER (WHERE doc_id % 3 = 0) * 30
+        |   + count(*) FILTER (WHERE doc_id % 3 <> 0) * 8 AS BIGINT)
+        |   AS sum_span_chars,
+        | TRUE AS victims_ok, TRUE AS sides_ok
+        |FROM s, c GROUP BY lang, c.v, c.g1, c.g2""".stripMargin,
     "q_extract" ->
       """SELECT CAST(20000 AS BIGINT) AS n_pages,
         | CAST(20000 AS BIGINT) AS n_extract_exact,

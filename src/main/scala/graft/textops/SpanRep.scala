@@ -171,6 +171,105 @@ object SpanRep {
           .otherwise(0.0).as("covered_frac"))
   }
 
+  /** TRUE maximal repeated spans — the suffix-array-grade refinement of
+    * [[repeatedSpanStats]]'s window-union coverage (Lee et al. 2022 use
+    * suffix arrays for this; the shape here reaches the same spans for
+    * repeats of ≥ `n` words with only fixed-width shuffles).
+    *
+    * [[repeatedSpanStats]] unions windows that are each repeated
+    * SOMEWHERE, so two overlapping grams hot via DIFFERENT partner
+    * documents chain into one island even though no single document
+    * shares the chained extent as a whole. This operator reports, per
+    * document, the maximal contiguous extents shared VERBATIM with at
+    * least one specific other document: for every pair of documents
+    * sharing hot grams, align their gram occurrences on the match
+    * DIAGONAL (posA − posB) — a maximal run of consecutive positions on
+    * one diagonal IS a maximal common word-block (length `run + n − 1`
+    * words), exactly what a suffix array would report for that pair
+    * (truncated at repeats shorter than `n` words, which stay invisible
+    * — the documented precision floor). Output: one row per distinct
+    * (id, span_start, span_end) with `span_words` and `n_partners`
+    * (partner docs whose maximal shared block is exactly this span;
+    * a partner sharing a LONGER containing block counts toward that
+    * span instead).
+    *
+    * Soundness is unconditional: every emitted span's WORD SEQUENCE
+    * occurs verbatim in ≥ 1 other document (the operator's unit is the
+    * whitespace-split word, so inter-word whitespace may differ between
+    * the two occurrences; char offsets are exact in the reported doc). Completeness degrades gracefully under the
+    * scale cap `partnersPerGram`: each gram's candidate partner list is
+    * the bottom-`partnersPerGram` docs by hash (deterministic on any
+    * partitioning), so a license header shared by 10^6 docs costs
+    * O(occurrences × partnersPerGram) pair rows, not O(occurrences²) —
+    * a doc outside a gram's capped list can only SPLIT a reported span
+    * at that gram or attribute it to a different partner, never
+    * fabricate one. Every shuffle carries (id, pid, 8-byte gram/diag,
+    * three ints); text never rides an exchange.
+    */
+  def maximalRepeatSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 16,
+      minOtherDocs: Int = 1,
+      partnersPerGram: Int = 16,
+      numBits: Long = Decontaminate.AutoBits): DataFrame = {
+    require(minOtherDocs >= 1, "minOtherDocs must be >= 1")
+    require(partnersPerGram >= 1, "partnersPerGram must be >= 1")
+    // pass 1: hot grams, as in repeatedSpanStats (exact, unsampled: the
+    // trim pass is for flagged-corpus refinement, not discovery)
+    val hot = Materialize(
+      df.select(explode(gramHashes(col(textCol), n)).as("__g"))
+        .groupBy("__g").agg(count(lit(1)).as("__docs"))
+        .filter(col("__docs") >= minOtherDocs + 1)
+        .select("__g"))
+    val bf = BloomJoin.buildKeyFilter(hot, "__g",
+      Decontaminate.sizeBits(numBits, hot.count()))
+    // pass 2: POSITIONAL occurrences of hot grams (window index = word
+    // offset of the gram's first word; posexplode preserves array order)
+    val occ = Materialize(df
+      .select(col(idCol).as("__id"),
+        posexplode(gramSpans(col(textCol), n)).as(Seq("__p", "__o")))
+      .select(col("__id"), col("__o.gram").as("__g"), col("__p"),
+        col("__o.start").as("__s"), col("__o.end").as("__e"))
+      .filter(sketch.bloom_contains(bf, col("__g")))
+      .join(hot, Seq("__g"), "left_semi"))
+    // capped partner side: bottom-partnersPerGram docs per gram by a
+    // deterministic hash (dense_rank keeps every position of a ranked
+    // doc). One extra fixed-width shuffle on __g.
+    val wRank = Window.partitionBy("__g")
+      .orderBy(xxhash64(col("__id").cast("string")), col("__id"))
+    val partners = occ
+      .withColumn("__r", dense_rank().over(wRank))
+      .filter(col("__r") <= partnersPerGram)
+      .select(col("__g"), col("__id").as("__pid"), col("__p").as("__pp"))
+    // diagonal alignment: a shared block of w words shows as w-n+1
+    // consecutive __p values at one (partner, __p - __pp) diagonal
+    val pairs = occ.join(partners, Seq("__g"))
+      .filter(col("__id") =!= col("__pid"))
+      .select(col("__id"), col("__pid"), (col("__p") - col("__pp")).as("__diag"),
+        col("__p"), col("__s"), col("__e"))
+    val wRun = Window.partitionBy("__id", "__pid", "__diag").orderBy("__p")
+    val runs = pairs
+      .withColumn("__prev", lag(col("__p"), 1).over(wRun))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__p") =!= col("__prev") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("__run",
+        sum(col("__new")).over(wRun.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("__id"), col("__pid"), col("__diag"), col("__run"))
+      .agg(min(col("__s")).cast("long").as("span_start"),
+        max(col("__e")).cast("long").as("span_end"),
+        (count(lit(1)) + (n - 1)).as("span_words"))
+    // a partner's maximal block per span: count each partner once per
+    // distinct span it maximally shares (several diagonals of the same
+    // pair can yield the same span when the block repeats within the
+    // partner — still one shared-extent witness)
+    runs.groupBy(col("__id").as(idCol), col("span_start"), col("span_end"))
+      .agg(max(col("span_words")).as("span_words"),
+        countDistinct(col("__pid")).as("n_partners"))
+  }
+
   /** Input rows minus documents whose repeated-span coverage exceeds
     * `maxCoveredFrac` — the export form. Ships only loser ids through
     * the anti-join.

@@ -95,6 +95,125 @@ class SpanRepSpec extends AnyFunSuite with SparkTestBase {
     assert(got.getDouble(3) < 0.6)
   }
 
+  // ---- brute-force maximal common word-block reference for
+  // maximalRepeatSpans: per doc pair, per alignment shift, maximal runs
+  // of equal words of length >= n; a doc's spans map to the set of
+  // partners whose maximal shared block is exactly that char span ----
+  private def bruteMaximalSpans(corpus: Seq[(Long, String)], n: Int)
+      : Map[Long, Map[(Long, Long, Long), Set[Long]]] = {
+    val words = corpus.map { case (id, t) =>
+      id -> wordSpans(t).map { case (s, e) => t.substring(s, e) }
+    }.toMap
+    val spans = corpus.map { case (id, t) => id -> wordSpans(t) }.toMap
+    corpus.map { case (a, _) =>
+      val wa = words(a)
+      val acc = scala.collection.mutable.Map
+        .empty[(Long, Long, Long), Set[Long]]
+      corpus.foreach { case (b, _) =>
+        if (b != a) {
+          val wb = words(b)
+          for (d <- -(wb.length - 1) to (wa.length - 1)) {
+            var i = math.max(0, d)
+            while (i < wa.length && i - d < wb.length) {
+              if (wa(i) == wb(i - d)) {
+                var j = i
+                while (j < wa.length && j - d < wb.length && wa(j) == wb(j - d)) j += 1
+                val len = j - i
+                if (len >= n) {
+                  val key = (spans(a)(i)._1.toLong, spans(a)(j - 1)._2.toLong,
+                    len.toLong)
+                  acc(key) = acc.getOrElse(key, Set.empty) + b
+                }
+                i = j
+              } else i += 1
+            }
+          }
+        }
+      }
+      a -> acc.toMap
+    }.toMap
+  }
+
+  private def collectMaximal(df: org.apache.spark.sql.DataFrame)
+      : Map[Long, Map[(Long, Long, Long), Long]] =
+    df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)),
+        r.getLong(4)))
+      .groupBy(_._1).view
+      .mapValues(_.map(x => x._2 -> x._3).toMap).toMap
+
+  test("maximalRepeatSpans matches the brute-force maximal-block reference") {
+    for (n <- Seq(3, 4)) {
+      val expected = bruteMaximalSpans(corpus, n)
+        .view.mapValues(_.view.mapValues(_.size.toLong).toMap)
+        .filter(_._2.nonEmpty).toMap
+      val got = collectMaximal(SpanRep.maximalRepeatSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", n))
+      assert(got == expected, s"n=$n: got $got\nexpected $expected")
+    }
+  }
+
+  test("maximalRepeatSpans does not chain blocks shared with different partners") {
+    // A shares w1..w3 with B and w3..w5 with C; the window UNION chains
+    // them into one w1..w5 island, but no document contains w1..w5 —
+    // the maximal-span operator must report two overlapping TRUE blocks
+    val trap = Seq(
+      1L -> "p1 w1 w2 w3 w4 w5 s1",
+      2L -> "x1 w1 w2 w3 x2",
+      3L -> "y1 w3 w4 w5 y2")
+    val a = SpanRep.maximalRepeatSpans(trap.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3)
+      .filter($"doc_id" === 1L)
+      .orderBy("span_start").collect()
+    val t = trap.head._2
+    assert(a.length == 2, a.mkString("; "))
+    assert((a(0).getLong(1), a(0).getLong(2)) ==
+      (t.indexOf("w1").toLong, (t.indexOf("w3") + 2).toLong))
+    assert((a(1).getLong(1), a(1).getLong(2)) ==
+      (t.indexOf("w3").toLong, (t.indexOf("w5") + 2).toLong))
+    assert(a.forall(r => r.getLong(3) == 3L && r.getLong(4) == 1L))
+    // and the chained middle is still covered by the union operator —
+    // same corpus, coverage = w1..w5 extent (the two ops answer
+    // different questions; both must be right)
+    val cov = SpanRep.repeatedSpanStats(trap.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3)
+      .filter($"doc_id" === 1L).collect().head.getLong(2)
+    assert(cov == ("w1 w2 w3 w4 w5": String).length.toLong)
+  }
+
+  test("maximalRepeatSpans under a partner cap stays sound (every span is real)") {
+    // partnersPerGram = 1: completeness may degrade (spans can split or
+    // re-attribute) but every emitted span must still occur VERBATIM in
+    // at least one other document
+    val texts = corpus.toMap
+    val docWords = corpus.map { case (id, t) =>
+      id -> wordSpans(t).map { case (s, e) => t.substring(s, e) }
+    }.toMap
+    val got = SpanRep.maximalRepeatSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3, partnersPerGram = 1).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      // verbatim at the WORD-SEQUENCE level (the operator's unit):
+      // inter-word whitespace may differ between the doc and its partner
+      val t = texts(r.getLong(0))
+      val ws = wordSpans(t).filter { case (s, e) =>
+        s >= r.getLong(1) && e <= r.getLong(2) }
+      val seq = ws.map { case (s, e) => t.substring(s, e) }
+      assert(seq.length == r.getLong(3), "span bounds must cover span_words words")
+      assert(corpus.exists { case (oid, _) =>
+        oid != r.getLong(0) && docWords(oid).containsSlice(seq) },
+        s"span '${seq.mkString(" ")}' of doc ${r.getLong(0)} not in any other doc")
+    }
+    // uncapped output on this corpus fits far under the default cap, so
+    // cap=16 equals cap=corpus-size exactly
+    val full = collectMaximal(SpanRep.maximalRepeatSpans(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", n = 3,
+      partnersPerGram = corpus.size))
+    val dflt = collectMaximal(SpanRep.maximalRepeatSpans(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", n = 3))
+    assert(full == dflt)
+  }
+
   test("dropRepeatedSpanDocs removes only high-coverage docs") {
     val kept = SpanRep.dropRepeatedSpanDocs(
         corpus.toDF("doc_id", "text"), "doc_id", "text",
