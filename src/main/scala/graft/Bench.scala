@@ -141,6 +141,43 @@ object Bench {
         .select("component").distinct().count()
     }
     spark.catalog.clearCache()
+    // ---- part 1d: vocabulary-scale BPE (VERDICT r5 item 7): the counting
+    // kernel against 50,000-merge byte-level vocabs on a generated
+    // ~180 MB Zipf-worded lowercase corpus. Two vocabs on the identical
+    // corpus: one TRAINED on it (BpeTrain at 50k merges — realistic
+    // merge-firing profile, common words collapse to one token) and the
+    // synthetic merge LADDER (every adjacent letter pair mergeable —
+    // worst-case merge activity; see SynthText.ladderVocab), with the
+    // 676-merge ladder prefix as the small-vocab reference point.
+    // Per-word cost is rank-map hash lookups, so throughput must hold
+    // within the extra merge iterations a bigger vocab genuinely fires,
+    // not degrade with table size.
+    val bpeRows = sys.env.getOrElse("SPARK_GRAFT_BPE_ROWS", "2000000").toLong
+    val bpeCorpus = graft.data.SynthText.letterCorpus(spark, bpeRows)
+    val bpeBytes = bpeCorpus.agg(sum(octet_length(col("text"))))
+      .collect().head.getLong(0)
+    def bpeRun(vocab: graft.spark.BpeVocab): (Long, Double) = {
+      val runs = (1 to 2).map { _ =>
+        timed {
+          bpeCorpus.select(graft.spark.textFunctions.bpe_token_count(
+              col("text"), vocab).as("n"))
+            .agg(sum(col("n"))).collect().head.getLong(0)
+        }
+      }
+      (runs.head._1, runs.map(_._2).min)
+    }
+    // training is untimed setup; a 200k-row prefix sees the same Zipf
+    // head types as the full corpus and keeps the learner under ~10 s
+    val (bpeTrained, bpeTrainSec) = timed {
+      graft.textops.BpeTrain.learn(
+        graft.data.SynthText.letterCorpus(spark, math.min(bpeRows, 200000L)),
+        col("text"), numMerges = 50000)
+    }
+    val vocab50k = graft.data.SynthText.ladderVocab(50000)
+    bpeRun(vocab50k) // JIT warm-up for the merge loop, untimed
+    val (bpeTrainedTokens, bpeTrainedSec) = bpeRun(bpeTrained)
+    val (bpe50kTokens, bpe50kSec) = bpeRun(vocab50k)
+    val (bpe676Tokens, bpe676Sec) = bpeRun(graft.data.SynthText.ladderVocab(676))
 
     // ---- part 2: scaling experiment on identical deterministic input ----
     // (throughput = generated input rows / wall-clock of the full job:
@@ -221,6 +258,18 @@ object Bench {
       s""","cosine_skew_sec":${f"$cosineSkewSec%.3f"}""" +
       s""","cc_chain_nodes":$ccNodes,"cc_chain_components":$ccComponents""" +
       s""","cc_chain_sec":${f"$ccSec%.3f"}""" +
+      s""","bpe_docs":$bpeRows,"bpe_mb":${f"${bpeBytes / 1e6}%.1f"}""" +
+      s""","bpe_trained_merges":${bpeTrained.size}""" +
+      s""","bpe_train_sec":${f"$bpeTrainSec%.3f"}""" +
+      s""","bpe_trained_tokens":$bpeTrainedTokens""" +
+      s""","bpe_trained_sec":${f"$bpeTrainedSec%.3f"}""" +
+      s""","bpe_trained_mb_s":${f"${bpeBytes / 1e6 / bpeTrainedSec}%.1f"}""" +
+      s""","bpe_ladder50k_tokens":$bpe50kTokens""" +
+      s""","bpe_ladder50k_sec":${f"$bpe50kSec%.3f"}""" +
+      s""","bpe_ladder50k_mb_s":${f"${bpeBytes / 1e6 / bpe50kSec}%.1f"}""" +
+      s""","bpe_ladder676_tokens":$bpe676Tokens""" +
+      s""","bpe_ladder676_sec":${f"$bpe676Sec%.3f"}""" +
+      s""","bpe_ladder676_mb_s":${f"${bpeBytes / 1e6 / bpe676Sec}%.1f"}""" +
       s""","hll_url_rows":$scaleRows,$scaleJson""" +
       s""","scaling_efficiency":${f"${math.min(relLow, 1.0)}%.3f"}""" +
       s""","job_scaling_${pairLo}":${f"$effLowPair%.3f"}""" +

@@ -39,6 +39,18 @@ object SparkEntry {
   private def lcWithinP14(est: Long, exact: Long): Boolean =
     math.abs(est - exact) <= math.max(2.0, exact * 2 * boundP14)
 
+  /** The q_line_dedup/q_line_hot corpus: deterministic multi-line docs
+    * over the documents table, mirrored verbatim in the DuckDB oracle.
+    */
+  private def lineDedupCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat_ws("\n",
+        concat(lit("banner "), pmod(col("doc_id"), lit(5L))),
+        col("text").substr(lit(1), (pmod(col("doc_id"), lit(40L)) + 20).cast("int")),
+        lit(""),
+        concat(lit("doc "), col("doc_id"), lit(" body")),
+        concat(lit("tail "), pmod(col("doc_id"), lit(97L)))).as("text"))
+
   /** Streaming gates drive tiny MemoryStream batches where each
     * microbatch pays per-STATE-PARTITION fixed work — incremental
     * re-planning, one state-store commit, offset/commit-log writes per
@@ -867,6 +879,54 @@ object SparkEntry {
           defaultRate = 0.1, hashInput = col("text"))
         .groupBy("lang")
         .agg(count(lit(1)).as("kept_docs"), sum("doc_id").as("sum_kept_ids"))),
+
+    // line-level (RefinedWeb-style) boilerplate removal: multi-line docs
+    // built arithmetically over the documents table — a per-id%5 banner
+    // (hot at every SF under minDocs = n/10), a quasi-unique real-text
+    // prefix, an EMPTY structural line, a unique body, a sparse tail.
+    // The oracle recomputes hotness and the rebuilt text wholesale in
+    // SQL (no closed-form shortcuts), so per-doc output text is
+    // hash-checked byte-for-byte, blank-line skeleton included
+    "q_line_dedup" -> ((s, d) => {
+      val built = lineDedupCorpus(t(s, d, "documents"))
+      val minDocs = math.max(2L, t(s, d, "documents").count() / 10)
+      graft.textops.LineDedup
+        .removeRepeatedLines(built, "doc_id", "text", minDocs)
+        .select(col("doc_id"), col("text"))
+    }),
+
+    // the resolved hot-line table itself (line text + exact distinct-doc
+    // counts), same corpus and threshold as q_line_dedup
+    "q_line_hot" -> ((s, d) => {
+      val built = lineDedupCorpus(t(s, d, "documents"))
+      val minDocs = math.max(2L, t(s, d, "documents").count() / 10)
+      graft.textops.LineDedup.repeatedLines(built, "doc_id", "text", minDocs)
+    }),
+
+    // PII redaction: every doc gets a planted e-mail, a phone on
+    // doc_id%3=0, an IPv4 on doc_id%2=0, prepended to the real text; the
+    // oracle rebuilds the expected scrubbed text CONSTRUCTIVELY (tokens
+    // in place of the plants), so detection, replacement, span order,
+    // counts, and non-mangling of surrounding text all hash-check
+    "q_pii" -> ((s, d) => {
+      val raw = concat(
+        lit("u"), col("doc_id"), lit("@ex"), pmod(col("doc_id"), lit(7L)),
+        lit(".com"),
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(lit(" +1 (555) 123-"), pmod(col("doc_id"), lit(9000L)) + 1000))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(2L)) === 0,
+          concat(lit(" 10."), pmod(col("doc_id"), lit(200L)), lit("."),
+            pmod(col("doc_id"), lit(250L)), lit("."),
+            pmod(col("doc_id"), lit(256L))))
+          .otherwise(lit("")),
+        lit(" :: "), col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"), tf.pii_scrub(raw).as("p"))
+        .select(col("doc_id"), col("p.text").as("scrubbed"),
+          col("p.emails").as("emails"), col("p.ipv4s").as("ipv4s"),
+          col("p.phones").as("phones"))
+    }),
 
     // text quality scoring distribution (deterministic formula; DuckDB
     // replicates it exactly on integer-char counts)
@@ -1779,6 +1839,61 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
         |    WHEN 'zh' THEN 'g' ELSE '1999999a' END
         |GROUP BY 1""".stripMargin,
+    "q_line_dedup" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    'banner ' || (doc_id % 5) || chr(10) ||
+        |    substr(text, 1, CAST(doc_id % 40 + 20 AS INT)) || chr(10) ||
+        |    chr(10) ||
+        |    'doc ' || doc_id || ' body' || chr(10) ||
+        |    'tail ' || (doc_id % 97) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT b.doc_id, g.range AS pos,
+        |    string_split(b.text, chr(10))[g.range] AS line
+        |  FROM built b CROSS JOIN range(1, 9) g
+        |  WHERE g.range <= len(string_split(b.text, chr(10)))),
+        |hot AS (
+        |  SELECT line FROM lines WHERE line <> ''
+        |  GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >=
+        |    greatest(2, (SELECT count(*) FROM documents) // 10)),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM lines
+        |  WHERE line = '' OR line NOT IN (SELECT line FROM hot))
+        |SELECT b.doc_id,
+        |  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+        |FROM built b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        |GROUP BY b.doc_id""".stripMargin,
+    "q_pii" ->
+      """SELECT doc_id,
+        | '<EMAIL>' ||
+        | CASE WHEN doc_id % 3 = 0 THEN ' <PHONE>' ELSE '' END ||
+        | CASE WHEN doc_id % 2 = 0 THEN ' <IP>' ELSE '' END ||
+        | ' :: ' || text AS scrubbed,
+        | CAST(1 AS INT) AS emails,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS ipv4s,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS phones
+        |FROM documents""".stripMargin,
+    "q_line_hot" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    'banner ' || (doc_id % 5) || chr(10) ||
+        |    substr(text, 1, CAST(doc_id % 40 + 20 AS INT)) || chr(10) ||
+        |    chr(10) ||
+        |    'doc ' || doc_id || ' body' || chr(10) ||
+        |    'tail ' || (doc_id % 97) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT b.doc_id, g.range AS pos,
+        |    string_split(b.text, chr(10))[g.range] AS line
+        |  FROM built b CROSS JOIN range(1, 9) g
+        |  WHERE g.range <= len(string_split(b.text, chr(10))))
+        |SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count
+        |FROM lines WHERE line <> ''
+        |GROUP BY line
+        |HAVING count(DISTINCT doc_id) >=
+        |  greatest(2, (SELECT count(*) FROM documents) // 10)""".stripMargin,
     "q_bpe_count" ->
       """SELECT lang, count(*) AS cnt_docs,
         | CAST(sum((doc_id % 3 + 1) * 2

@@ -1,0 +1,82 @@
+package graft.data
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spark.BpeVocab
+
+/** Deterministic synthetic text material for vocabulary-scale BPE
+  * benchmarking (VERDICT r5 item 7): the fixture vocabs the correctness
+  * gates use are tiny (tens of merges) and the sf documents table draws
+  * from a 31-word vocabulary, so neither exercises the counting kernel
+  * against a production-sized merge table. This object provides both
+  * halves of that measurement, generated purely from column functions /
+  * closed-form loops (no I/O, no randomness):
+  *
+  *  - [[letterCorpus]]: docs of hash-derived lowercase-letter words —
+  *    whole-stage-codegen'd generation, so the timed job is dominated by
+  *    the BPE kernel, not the generator;
+  *  - [[ladderVocab]]: a merge table of every 2-letter pair, then every
+  *    (2-letter, letter) triple, then (2-letter, 2-letter) quadruples up
+  *    to `n` merges. On lowercase text this is a WORST-case vocab: every
+  *    adjacent letter pair is mergeable, so the greedy loop runs to
+  *    ~len/4 symbols per word — more merge iterations per word than a
+  *    trained vocab of equal size (whose rare merges mostly never fire).
+  *    Holding throughput here is therefore stronger evidence than a
+  *    trained 50k table would give.
+  */
+object SynthText {
+
+  /** `rows` single-line docs of `wordsPerDoc` lowercase-letter words,
+    * drawn Zipf-like (P(rank=k) ∝ 1/k, the natural-language shape BPE
+    * vocabs are trained against) from a `typePool`-word vocabulary.
+    * Each type's letters are the base-26 rendering of a 64-bit hash of
+    * its rank (1..8 letters), so word shapes vary while staying inside
+    * [[ladderVocab]]'s alphabet.
+    */
+  def letterCorpus(spark: SparkSession, rows: Long,
+      wordsPerDoc: Int = 12, typePool: Int = 65536,
+      seed: Long = 42L): DataFrame = {
+    require(wordsPerDoc >= 1, s"wordsPerDoc must be >= 1, got $wordsPerDoc")
+    require(typePool >= 1, s"typePool must be >= 1, got $typePool")
+    val words = (0 until wordsPerDoc).map { i =>
+      val u = pmod(xxhash64(col("id"), lit(seed), lit(i)), lit(1000000L))
+        .cast("double") / 1000000.0
+      val rank = least(
+        floor(pow(lit(typePool.toDouble), u)).cast("long") + 1,
+        lit(typePool.toLong))
+      // 26^8 keeps conv() inside 8 base-26 digits
+      translate(
+        conv(pmod(xxhash64(rank, lit(seed + 1)), lit(208827064576L))
+          .cast("string"), 10, 26),
+        "0123456789ABCDEFGHIJKLMNOP", "abcdefghijklmnopqrstuvwxyz")
+    }
+    spark.range(0L, rows, 1L)
+      .select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
+  }
+
+  /** Byte-level merge ladder over a-z: ranks 0..675 are the 676
+    * (letter, letter) pairs, then all 3-letter merges in BOTH
+    * associations — 17,576 (pair, letter) then 17,576 (letter, pair),
+    * so a letter stranded before an already-merged pair still merges —
+    * then (pair, pair) quadruples until `n` merges (n ≤ 492,804). All
+    * symbols are printable ASCII, which the GPT-2 bytes-to-unicode
+    * table maps to themselves, so the ladder is a valid byte-level
+    * vocab ([[BpeVocab.fromMergesFile]]-compatible via
+    * `BpeTrain.writeMergesFile`).
+    */
+  def ladderVocab(n: Int): BpeVocab = {
+    val az = ('a' to 'z').map(_.toString)
+    val pairs = for (a <- az; b <- az) yield a + b
+    val merges = new scala.collection.mutable.ArrayBuffer[(String, String)](n)
+    val tiers: Iterator[(String, String)] =
+      (for (a <- az.iterator; b <- az.iterator) yield (a, b)) ++
+        (for (ab <- pairs.iterator; c <- az.iterator) yield (ab, c)) ++
+        (for (a <- az.iterator; bc <- pairs.iterator) yield (a, bc)) ++
+        (for (ab <- pairs.iterator; cd <- pairs.iterator) yield (ab, cd))
+    while (merges.length < n && tiers.hasNext) merges += tiers.next()
+    require(merges.length == n,
+      s"ladder exhausted at ${merges.length} merges; max is 676 + 2*26*676 + 676*676")
+    BpeVocab(merges.toSeq, byteLevel = true)
+  }
+}

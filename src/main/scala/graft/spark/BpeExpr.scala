@@ -46,6 +46,12 @@ final class BpeVocab private (val merges: Array[(String, String)],
     m
   }
 
+  /** Int-indexed form of the merge table for the count hot path
+    * (built once per executor JVM, shared by every task via the
+    * plan-embedded vocab reference).
+    */
+  @transient lazy val index: BpeIndex = BpeIndex.build(merges)
+
   def size: Int = merges.length
 
   override def hashCode(): Int =
@@ -133,6 +139,105 @@ object BpeVocab {
         s"merge '$m' must be two space-separated symbols")
       (parts(0), parts(1))
     }, byteLevel)
+}
+
+/** Rank-indexed merge table: every symbol a vocab can ever produce or
+  * consume gets an int id, pair ranks live in an open-addressed
+  * long→int table keyed `(leftId << 32) | rightId`, and each rank knows
+  * the id of the symbol it produces. The count hot loop then runs on
+  * int arrays with ZERO allocation per lookup — the string-keyed path
+  * (`vocab.ranks`) concatenates a fresh `"a b"` key per adjacent-pair
+  * probe, which costs O(symbol length) hashing exactly when a trained
+  * vocab merges symbols toward whole words (measured 3.5× slower at a
+  * 50k-merge trained vocab; the `tokens` debug mode keeps the readable
+  * string path, spec-pinned equal).
+  */
+final class BpeIndex private (
+    val symId: java.util.HashMap[String, Integer],
+    val mergedIdOfRank: Array[Int],
+    keys: Array[Long],
+    vals: Array[Int],
+    mask: Int) extends Serializable {
+
+  /** id of a byte-level initial symbol, one per byte value; -1 = the
+    * byte appears in no merge (its symbol always survives as a token).
+    */
+  val byteSymId: Array[Int] = {
+    val arr = new Array[Int](256)
+    var b = 0
+    while (b < 256) {
+      val id = symId.get(String.valueOf(ByteBpe.byteToUnicode(b)))
+      arr(b) = if (id == null) -1 else id.intValue()
+      b += 1
+    }
+    arr
+  }
+
+  def idOf(sym: String): Int = {
+    val id = symId.get(sym)
+    if (id == null) -1 else id.intValue()
+  }
+
+  /** id cache for single-ASCII-char symbols (the char-mode common case). */
+  private val asciiSymId: Array[Int] =
+    Array.tabulate(128)(c => idOf(String.valueOf(c.toChar)))
+
+  /** id of a single-code-point symbol (char-mode initial symbols). */
+  def cpSymId(cp: Int): Int =
+    if (cp < 128) asciiSymId(cp)
+    else idOf(new String(Character.toChars(cp)))
+
+  /** rank of (left, right) by id, or Int.MaxValue when absent (either
+    * id < 0 — an out-of-vocab symbol can never be part of a merge — or
+    * the pair is simply not in the table).
+    */
+  def rank(left: Int, right: Int): Int = {
+    if (left < 0 || right < 0) return Integer.MAX_VALUE
+    val key = (left.toLong << 32) | (right.toLong & 0xffffffffL)
+    var i = (java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L)) & mask
+    while (true) {
+      val k = keys(i)
+      if (k == key) return vals(i)
+      if (k == BpeIndex.Empty) return Integer.MAX_VALUE
+      i = (i + 1) & mask
+    }
+    Integer.MAX_VALUE // unreachable
+  }
+}
+
+object BpeIndex {
+  // ids are non-negative, so a packed (left, right) key is never -1
+  private final val Empty = -1L
+
+  def build(merges: Array[(String, String)]): BpeIndex = {
+    val symId = new java.util.HashMap[String, Integer]()
+    def intern(s: String): Int = {
+      val cur = symId.get(s)
+      if (cur != null) cur.intValue()
+      else { val id = symId.size(); symId.put(s, id); id }
+    }
+    var cap = 4
+    while (cap < merges.length * 2) cap <<= 1
+    if (cap < 8) cap = 8
+    val keys = new Array[Long](cap)
+    val vals = new Array[Int](cap)
+    java.util.Arrays.fill(keys, Empty)
+    val mask = cap - 1
+    val mergedId = new Array[Int](merges.length)
+    var r = 0
+    while (r < merges.length) {
+      val l = intern(merges(r)._1)
+      val ri = intern(merges(r)._2)
+      mergedId(r) = intern(merges(r)._1 + merges(r)._2)
+      val key = (l.toLong << 32) | (ri.toLong & 0xffffffffL)
+      var i = (java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L)) & mask
+      while (keys(i) != Empty) i = (i + 1) & mask // pairs are distinct (ctor)
+      keys(i) = key
+      vals(i) = r
+      r += 1
+    }
+    new BpeIndex(symId, mergedId, keys, vals, mask)
+  }
 }
 
 /** GPT-2 byte-level plumbing: the published bytes-to-unicode table and
@@ -399,8 +504,76 @@ object BpeCountExpr {
     }
   }
 
-  def count(text: UTF8String, vocab: BpeVocab): Long =
-    overWords(text, vocab, null)
+  /** The merge loop on int symbol ids, in place over `ids[0, len)` —
+    * the allocation-free twin of [[bpeWord]] (see [[BpeIndex]] for why:
+    * string pair keys cost O(symbol length) per probe). Writing `w`
+    * trails reading `kk`, so the in-place compaction is safe.
+    */
+  private def bpeWordIds(ids: Array[Int], len0: Int, index: BpeIndex): Int = {
+    var len = len0
+    var done = false
+    while (!done && len > 1) {
+      var best = Integer.MAX_VALUE
+      var k = 0
+      while (k < len - 1) {
+        val r = index.rank(ids(k), ids(k + 1))
+        if (r < best) best = r
+        k += 1
+      }
+      if (best == Integer.MAX_VALUE) done = true
+      else {
+        val mid = index.mergedIdOfRank(best)
+        var w = 0
+        var kk = 0
+        while (kk < len) {
+          if (kk < len - 1 && index.rank(ids(kk), ids(kk + 1)) == best) {
+            ids(w) = mid; kk += 2
+          } else { ids(w) = ids(kk); kk += 1 }
+          w += 1
+        }
+        len = w
+      }
+    }
+    len
+  }
+
+  def count(text: UTF8String, vocab: BpeVocab): Long = {
+    val index = vocab.index
+    val s = text.toString
+    var ids = new Array[Int](16)
+    var total = 0L
+    if (vocab.byteLevel) {
+      val m = ByteBpe.pretokenPattern.matcher(s)
+      while (m.find()) {
+        val bytes = s.substring(m.start, m.end)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (bytes.length > ids.length) ids = new Array[Int](bytes.length * 2)
+        var i = 0
+        while (i < bytes.length) {
+          ids(i) = index.byteSymId(bytes(i) & 0xff); i += 1
+        }
+        total += bpeWordIds(ids, bytes.length, index)
+      }
+    } else {
+      val (starts, ends) = MinHashSigExpr.wordBounds(s)
+      var w = 0
+      while (w < starts.length) {
+        val until = ends(w)
+        if (until - starts(w) > ids.length) ids = new Array[Int]((until - starts(w)) * 2)
+        var len = 0
+        var i = starts(w)
+        while (i < until) {
+          val cp = s.codePointAt(i)
+          ids(len) = index.cpSymId(cp)
+          len += 1
+          i += Character.charCount(cp)
+        }
+        total += bpeWordIds(ids, len, index)
+        w += 1
+      }
+    }
+    total
+  }
 
   def tokens(text: UTF8String, vocab: BpeVocab): GenericArrayData = {
     val out = new java.util.ArrayList[String]()

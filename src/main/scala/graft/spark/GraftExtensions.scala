@@ -140,6 +140,7 @@ object GraftExtensions {
     "utf16_length" -> { args => TextKernelExpr(args.head, TextKernelExpr.Utf16Len) },
     "html_extract_text" -> { args => HtmlExtractExpr(args.head) },
     "html_extract_status" -> { args => HtmlExtractStatusExpr(args.head) },
+    "pii_scrub" -> { args => PiiScrubExpr(args.head) },
     "dup_line_fraction" -> { args =>
       RepetitionExpr(args.head, RepetitionExpr.DupLineFrac, 1) },
     "dup_line_char_fraction" -> { args =>

@@ -1,0 +1,116 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A driver-held set of exact line strings destined for per-row removal
+  * (the resolution product of [[graft.textops.LineDedup]]'s distributed
+  * frequency pass). Rides Catalyst plans as a reference object with a
+  * PRECOMPUTED content hash: constraint propagation and expression-set
+  * ops hash/compare plan-embedded literals repeatedly during planning,
+  * and recomputing over millions of strings per comparison is the
+  * round-4 `SketchLiteral` failure mode. Equality short-circuits on the
+  * hash, so the O(n) array compare runs only on a genuine hash match.
+  *
+  * Lines must be non-empty (an empty segment is document structure, not
+  * boilerplate — the removal kernel preserves it unconditionally, and a
+  * hot empty "line" would mean stripping blank-line formatting corpus-
+  * wide). Construction sorts a defensive copy, so two sets built from
+  * the same lines in any order are equal and canonicalize together.
+  */
+final class LineSet private (private val sorted: Array[String])
+  extends Serializable {
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](sorted.length * 2)
+    sorted.foreach(s.add)
+    s
+  }
+
+  private val contentHash: Int =
+    java.util.Arrays.hashCode(sorted.asInstanceOf[Array[AnyRef]])
+
+  def size: Int = sorted.length
+  def contains(line: String): Boolean = set.contains(line)
+  def lines: Seq[String] = sorted.toSeq
+
+  override def hashCode(): Int = contentHash
+  override def equals(o: Any): Boolean = o match {
+    case l: LineSet =>
+      contentHash == l.contentHash && java.util.Arrays.equals(
+        sorted.asInstanceOf[Array[AnyRef]], l.sorted.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def toString: String = s"LineSet(${sorted.length} lines)"
+}
+
+object LineSet {
+  def apply(lines: Iterable[String]): LineSet = {
+    lines.foreach(l => require(l.nonEmpty, "LineSet lines must be non-empty"))
+    val arr = lines.toArray
+    java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+    new LineSet(arr)
+  }
+}
+
+/** Zero-shuffle removal kernel: drop every segment of `text` (split on
+  * the literal `sep`) that is a member of `set`, re-joining survivors
+  * with `sep`. Empty segments are preserved verbatim ([[LineSet]]
+  * forbids them as members), and trailing separators survive as the
+  * empty segments they delimit — the contract is exactly
+  * `sep.join(seg for seg in text.split(sep, -1) if seg not in set)`.
+  */
+case class RemoveLinesExpr(child: Expression, set: LineSet, sep: String)
+  extends UnaryExpression {
+
+  require(sep.nonEmpty, "separator must be non-empty")
+
+  override def prettyName: String = "remove_lines"
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    RemoveLinesExpr.remove(input.asInstanceOf[UTF8String], set, sep)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("lineSet", set, "graft.spark.LineSet")
+    val sepRef = ctx.addReferenceObj("lineSep", sep, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.spark.RemoveLinesExpr.remove($s, $setRef, $sepRef);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): RemoveLinesExpr =
+    copy(child = c)
+}
+
+object RemoveLinesExpr {
+
+  def remove(text: UTF8String, set: LineSet, sep: String): UTF8String = {
+    val s = text.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var first = true
+    var start = 0
+    var done = false
+    while (!done) {
+      val hit = s.indexOf(sep, start)
+      val end = if (hit < 0) s.length else hit
+      val seg = s.substring(start, end)
+      if (seg.isEmpty || !set.contains(seg)) {
+        if (!first) sb.append(sep)
+        sb.append(seg)
+        first = false
+      }
+      if (hit < 0) done = true else start = hit + sep.length
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}

@@ -1,0 +1,162 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PII redaction for web-text corpora (the RefinedWeb/CCNet-style pass
+  * run before training-data release): e-mail addresses, IPv4 addresses,
+  * and phone numbers are replaced by fixed tokens `<EMAIL>` / `<IP>` /
+  * `<PHONE>`, with per-class counts reported alongside the scrubbed
+  * text so a pipeline can both rewrite and audit in one scan.
+  *
+  * Detection contract (deterministic, documented here and spec-pinned —
+  * a corpus release needs REPRODUCIBLE redaction, not best-effort):
+  *
+  *  - EMAIL: `local@domain.tld` — local of `[A-Za-z0-9._%+-]+`, domain
+  *    labels of `[A-Za-z0-9-]+` joined by dots, final label alphabetic
+  *    of length ≥ 2. The char after the match must not be
+  *    alphanumeric (`user@x.com5` is not an e-mail and is left alone).
+  *  - IPV4: four 1-3 digit octets each ≤ 255, not adjacent to another
+  *    digit or dot-digit on either side (`1.2.3.4.5` matches nothing;
+  *    `999.1.2.3` has an out-of-range octet and is left alone).
+  *  - PHONE: an optionally `+`-country-coded sequence of 2-4 digit
+  *    groups (first group may be parenthesized) separated by single
+  *    space/dot/dash, or one unbroken digit run, totaling 9-15 digits,
+  *    with non-alphanumeric boundaries. This is a digit-run heuristic
+  *    tuned for recall, like production scrubbers: `2024-01-15`
+  *    (8 digits) is safely below the floor, but a date FOLLOWED by a
+  *    2-4 digit group within one separator (`2024-01-15 12`) does get
+  *    flagged — the known, accepted false-positive class (redacting a
+  *    rare date fragment is cheap; leaking a phone number is not).
+  *
+  * Overlaps resolve by priority EMAIL > IPV4 > PHONE (the digits of
+  * `+15551234567@spam.com`'s local part are part of the e-mail, not a
+  * phone; an IP is never double-counted as a phone). Matching is a
+  * single left-to-right pass per class over a bounded input scan —
+  * all three patterns are backtracking-safe (no nested unbounded
+  * quantifiers), so adversarial inputs cannot blow up matching time.
+  */
+case class PiiScrubExpr(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "pii_scrub"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("emails", IntegerType, nullable = false),
+    StructField("ipv4s", IntegerType, nullable = false),
+    StructField("phones", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    PiiScrubExpr.scrub(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)" +
+        s"graft.spark.PiiScrubExpr.scrub($s);")
+
+  override protected def withNewChildInternal(c: Expression): PiiScrubExpr =
+    copy(child = c)
+}
+
+object PiiScrubExpr {
+
+  private val Email = java.util.regex.Pattern.compile(
+    """[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}""")
+
+  private val Ipv4 = java.util.regex.Pattern.compile(
+    """(?<![0-9.])(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})(?!\.?\d)""")
+
+  // grouped form (uniform single separators, optional +CC and parens)
+  // OR one unbroken run; digit total validated 9-15 in code
+  // the trailing (?!…|\.\d) forbids ending right before ".digit", so a
+  // greedy match backtracks off an adjacent dotted number instead of
+  // swallowing the first octet of a following IP (which would overlap
+  // the IP's claim and forfeit the phone entirely)
+  private val Phone = java.util.regex.Pattern.compile(
+    """(?<![0-9A-Za-z_+.-])(?:\+\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{2,4}(?:[ .-]?\d{2,4}){1,4}(?![0-9A-Za-z]|\.\d)""")
+
+  private final val EmailToken = "<EMAIL>"
+  private final val IpToken = "<IP>"
+  private final val PhoneToken = "<PHONE>"
+
+  private def isAlnum(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  def scrub(text: UTF8String): InternalRow = {
+    val s = text.toString
+    // (start, end, token) spans, built in priority order; later classes
+    // skip anything overlapping an earlier claim
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    val toks = new java.util.ArrayList[String]()
+    def overlaps(a: Int, b: Int): Boolean = {
+      var i = 0
+      while (i < starts.size()) {
+        if (a < ends.get(i) && starts.get(i) < b) return true
+        i += 1
+      }
+      false
+    }
+    var emails = 0
+    var ips = 0
+    var phones = 0
+
+    val em = Email.matcher(s)
+    while (em.find()) {
+      if (em.end() >= s.length || !isAlnum(s.charAt(em.end()))) {
+        starts.add(em.start()); ends.add(em.end()); toks.add(EmailToken)
+        emails += 1
+      }
+    }
+    val im = Ipv4.matcher(s)
+    while (im.find()) {
+      val ok = (1 to 4).forall(g => im.group(g).toInt <= 255)
+      if (ok && !overlaps(im.start(), im.end())) {
+        starts.add(im.start()); ends.add(im.end()); toks.add(IpToken)
+        ips += 1
+      }
+    }
+    val pm = Phone.matcher(s)
+    while (pm.find()) {
+      var digits = 0
+      var i = pm.start()
+      while (i < pm.end()) {
+        if (s.charAt(i) >= '0' && s.charAt(i) <= '9') digits += 1
+        i += 1
+      }
+      if (digits >= 9 && digits <= 15 && !overlaps(pm.start(), pm.end())) {
+        starts.add(pm.start()); ends.add(pm.end()); toks.add(PhoneToken)
+        phones += 1
+      }
+    }
+
+    val out =
+      if (starts.isEmpty) text
+      else {
+        // sort spans by start (each class emits in order; classes interleave)
+        val order = (0 until starts.size()).sortBy(starts.get(_).intValue())
+        val sb = new java.lang.StringBuilder(s.length)
+        var pos = 0
+        order.foreach { i =>
+          sb.append(s, pos, starts.get(i))
+          sb.append(toks.get(i))
+          pos = ends.get(i)
+        }
+        sb.append(s, pos, s.length)
+        UTF8String.fromString(sb.toString)
+      }
+    new GenericInternalRow(Array[Any](out,
+      java.lang.Integer.valueOf(emails), java.lang.Integer.valueOf(ips),
+      java.lang.Integer.valueOf(phones)))
+  }
+}

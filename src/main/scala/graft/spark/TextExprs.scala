@@ -365,6 +365,13 @@ object textFunctions {
   def bpe_tokens(text: Column, vocab: BpeVocab): Column =
     Bridge.column(BpeCountExpr(Bridge.expression(text), vocab, emitTokens = true))
 
+  /** PII redaction: struct(text, emails, ipv4s, phones) — scrubbed text
+    * with fixed `<EMAIL>`/`<IP>`/`<PHONE>` tokens plus per-class match
+    * counts (see [[PiiScrubExpr]] for the exact detection contract).
+    */
+  def pii_scrub(text: Column): Column =
+    Bridge.column(PiiScrubExpr(Bridge.expression(text)))
+
   /** Whitespace token count (columnar). */
   def token_count(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))

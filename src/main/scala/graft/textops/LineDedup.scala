@@ -1,0 +1,114 @@
+package graft.textops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.spark.{LineSet, RemoveLinesExpr}
+
+/** Line-level (paragraph-level) exact deduplication — the RefinedWeb /
+  * CCNet-style boilerplate pass: a line that recurs verbatim across many
+  * documents (cookie banners, navigation, footers, license headers) is
+  * removed from EVERY document containing it, while document-unique
+  * lines survive untouched. Complements [[Dedup]] (whole-doc near-dup)
+  * and [[SpanRep]] (repeated word spans): here the removal unit is the
+  * exact line, the cheapest and most surgical of the three.
+  *
+  * Scale shape (the 100 TB contract):
+  *   1. frequency pass — `explode(split(text))` projected immediately to
+  *      `(doc id, line hash)`: the only corpus-sized shuffle carries two
+  *      fixed-width columns, never text. Per-doc duplicate lines count
+  *      once (distinct doc counts).
+  *   2. exact resolution — candidate hashes (already ≥ minDocs by hash,
+  *      a tiny set) join back against a second scan to recover line
+  *      TEXT and exact per-line distinct-doc counts, killing both hash
+  *      collisions (grouped by the line itself) and false unions.
+  *   3. removal — the resolved hot-line set rides every task as a
+  *      driver-held [[LineSet]] reference object and the rewrite is a
+  *      ZERO-shuffle projection ([[RemoveLinesExpr]]): untouched docs
+  *      never pay anything but the per-line set probe.
+  *
+  * Empty lines are structure, not boilerplate: they are never counted,
+  * never hot, and always preserved (so removing a hot line leaves the
+  * same blank-line skeleton the oracle predicts).
+  *
+  * The hot set must fit on the driver and in each executor's heap —
+  * `maxHotLines` (default 2^20) fails fast if the corpus produces more;
+  * at that point the right fix is a higher `minDocs`, not a bigger cap
+  * (a hot set beyond ~10^6 lines means the threshold is catching the
+  * corpus's ordinary text, not its boilerplate).
+  */
+object LineDedup {
+
+  /** Exact repeated lines: every non-empty line appearing in at least
+    * `minDocs` distinct documents, with its distinct-doc count —
+    * phases 1-2 above. Output: (line STRING, doc_count BIGINT).
+    */
+  def repeatedLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long,
+      sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(
+        col(idCol).as("__id"),
+        explode(split(col(textCol), sepLit)).as("__line"))
+      .filter(length(col("__line")) > 0)
+    // phase 1: fixed-width (id, hash) only through the corpus shuffle
+    val hotHashes = lines
+      .select(col("__id"), xxhash64(col("__line")).as("__lh"))
+      .distinct()
+      .groupBy("__lh")
+      .agg(count(lit(1)).as("__hdocs"))
+      .filter(col("__hdocs") >= minDocs)
+      .select("__lh")
+    // phase 2: recover text + exact counts for the candidates only; a
+    // hash carrying two colliding lines resolves per line here, and a
+    // collision-inflated count deflates below minDocs
+    // broadcast: the candidate hash set is minDocs-thresholded (small by
+    // the same argument as the hot set itself), and a broadcast semi
+    // join keeps line TEXT out of any exchange — a shuffled semi join
+    // here would move the whole exploded corpus by hash
+    lines
+      .join(broadcast(hotHashes),
+        xxhash64(col("__line")) === col("__lh"), "left_semi")
+      .groupBy(col("__line").as("line"))
+      .agg(count_distinct(col("__id")).as("doc_count"))
+      .filter(col("doc_count") >= minDocs)
+      .select(col("line"), col("doc_count"))
+  }
+
+  /** Remove every [[repeatedLines]] hit from every document: returns
+    * `df` with `textCol` rewritten (all other columns untouched). The
+    * rewrite is `sep.join(seg for seg in split(text, sep) if seg not in
+    * hot)` — empty segments always survive.
+    */
+  def removeRepeatedLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long,
+      sep: String = "\n",
+      maxHotLines: Int = 1 << 20): DataFrame = {
+    val hot = repeatedLines(df, idCol, textCol, minDocs, sep)
+      .select("line")
+      .limit(maxHotLines + 1)
+      .collect()
+      .map(_.getString(0))
+    require(hot.length <= maxHotLines,
+      s"more than $maxHotLines repeated lines at minDocs=$minDocs; raise " +
+        "minDocs (the threshold is catching ordinary text) or maxHotLines")
+    withLinesRemoved(df, textCol, LineSet(hot), sep)
+  }
+
+  /** The zero-shuffle removal projection against an already-resolved
+    * hot set (exposed so one resolution can rewrite many tables, e.g.
+    * train and validation splits against the train-corpus hot set).
+    */
+  def withLinesRemoved(df: DataFrame, textCol: String, hot: LineSet,
+      sep: String = "\n"): DataFrame =
+    df.withColumn(textCol, Bridge.column(
+      RemoveLinesExpr(Bridge.expression(col(textCol)), hot, sep)))
+}

@@ -1,0 +1,82 @@
+package graft.data
+
+import graft.spark.{textFunctions => tf, SparkTestBase}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The vocabulary-scale BPE bench material: the merge ladder must be a
+  * well-formed byte-level vocab of exactly the requested size that
+  * genuinely fires on the generated corpus, and the corpus must be
+  * deterministic and alphabet-clean (else the ladder would under-fire
+  * and the bench would measure less merge work than claimed).
+  */
+class SynthTextSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  test("ladderVocab: exact size, tier boundaries, distinct pairs") {
+    val v = SynthText.ladderVocab(50000)
+    assert(v.size == 50000 && v.byteLevel)
+    assert(v.merges(0) == (("a", "a")))
+    assert(v.merges(675) == (("z", "z")))
+    assert(v.merges(676) == (("aa", "a"))) // (pair, letter) tier starts
+    assert(v.merges(676 + 17576) == (("a", "aa"))) // (letter, pair) tier
+    assert(v.merges(676 + 2 * 17576) == (("aa", "aa"))) // (pair, pair) tier
+    // BpeVocab.apply enforces pair distinctness; size is the only cap
+    intercept[IllegalArgumentException] { SynthText.ladderVocab(700000) }
+  }
+
+  test("ladder merges run to the quadruple tier on real words") {
+    val v = SynthText.ladderVocab(50000)
+    val toks = Seq("abab").toDF("t")
+      .select(tf.bpe_tokens($"t", v)).first().getSeq[String](0)
+    assert(toks == Seq("abab")) // (a,b) rank 1 twice, then (ab,ab)
+    val small = SynthText.ladderVocab(676)
+    val toks676 = Seq("abab").toDF("t")
+      .select(tf.bpe_tokens($"t", small)).first().getSeq[String](0)
+    assert(toks676 == Seq("ab", "ab")) // no quadruple tier
+  }
+
+  test("letterCorpus: deterministic, lowercase words, Zipf-skewed types") {
+    val a = SynthText.letterCorpus(spark, 500).collect().sortBy(_.getLong(0))
+    val b = SynthText.letterCorpus(spark, 500).collect().sortBy(_.getLong(0))
+    assert(a.map(_.getString(1)).toSeq == b.map(_.getString(1)).toSeq)
+    assert(a.length == 500)
+    a.foreach { r =>
+      val t = r.getString(1)
+      assert(t.matches("[a-z]+( [a-z]+)*"), s"bad corpus text: '$t'")
+      assert(t.split(" ").length == 12)
+    }
+    // Zipf pool: many distinct types, but the head types dominate
+    val words = a.flatMap(_.getString(1).split(" "))
+    val byFreq = words.groupBy(identity).map(_._2.length).toSeq.sortBy(-_)
+    assert(byFreq.length > 500, s"only ${byFreq.length} distinct words")
+    assert(byFreq.head > words.length / 50,
+      s"head type too flat: ${byFreq.head} of ${words.length}")
+  }
+
+  test("ladder merges monotone in size; trained vocab compresses harder") {
+    val corpus = SynthText.letterCorpus(spark, 2000).cache()
+    val letters = corpus.agg(sum(length(regexp_replace($"text", " ", ""))))
+      .first().getLong(0)
+    val big = corpus.agg(sum(tf.bpe_token_count($"text", SynthText.ladderVocab(50000))))
+      .first().getLong(0)
+    val small = corpus.agg(sum(tf.bpe_token_count($"text", SynthText.ladderVocab(676))))
+      .first().getLong(0)
+    // trained on this corpus: high-frequency types collapse to one token
+    val trained = graft.textops.BpeTrain.learn(corpus, $"text", numMerges = 4000)
+    val tTok = corpus.agg(sum(tf.bpe_token_count($"text", trained)))
+      .first().getLong(0)
+    corpus.unpersist()
+    // ladder(676) is a rank-prefix of ladder(50000): the greedy sequence
+    // below rank 676 is identical, extra merges only reduce further
+    assert(big <= small && small < letters, s"big=$big small=$small letters=$letters")
+    // every letter pair is mergeable, so at LEAST halving is guaranteed
+    // modulo odd-length leftovers; the truncated quad tier caps it there
+    assert(big < (letters * 3) / 5, s"ladder under-fired: $big of $letters")
+    assert(tTok < big, s"trained vocab ($tTok) should beat the ladder ($big)")
+    // 4000 merges over ~16k sampled word types can't collapse the tail
+    // (minPairCount=2 excludes singleton types) — ~0.30 is the honest
+    // level here; the bar guards against gross under-firing only
+    assert(tTok < (letters * 2) / 5, s"trained vocab under-fired: $tTok of $letters")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.spark
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class PiiSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def scrub(s: String): (String, Int, Int, Int) = {
+    val r = PiiScrubExpr.scrub(UTF8String.fromString(s))
+    (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  test("emails: shapes, boundaries, tokens") {
+    assert(scrub("mail me at john.doe+tag@sub.example.co.uk today") ==
+      (("mail me at <EMAIL> today", 1, 0, 0)))
+    assert(scrub("a@b.io,c%d@e-f.org") == (("<EMAIL>,<EMAIL>", 2, 0, 0)))
+    // no TLD / trailing alnum: not an e-mail, text untouched
+    assert(scrub("not user@host an email") == (("not user@host an email", 0, 0, 0)))
+    assert(scrub("weird user@x.com5 stays") == (("weird user@x.com5 stays", 0, 0, 0)))
+    // trailing punctuation excluded from the match
+    assert(scrub("write a@b.com.") == (("write <EMAIL>.", 1, 0, 0)))
+  }
+
+  test("ipv4: range check, adjacency, no double-claim as phone") {
+    assert(scrub("from 192.168.0.1 and 8.8.8.8.") == (("from <IP> and <IP>.", 0, 2, 0)))
+    assert(scrub("v999.1.2.3 bad octet") == (("v999.1.2.3 bad octet", 0, 0, 0)))
+    assert(scrub("chain 1.2.3.4.5 skipped") == (("chain 1.2.3.4.5 skipped", 0, 0, 0)))
+    // an IP is an IP, not a phone, even though digits are in phone range
+    assert(scrub("x 255.255.255.255 y") == (("x <IP> y", 0, 1, 0)))
+  }
+
+  test("phones: grouped, parens, +cc, raw runs; digit floor and cap") {
+    assert(scrub("call (555) 123-4567 now") == (("call <PHONE> now", 0, 0, 1)))
+    assert(scrub("or +44 20 7946 0958!") == (("or <PHONE>!", 0, 0, 1)))
+    assert(scrub("raw 5551234567 ok") == (("raw <PHONE> ok", 0, 0, 1)))
+    assert(scrub("+15551234567") == (("<PHONE>", 0, 0, 1)))
+    // below the 9-digit floor: dates and short codes survive
+    assert(scrub("on 2024-01-15 we met") == (("on 2024-01-15 we met", 0, 0, 0)))
+    assert(scrub("dial 12345678") == (("dial 12345678", 0, 0, 0)))
+    // above the 15-digit cap: card-number-length runs are not phones
+    assert(scrub("id 1234567890123456") == (("id 1234567890123456", 0, 0, 0)))
+    // word-adjacent digits are not phones
+    assert(scrub("order abc5551234567") == (("order abc5551234567", 0, 0, 0)))
+  }
+
+  test("documented false-positive class: date plus trailing group") {
+    // 10 digits within uniform single separators — flagged by design
+    // (recall-tuned heuristic; see PiiScrubExpr scaladoc)
+    val (t, e, i, p) = scrub("at 2024-01-15 12 sharp")
+    assert(p == 1 && t == "at <PHONE> sharp" && e == 0 && i == 0)
+  }
+
+  test("phone directly before an IP backtracks off the first octet") {
+    // greedy grouping would swallow ' 10' of the IP, overlap the IP's
+    // claim, and forfeit the phone (caught by q_pii before the \.\d
+    // lookahead landed)
+    assert(scrub("u@ex.com +1 (555) 123-1000 10.0.0.0 :: x") ==
+      (("<EMAIL> <PHONE> <IP> :: x", 1, 1, 1)))
+  }
+
+  test("priority: email digits and IPs are never phones") {
+    assert(scrub("spam +15551234567@spam.com sent") ==
+      (("spam <EMAIL> sent", 1, 0, 0)))
+    val (t, e, i, p) = scrub("a@b.com 1.2.3.4 (555) 123-4567")
+    assert((t, e, i, p) == (("<EMAIL> <IP> <PHONE>", 1, 1, 1)))
+  }
+
+  test("column + SQL forms agree; null-safe") {
+    val df = Seq(
+      (1L, "reach a@b.com or (555) 123-4567 at 10.0.0.1"),
+      (2L, "clean text"),
+      (3L, null.asInstanceOf[String])).toDF("id", "t")
+    val viaCol = df.select($"id", graft.spark.textFunctions.pii_scrub($"t").as("p"))
+      .select($"id", $"p.text", $"p.emails", $"p.ipv4s", $"p.phones")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    df.createOrReplaceTempView("pii_in")
+    val viaSql = spark.sql(
+      "SELECT id, pii_scrub(t).text AS t2 FROM pii_in")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(viaCol.toSeq.sortBy(_._1) == viaSql.toSeq.sortBy(_._1))
+    val row1 = viaCol.find(_._1 == 1L).get._2
+    assert(row1 == "reach <EMAIL> or <PHONE> at <IP>")
+    assert(viaCol.find(_._1 == 3L).get._2 == null)
+  }
+}

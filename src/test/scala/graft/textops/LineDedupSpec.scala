@@ -1,0 +1,113 @@
+package graft.textops
+
+import graft.spark.{LineSet, RemoveLinesExpr, SparkTestBase}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class LineDedupSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private val Banner = "ACCEPT ALL COOKIES"
+  private val Footer = "(c) example corp - all rights reserved"
+
+  /** 30 docs: banner in docs 0-9, footer in docs 0-19, one unique body
+    * line each, an empty line in every doc.
+    */
+  private def corpus() = {
+    val rows = (0 until 30).map { i =>
+      val parts = Seq(
+        if (i < 10) Some(Banner) else None,
+        Some(s"body of document $i"),
+        Some(""),
+        if (i < 20) Some(Footer) else None,
+        Some(s"tail $i")).flatten
+      (i.toLong, parts.mkString("\n"))
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repeatedLines finds exactly the planted boilerplate with counts") {
+    val hot = LineDedup.repeatedLines(corpus(), "doc_id", "text", minDocs = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(hot == Map(Banner -> 10L, Footer -> 20L))
+  }
+
+  test("within-doc duplication counts once toward hotness") {
+    // 4 docs carry the line three times each: 12 occurrences, 4 docs
+    val df = (0 until 8).map { i =>
+      val t = if (i < 4) s"PROMO\nPROMO\nPROMO\nu$i" else s"u$i"
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    val hot5 = LineDedup.repeatedLines(df, "doc_id", "text", minDocs = 5)
+    assert(hot5.count() == 0)
+    val hot4 = LineDedup.repeatedLines(df, "doc_id", "text", minDocs = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hot4.toSeq == Seq(("PROMO", 4L)))
+  }
+
+  test("removeRepeatedLines matches the brute-force reference") {
+    val in = corpus().collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val hot = Set(Banner, Footer)
+    val expected = in.map { case (id, t) =>
+      id -> t.split("\n", -1).filter(l => l.isEmpty || !hot.contains(l))
+        .mkString("\n")
+    }
+    val got = LineDedup.removeRepeatedLines(corpus(), "doc_id", "text", minDocs = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == expected)
+    // spot-check shape: doc 0 lost banner+footer, kept body/empty/tail
+    assert(got(0L) == "body of document 0\n\ntail 0")
+    // untouched doc passes through verbatim
+    assert(got(29L) == in(29L))
+  }
+
+  test("empty lines survive; trailing separators keep their structure") {
+    val set = LineSet(Seq("HOT"))
+    def rm(s: String) =
+      RemoveLinesExpr.remove(UTF8String.fromString(s), set, "\n").toString
+    assert(rm("a\n\nHOT\nb") == "a\n\nb")
+    assert(rm("HOT") == "")
+    assert(rm("HOT\n") == "") // ["HOT", ""] -> [""]
+    assert(rm("\nHOT\n") == "\n") // ["", "HOT", ""] -> ["", ""]
+    assert(rm("") == "")
+    assert(rm("a\nb") == "a\nb")
+    // multi-char separator
+    val pipe = RemoveLinesExpr.remove(
+      UTF8String.fromString("a | HOT | b"), set, " | ").toString
+    assert(pipe == "a | b")
+  }
+
+  test("LineSet: content equality across orderings, no empty members") {
+    val a = LineSet(Seq("x", "y", "z"))
+    val b = LineSet(Seq("z", "x", "y"))
+    assert(a == b && a.hashCode == b.hashCode)
+    assert(a != LineSet(Seq("x", "y")))
+    assert(a.contains("y") && !a.contains("w"))
+    intercept[IllegalArgumentException] { LineSet(Seq("x", "")) }
+  }
+
+  test("plan shapes: broadcast resolution, zero-shuffle removal") {
+    val df = corpus()
+    val hotPlan = LineDedup.repeatedLines(df, "doc_id", "text", minDocs = 5)
+      .queryExecution.executedPlan.toString
+    assert(hotPlan.contains("BroadcastHashJoin"),
+      s"phase-2 resolution must broadcast the candidate hashes:\n$hotPlan")
+    assert(!hotPlan.contains("SortMergeJoin"),
+      s"phase-2 resolution must not shuffle line text:\n$hotPlan")
+    val rmPlan = LineDedup.withLinesRemoved(df, "text",
+        LineSet(Seq(Banner)), "\n")
+      .queryExecution.executedPlan.toString
+    assert(!rmPlan.contains("Exchange"),
+      s"removal must be a pure projection:\n$rmPlan")
+  }
+
+  test("maxHotLines fails fast with the threshold hint") {
+    val df = (0 until 6).map(i => (i.toLong, "SAME\nother" + i)).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      LineDedup.removeRepeatedLines(df, "doc_id", "text", minDocs = 2,
+        maxHotLines = 0)
+    }
+    assert(err.getMessage.contains("minDocs"))
+  }
+}
