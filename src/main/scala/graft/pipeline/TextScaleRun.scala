@@ -159,6 +159,29 @@ object TextScaleRun {
         .first().getLong(0)
     }
 
+    // ---- line-level boilerplate removal at size: 4-line docs where a
+    // cookie banner rides in every 3rd doc and a nav line in every 5th,
+    // the other two lines are id-unique or in 1000-doc groups (below the
+    // 100k threshold). Closed forms: exactly 2 hot lines; changed docs =
+    // |i%3==0 ∪ i%5==0|; every cleaned doc keeps its unique line.
+    val ldCorpus = spark.range(rows).select(col("id").as("doc_id"),
+      concat_ws("\n",
+        when(col("id") % 3 === 0, lit("ACCEPT ALL COOKIES TO CONTINUE"))
+          .otherwise(concat(lit("head u"), col("id"))),
+        when(col("id") % 5 === 0, lit("home | products | about | contact"))
+          .otherwise(concat(lit("nav u"), col("id"))),
+        concat(lit("body of u"), col("id")),
+        concat(lit("end "), pmod(col("id"), lit(1000L)))).as("text"))
+    val (ldChanged, ldSec) = timed {
+      graft.textops.LineDedup.removeRepeatedLines(
+          ldCorpus, "doc_id", "text", minDocs = 100000L)
+        .select(col("doc_id"), col("text"))
+        .join(ldCorpus.select(col("doc_id"), col("text").as("orig")), "doc_id")
+        .filter(col("text") =!= col("orig"))
+        .count()
+    }
+    val ldExpected = (rows + 2) / 3 + (rows + 4) / 5 - (rows + 14) / 15
+
     val expectDrop = clusteredDocs - clusteredDocs / 4
     println(
       s"""{"text_scale_rows":$nDocs,"neardup_pairs":$nPairs""" +
@@ -179,7 +202,9 @@ object TextScaleRun {
       s""","spanrep_bad_cover":$srBadCover,"spanrep_nonzero":$srNonzero""" +
       s""","spanrep_sec":${f"$srSec%.1f"}""" +
       s""","spanrep_sampled_flagged":$srSampledFlagged""" +
-      s""","spanrep_sampled_sec":${f"$srSampledSec%.1f"}}""")
+      s""","spanrep_sampled_sec":${f"$srSampledSec%.1f"}""" +
+      s""","linededup_changed":$ldChanged,"linededup_expected":$ldExpected""" +
+      s""","linededup_sec":${f"$ldSec%.1f"}}""")
     spark.stop()
   }
 }

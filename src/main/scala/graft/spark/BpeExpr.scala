@@ -130,7 +130,11 @@ object BpeVocab {
   def parse(spec: String): BpeVocab = parse(spec, byteLevel = false)
 
   def parse(spec: String, byteLevel: Boolean): BpeVocab =
-    apply(spec.split(",", -1).toSeq.map { m =>
+    // the WHOLLY empty spec is the zero-merge vocab (count = one token
+    // per symbol — a defined, useful degenerate the Scala API also
+    // allows via BpeVocab(Seq.empty)); only empty SEGMENTS are typos
+    if (spec.isEmpty) apply(Seq.empty, byteLevel)
+    else apply(spec.split(",", -1).toSeq.map { m =>
       // empty segments (',,' or a trailing comma) are typos in a
       // SQL-literal vocab — fail loudly like any other malformed merge
       require(m.nonEmpty, s"empty merge segment in vocab spec '$spec'")
@@ -148,9 +152,10 @@ object BpeVocab {
   * int arrays with ZERO allocation per lookup — the string-keyed path
   * (`vocab.ranks`) concatenates a fresh `"a b"` key per adjacent-pair
   * probe, which costs O(symbol length) hashing exactly when a trained
-  * vocab merges symbols toward whole words (measured 3.5× slower at a
-  * 50k-merge trained vocab; the `tokens` debug mode keeps the readable
-  * string path, spec-pinned equal).
+  * vocab merges symbols toward whole words (measured: 29.6 s string
+  * keys vs 3.16 s rank-indexed — 9.4× — counting a 213 MB corpus under
+  * a 50k-merge trained vocab at local[32]; the `tokens` debug mode
+  * keeps the readable string path, spec-pinned equal).
   */
 final class BpeIndex private (
     val symId: java.util.HashMap[String, Integer],

@@ -78,12 +78,8 @@ object PiiScrubExpr {
 
   // grouped form (uniform single separators, optional +CC and parens)
   // OR one unbroken run; digit total validated 9-15 in code
-  // the trailing (?!…|\.\d) forbids ending right before ".digit", so a
-  // greedy match backtracks off an adjacent dotted number instead of
-  // swallowing the first octet of a following IP (which would overlap
-  // the IP's claim and forfeit the phone entirely)
   private val Phone = java.util.regex.Pattern.compile(
-    """(?<![0-9A-Za-z_+.-])(?:\+\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{2,4}(?:[ .-]?\d{2,4}){1,4}(?![0-9A-Za-z]|\.\d)""")
+    """(?<![0-9A-Za-z_+.-])(?:\+\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{2,4}(?:[ .-]?\d{2,4}){1,4}(?![0-9A-Za-z])""")
 
   private final val EmailToken = "<EMAIL>"
   private final val IpToken = "<IP>"
@@ -94,18 +90,23 @@ object PiiScrubExpr {
 
   def scrub(text: UTF8String): InternalRow = {
     val s = text.toString
-    // (start, end, token) spans, built in priority order; later classes
-    // skip anything overlapping an earlier claim
+    // (start, end, token) spans in priority order. Priority is enforced
+    // by MASKING each claimed span to NUL before the next class scans:
+    // NUL is in no pattern's char class and is a non-alphanumeric
+    // boundary, so a lower-priority match can neither swallow part of a
+    // claimed span (the q_pii-caught bug: a greedy phone ate the first
+    // octet of a following IP, overlapped its claim, and forfeited the
+    // phone) nor be forfeited by mere adjacency to one (`5551234567.5`
+    // must still redact the phone — '.' is a boundary per the contract).
     val starts = new java.util.ArrayList[Integer]()
     val ends = new java.util.ArrayList[Integer]()
     val toks = new java.util.ArrayList[String]()
-    def overlaps(a: Int, b: Int): Boolean = {
-      var i = 0
-      while (i < starts.size()) {
-        if (a < ends.get(i) && starts.get(i) < b) return true
-        i += 1
-      }
-      false
+    var masked: Array[Char] = null
+    def claim(a: Int, b: Int, tok: String): Unit = {
+      starts.add(a); ends.add(b); toks.add(tok)
+      if (masked == null) masked = s.toCharArray
+      var i = a
+      while (i < b) { masked(i) = '\u0000'; i += 1 }
     }
     var emails = 0
     var ips = 0
@@ -114,28 +115,29 @@ object PiiScrubExpr {
     val em = Email.matcher(s)
     while (em.find()) {
       if (em.end() >= s.length || !isAlnum(s.charAt(em.end()))) {
-        starts.add(em.start()); ends.add(em.end()); toks.add(EmailToken)
+        claim(em.start(), em.end(), EmailToken)
         emails += 1
       }
     }
-    val im = Ipv4.matcher(s)
+    val s1 = if (masked == null) s else new String(masked)
+    val im = Ipv4.matcher(s1)
     while (im.find()) {
-      val ok = (1 to 4).forall(g => im.group(g).toInt <= 255)
-      if (ok && !overlaps(im.start(), im.end())) {
-        starts.add(im.start()); ends.add(im.end()); toks.add(IpToken)
+      if ((1 to 4).forall(g => im.group(g).toInt <= 255)) {
+        claim(im.start(), im.end(), IpToken)
         ips += 1
       }
     }
-    val pm = Phone.matcher(s)
+    val s2 = if (masked == null) s else new String(masked)
+    val pm = Phone.matcher(s2)
     while (pm.find()) {
       var digits = 0
       var i = pm.start()
       while (i < pm.end()) {
-        if (s.charAt(i) >= '0' && s.charAt(i) <= '9') digits += 1
+        if (s2.charAt(i) >= '0' && s2.charAt(i) <= '9') digits += 1
         i += 1
       }
-      if (digits >= 9 && digits <= 15 && !overlaps(pm.start(), pm.end())) {
-        starts.add(pm.start()); ends.add(pm.end()); toks.add(PhoneToken)
+      if (digits >= 9 && digits <= 15) {
+        claim(pm.start(), pm.end(), PhoneToken)
         phones += 1
       }
     }

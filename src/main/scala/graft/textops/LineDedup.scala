@@ -49,28 +49,38 @@ object LineDedup {
       idCol: String,
       textCol: String,
       minDocs: Long,
-      sep: String = "\n"): DataFrame = {
+      sep: String = "\n",
+      maxCandidateHashes: Long = 8L << 20): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = df.select(
         col(idCol).as("__id"),
         explode(split(col(textCol), sepLit)).as("__line"))
       .filter(length(col("__line")) > 0)
-    // phase 1: fixed-width (id, hash) only through the corpus shuffle
-    val hotHashes = lines
+    // phase 1: fixed-width (id, hash) only through the corpus shuffle.
+    // EAGER: materialized (checkpoint-knob-aware) and guard-counted
+    // BEFORE broadcasting — an over-permissive minDocs on a mildly-
+    // duplicated corpus must fail with the same "raise minDocs" message
+    // as the hot-set cap, not an opaque broadcast OOM
+    val hotHashes = Materialize(lines
       .select(col("__id"), xxhash64(col("__line")).as("__lh"))
       .distinct()
       .groupBy("__lh")
       .agg(count(lit(1)).as("__hdocs"))
       .filter(col("__hdocs") >= minDocs)
-      .select("__lh")
+      .select("__lh"))
+    val nCand = hotHashes.count()
+    require(nCand <= maxCandidateHashes,
+      s"$nCand candidate line hashes at minDocs=$minDocs exceed " +
+        s"maxCandidateHashes=$maxCandidateHashes; raise minDocs (the " +
+        "threshold is catching ordinary text) or maxCandidateHashes")
     // phase 2: recover text + exact counts for the candidates only; a
     // hash carrying two colliding lines resolves per line here, and a
     // collision-inflated count deflates below minDocs
     // broadcast: the candidate hash set is minDocs-thresholded (small by
-    // the same argument as the hot set itself), and a broadcast semi
-    // join keeps line TEXT out of any exchange — a shuffled semi join
-    // here would move the whole exploded corpus by hash
+    // the same argument as the hot set itself, and now guard-counted),
+    // and a broadcast semi join keeps line TEXT out of any exchange — a
+    // shuffled semi join here would move the whole exploded corpus by hash
     lines
       .join(broadcast(hotHashes),
         xxhash64(col("__line")) === col("__lh"), "left_semi")

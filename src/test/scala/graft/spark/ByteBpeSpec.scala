@@ -100,9 +100,12 @@ class ByteBpeSpec extends AnyFunSuite with SparkTestBase {
       BpeVocab.fromMergesFile(p3.toString)
     }
     assert(e.getMessage.contains("bad.txt:1"))
-    // SQL grammar strictness: empty segments fail loudly now
+    // SQL grammar strictness: empty segments fail loudly now, but the
+    // WHOLLY empty spec stays the zero-merge vocab (SQL parity with
+    // BpeVocab(Seq.empty))
     intercept[IllegalArgumentException] { BpeVocab.parse("a l,,b e") }
     intercept[IllegalArgumentException] { BpeVocab.parse("a l,") }
+    assert(BpeVocab.parse("").size == 0)
   }
 
   test("trainer: hand-traceable fixture, determinism, frequency order") {

@@ -52,12 +52,19 @@ class PiiSpec extends AnyFunSuite with SparkTestBase {
     assert(p == 1 && t == "at <PHONE> sharp" && e == 0 && i == 0)
   }
 
-  test("phone directly before an IP backtracks off the first octet") {
-    // greedy grouping would swallow ' 10' of the IP, overlap the IP's
-    // claim, and forfeit the phone (caught by q_pii before the \.\d
-    // lookahead landed)
+  test("phone directly before an IP cannot swallow its first octet") {
+    // higher-priority claims are masked before the phone scan, so the
+    // greedy grouping can't eat ' 10' of the IP and forfeit the phone
+    // (caught by q_pii in its unmasked overlap-skip form)
     assert(scrub("u@ex.com +1 (555) 123-1000 10.0.0.0 :: x") ==
       (("<EMAIL> <PHONE> <IP> :: x", 1, 1, 1)))
+  }
+
+  test("phone adjacent to an unclaimed dotted number still redacts") {
+    // '.' is a non-alphanumeric boundary: the phone must not be
+    // forfeited because '.5' follows (review-caught leak in the
+    // \.\d-lookahead variant)
+    assert(scrub("id 5551234567.5 x") == (("id <PHONE>.5 x", 0, 0, 1)))
   }
 
   test("priority: email digits and IPs are never phones") {

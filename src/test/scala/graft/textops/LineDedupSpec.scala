@@ -110,4 +110,16 @@ class LineDedupSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(err.getMessage.contains("minDocs"))
   }
+
+  test("candidate-hash guard fires BEFORE the broadcast, same hint") {
+    // two hot lines but a guard of 1: the eager phase-1 count must trip
+    // (an over-permissive minDocs may not reach the broadcast/OOM)
+    val df = (0 until 6).map(i => (i.toLong, s"SAME\nALSO\nu$i")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      LineDedup.repeatedLines(df, "doc_id", "text", minDocs = 2,
+        maxCandidateHashes = 1)
+    }
+    assert(err.getMessage.contains("minDocs") &&
+      err.getMessage.contains("maxCandidateHashes"))
+  }
 }
