@@ -182,6 +182,29 @@ object TextScaleRun {
     }
     val ldExpected = (rows + 2) / 3 + (rows + 4) / 5 - (rows + 14) / 15
 
+    // ---- PII redaction at size: zero-shuffle projection over 1M docs
+    // with plants mirroring q_pii (email always, phone on id%3=0, IP on
+    // id%2=0) ahead of ~340 chars of clean text; closed-form count sums
+    val piiCorpus = spark.range(rows).select(col("id").as("doc_id"),
+      concat(lit("u"), col("id"), lit("@ex.com"),
+        when(col("id") % 3 === 0,
+          concat(lit(" +1 (555) 123-"), pmod(col("id"), lit(9000L)) + 1000))
+          .otherwise(lit("")),
+        when(col("id") % 2 === 0,
+          concat(lit(" 10."), pmod(col("id"), lit(200L)), lit("."),
+            pmod(col("id"), lit(250L)), lit("."), pmod(col("id"), lit(256L))))
+          .otherwise(lit("")),
+        lit(" :: "), lit("w"), col("id"),
+        lit(" the quick brown fox jumps over the lazy dog " * 4)).as("text"))
+    val (piiRow, piiSec) = timed {
+      piiCorpus.select(graft.spark.textFunctions.pii_scrub(col("text")).as("p"))
+        .agg(sum(col("p.emails")), sum(col("p.ipv4s")), sum(col("p.phones")))
+        .first()
+    }
+    val piiExpected =
+      (rows, (rows + 1) / 2, (rows + 2) / 3) // emails, ips (id%2=0), phones (id%3=0)
+    val piiGot = (piiRow.getLong(0), piiRow.getLong(1), piiRow.getLong(2))
+
     val expectDrop = clusteredDocs - clusteredDocs / 4
     println(
       s"""{"text_scale_rows":$nDocs,"neardup_pairs":$nPairs""" +
@@ -204,7 +227,10 @@ object TextScaleRun {
       s""","spanrep_sampled_flagged":$srSampledFlagged""" +
       s""","spanrep_sampled_sec":${f"$srSampledSec%.1f"}""" +
       s""","linededup_changed":$ldChanged,"linededup_expected":$ldExpected""" +
-      s""","linededup_sec":${f"$ldSec%.1f"}}""")
+      s""","linededup_sec":${f"$ldSec%.1f"}""" +
+      s""","pii_counts":[${piiGot._1},${piiGot._2},${piiGot._3}]""" +
+      s""","pii_expected":[${piiExpected._1},${piiExpected._2},${piiExpected._3}]""" +
+      s""","pii_sec":${f"$piiSec%.1f"}}""")
     spark.stop()
   }
 }
