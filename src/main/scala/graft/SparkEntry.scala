@@ -928,6 +928,28 @@ object SparkEntry {
           col("p.phones").as("phones"))
     }),
 
+    // composed webtext pass: pii_scrub THEN line dedup — redaction
+    // normalizes per-doc contact lines into one identical string, which
+    // then goes corpus-hot and is removed (the scrub→dedup ordering
+    // story). Oracle applies the scrub constructively and recomputes
+    // hotness + rebuild + aggregation wholesale in SQL
+    "q_webtext_compose" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val minDocs = math.max(2L, docs.count() / 10)
+      val built = docs.select(col("doc_id"), col("lang"),
+        concat_ws("\n",
+          lit("subscribe to our newsletter"),
+          concat(lit("contact u"), col("doc_id"), lit("@ex.com for details")),
+          col("text").substr(lit(1), lit(50))).as("text"))
+      val scrubbed = built.withColumn("text",
+        tf.pii_scrub(col("text")).getField("text"))
+      graft.textops.LineDedup
+        .removeRepeatedLines(scrubbed, "doc_id", "text", minDocs)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(length(col("text"))).as("sum_chars"))
+    }),
+
     // text quality scoring distribution (deterministic formula; DuckDB
     // replicates it exactly on integer-char counts)
     "q_quality" -> ((s, d) =>
@@ -1875,6 +1897,34 @@ object SparkEntry {
         | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS ipv4s,
         | CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS phones
         |FROM documents""".stripMargin,
+    "q_webtext_compose" ->
+      """WITH built AS (
+        |  SELECT doc_id, lang,
+        |    'subscribe to our newsletter' || chr(10) ||
+        |    'contact <EMAIL> for details' || chr(10) ||
+        |    substr(text, 1, 50) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT b.doc_id, b.lang, g.range AS pos,
+        |    string_split(b.text, chr(10))[g.range] AS line
+        |  FROM built b CROSS JOIN range(1, 5) g
+        |  WHERE g.range <= len(string_split(b.text, chr(10)))),
+        |hot AS (
+        |  SELECT line FROM lines WHERE line <> ''
+        |  GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >=
+        |    greatest(2, (SELECT count(*) FROM documents) // 10)),
+        |kept AS (
+        |  SELECT doc_id, lang, pos, line FROM lines
+        |  WHERE line = '' OR line NOT IN (SELECT line FROM hot)),
+        |rebuilt AS (
+        |  SELECT b.doc_id, b.lang,
+        |    coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+        |  FROM built b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        |  GROUP BY b.doc_id, b.lang)
+        |SELECT lang, count(*) AS docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS sum_chars
+        |FROM rebuilt GROUP BY lang""".stripMargin,
     "q_line_hot" ->
       """WITH built AS (
         |  SELECT doc_id,

@@ -161,8 +161,10 @@ object TextScaleRun {
 
     // ---- line-level boilerplate removal at size: 4-line docs where a
     // cookie banner rides in every 3rd doc and a nav line in every 5th,
-    // the other two lines are id-unique or in 1000-doc groups (below the
-    // 100k threshold). Closed forms: exactly 2 hot lines; changed docs =
+    // the other two lines are id-unique or in rows/1000-doc groups
+    // (always below the rows/10 threshold, so the stage stays closed-
+    // form under SPARK_GRAFT_TEXT_ROWS resizing like its siblings).
+    // Closed forms: exactly 2 hot lines; changed docs =
     // |i%3==0 ∪ i%5==0|; every cleaned doc keeps its unique line.
     val ldCorpus = spark.range(rows).select(col("id").as("doc_id"),
       concat_ws("\n",
@@ -174,7 +176,7 @@ object TextScaleRun {
         concat(lit("end "), pmod(col("id"), lit(1000L)))).as("text"))
     val (ldChanged, ldSec) = timed {
       graft.textops.LineDedup.removeRepeatedLines(
-          ldCorpus, "doc_id", "text", minDocs = 100000L)
+          ldCorpus, "doc_id", "text", minDocs = math.max(2L, rows / 10))
         .select(col("doc_id"), col("text"))
         .join(ldCorpus.select(col("doc_id"), col("text").as("orig")), "doc_id")
         .filter(col("text") =!= col("orig"))

@@ -102,11 +102,16 @@ object PiiScrubExpr {
     val ends = new java.util.ArrayList[Integer]()
     val toks = new java.util.ArrayList[String]()
     var masked: Array[Char] = null
-    def claim(a: Int, b: Int, tok: String): Unit = {
-      starts.add(a); ends.add(b); toks.add(tok)
+    var maskGen = 0
+    def mask(a: Int, b: Int): Unit = {
       if (masked == null) masked = s.toCharArray
       var i = a
       while (i < b) { masked(i) = '\u0000'; i += 1 }
+      maskGen += 1
+    }
+    def claim(a: Int, b: Int, tok: String): Unit = {
+      starts.add(a); ends.add(b); toks.add(tok)
+      mask(a, b)
     }
     var emails = 0
     var ips = 0
@@ -119,15 +124,27 @@ object PiiScrubExpr {
         emails += 1
       }
     }
+    val gen1 = maskGen
     val s1 = if (masked == null) s else new String(masked)
     val im = Ipv4.matcher(s1)
     while (im.find()) {
       if ((1 to 4).forall(g => im.group(g).toInt <= 255)) {
         claim(im.start(), im.end(), IpToken)
         ips += 1
+      } else {
+        // out-of-range quad (999.1.2.3): stays in the text -- it is NOT
+        // an IP -- but is masked so the phone scan can't swallow its
+        // leading octet into a greedy digit-group match (review-caught
+        // regression of the masking rewrite)
+        mask(im.start(), im.end())
       }
     }
-    val s2 = if (masked == null) s else new String(masked)
+    // skip the second copy when the IP pass masked nothing new (the
+    // common email-only row in the hot zero-shuffle projection)
+    val s2 =
+      if (masked == null) s
+      else if (maskGen == gen1) s1
+      else new String(masked)
     val pm = Phone.matcher(s2)
     while (pm.find()) {
       var digits = 0

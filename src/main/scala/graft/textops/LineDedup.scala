@@ -101,8 +101,9 @@ object LineDedup {
       textCol: String,
       minDocs: Long,
       sep: String = "\n",
-      maxHotLines: Int = 1 << 20): DataFrame = {
-    val hot = repeatedLines(df, idCol, textCol, minDocs, sep)
+      maxHotLines: Int = 1 << 20,
+      maxCandidateHashes: Long = 8L << 20): DataFrame = {
+    val hot = repeatedLines(df, idCol, textCol, minDocs, sep, maxCandidateHashes)
       .select("line")
       .limit(maxHotLines + 1)
       .collect()

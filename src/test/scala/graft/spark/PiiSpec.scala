@@ -67,6 +67,16 @@ class PiiSpec extends AnyFunSuite with SparkTestBase {
     assert(scrub("id 5551234567.5 x") == (("id <PHONE>.5 x", 0, 0, 1)))
   }
 
+  test("out-of-range quad is left alone AND inert for phone matching") {
+    // 999>255: not an IP (stays in the text), but its leading octet
+    // must not be swallowed by a preceding greedy phone match
+    // (second-review-caught regression of the masking rewrite)
+    assert(scrub("call +1 (555) 123-1000 999.1.2.3 x") ==
+      (("call <PHONE> 999.1.2.3 x", 0, 0, 1)))
+    assert(scrub("raw 5551234567 999.1.2.3") ==
+      (("raw <PHONE> 999.1.2.3", 0, 0, 1)))
+  }
+
   test("priority: email digits and IPs are never phones") {
     assert(scrub("spam +15551234567@spam.com sent") ==
       (("spam <EMAIL> sent", 1, 0, 0)))
