@@ -936,11 +936,16 @@ object SparkEntry {
     "q_webtext_compose" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val minDocs = math.max(2L, docs.count() / 10)
+      // the natural-text line is stripped of digits/@ IDENTICALLY on
+      // both sides so the oracle's constructive scrub stays exact even
+      // if refreshed testdata grew PII-shaped content (or a 50-char cut
+      // created some) — the oracle cannot run pii_scrub itself
       val built = docs.select(col("doc_id"), col("lang"),
         concat_ws("\n",
           lit("subscribe to our newsletter"),
           concat(lit("contact u"), col("doc_id"), lit("@ex.com for details")),
-          col("text").substr(lit(1), lit(50))).as("text"))
+          translate(col("text"), "0123456789@", "").substr(lit(1), lit(50)))
+          .as("text"))
       val scrubbed = built.withColumn("text",
         tf.pii_scrub(col("text")).getField("text"))
       graft.textops.LineDedup
@@ -1902,12 +1907,12 @@ object SparkEntry {
         |  SELECT doc_id, lang,
         |    'subscribe to our newsletter' || chr(10) ||
         |    'contact <EMAIL> for details' || chr(10) ||
-        |    substr(text, 1, 50) AS text
+        |    substr(translate(text, '0123456789@', ''), 1, 50) AS text
         |  FROM documents),
         |lines AS (
         |  SELECT b.doc_id, b.lang, g.range AS pos,
         |    string_split(b.text, chr(10))[g.range] AS line
-        |  FROM built b CROSS JOIN range(1, 5) g
+        |  FROM built b CROSS JOIN range(1, 9) g
         |  WHERE g.range <= len(string_split(b.text, chr(10)))),
         |hot AS (
         |  SELECT line FROM lines WHERE line <> ''

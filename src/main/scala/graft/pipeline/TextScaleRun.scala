@@ -32,6 +32,11 @@ object TextScaleRun {
 
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_TEXT_ROWS", "1000000").toLong
+    // every stage's closed form assumes non-degenerate sizes (cluster
+    // fractions, hot-line thresholds at rows/10, eval subsets); below
+    // ~100 docs the "expected" columns stop being meaningful
+    require(rows >= 100,
+      s"SPARK_GRAFT_TEXT_ROWS must be >= 100 for the closed forms, got $rows")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-text-scale")
