@@ -895,6 +895,18 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
     }),
 
+    // the join-based removal path (hot table stays DISTRIBUTED — the
+    // 10^12-doc shape when the hot set outgrows executor heaps) against
+    // the IDENTICAL corpus, threshold, and oracle as q_line_dedup: the
+    // driver proves both paths reproduce the SQL recompute byte-for-byte
+    "q_line_dedup_join" -> ((s, d) => {
+      val built = lineDedupCorpus(t(s, d, "documents"))
+      val minDocs = math.max(2L, t(s, d, "documents").count() / 10)
+      graft.textops.LineDedup
+        .removeRepeatedLinesViaJoin(built, "doc_id", "text", minDocs)
+        .select(col("doc_id"), col("text"))
+    }),
+
     // the resolved hot-line table itself (line text + exact distinct-doc
     // counts), same corpus and threshold as q_line_dedup
     "q_line_hot" -> ((s, d) => {
@@ -1867,6 +1879,32 @@ object SparkEntry {
         |    WHEN 'zh' THEN 'g' ELSE '1999999a' END
         |GROUP BY 1""".stripMargin,
     "q_line_dedup" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    'banner ' || (doc_id % 5) || chr(10) ||
+        |    substr(text, 1, CAST(doc_id % 40 + 20 AS INT)) || chr(10) ||
+        |    chr(10) ||
+        |    'doc ' || doc_id || ' body' || chr(10) ||
+        |    'tail ' || (doc_id % 97) AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT b.doc_id, g.range AS pos,
+        |    string_split(b.text, chr(10))[g.range] AS line
+        |  FROM built b CROSS JOIN range(1, 9) g
+        |  WHERE g.range <= len(string_split(b.text, chr(10)))),
+        |hot AS (
+        |  SELECT line FROM lines WHERE line <> ''
+        |  GROUP BY line
+        |  HAVING count(DISTINCT doc_id) >=
+        |    greatest(2, (SELECT count(*) FROM documents) // 10)),
+        |kept AS (
+        |  SELECT doc_id, pos, line FROM lines
+        |  WHERE line = '' OR line NOT IN (SELECT line FROM hot))
+        |SELECT b.doc_id,
+        |  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+        |FROM built b LEFT JOIN kept k ON b.doc_id = k.doc_id
+        |GROUP BY b.doc_id""".stripMargin,
+    "q_line_dedup_join" ->
       """WITH built AS (
         |  SELECT doc_id,
         |    'banner ' || (doc_id % 5) || chr(10) ||

@@ -122,4 +122,67 @@ object LineDedup {
       sep: String = "\n"): DataFrame =
     df.withColumn(textCol, Bridge.column(
       RemoveLinesExpr(Bridge.expression(col(textCol)), hot, sep)))
+
+  /** Join-based removal for hot sets too large to ride as a per-task
+    * reference object (the [[removeRepeatedLines]] caps exist because
+    * the resolved set lives on the driver and in every executor heap;
+    * past ~10^6 lines that stops being the right shape). Semantics are
+    * IDENTICAL to [[removeRepeatedLines]] — spec-pinned equal — but the
+    * hot table stays distributed:
+    *
+    *   1. affected doc ids: (id, line-hash) semi-join against the hot
+    *      hashes — fixed-width only, and only docs CONTAINING a hot
+    *      line go any further;
+    *   2. rebuild affected docs: their exploded lines anti-join the hot
+    *      table on (hash, line) — exact string equality, so a hash
+    *      collision with a hot line cannot delete an innocent line —
+    *      then reassemble by position;
+    *   3. untouched docs pass through without their text ever entering
+    *      an exchange.
+    *
+    * The text shuffle is proportional to AFFECTED docs (boilerplate
+    * carriers), not the corpus; with per-doc boilerplate fractions this
+    * is the join-side twin of the reference-object path.
+    */
+  def removeRepeatedLinesViaJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long,
+      sep: String = "\n",
+      maxCandidateHashes: Long = 8L << 20): DataFrame = {
+    val hot = repeatedLines(df, idCol, textCol, minDocs, sep, maxCandidateHashes)
+      .withColumn("__lh", xxhash64(col("line")))
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val lines = df.select(
+        col(idCol).as("__id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("__pos", "__line")))
+    val affectedIds = lines
+      .select(col("__id"), xxhash64(col("__line")).as("__lh"))
+      .join(hot.select("__lh"), Seq("__lh"), "left_semi")
+      .select(col("__id").as("__aid")).distinct()
+    // LEFT join + null-skipping collect_list (not an anti join): a doc
+    // whose every line is hot must still produce a rebuilt row (empty
+    // text), exactly like the reference-object path. The semi join
+    // against affected ids is Bloom-PREFILTERED at the scan: when the
+    // affected set is too big to broadcast, a plain semi join would
+    // shuffle EVERY doc's exploded text just to decide affectedness —
+    // the Bloom kills unaffected docs' lines before the exchange and
+    // FPs die in the exact semi join (the repo-standard shape)
+    val rebuilt = graft.pipeline.BloomJoin
+      .prefilteredSemiJoin(lines, affectedIds, "__id", "__aid")
+      .join(hot.select(col("__lh"), col("line").as("__hotline")),
+        xxhash64(col("__line")) === col("__lh") &&
+          col("__line") === col("__hotline"), "left")
+      .groupBy("__id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(
+            when(col("__hotline").isNull, struct(col("__pos"), col("__line"))))),
+          x => x.getField("__line")), sep).as("__newtext"))
+    df.join(rebuilt, col(idCol) === col("__id"), "left")
+      .withColumn(textCol,
+        when(col("__id").isNull, col(textCol)).otherwise(col("__newtext")))
+      .drop("__id", "__newtext")
+  }
 }

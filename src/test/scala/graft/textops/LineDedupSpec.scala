@@ -111,6 +111,39 @@ class LineDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(err.getMessage.contains("minDocs"))
   }
 
+  test("join-based removal == reference-object removal, row for row") {
+    val ref = LineDedup.removeRepeatedLines(corpus(), "doc_id", "text", minDocs = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val join = LineDedup.removeRepeatedLinesViaJoin(corpus(), "doc_id", "text", minDocs = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(join == ref)
+    // all-hot doc: join path must yield "" like the reference path
+    val allHot = (0 until 8).map(i => (i.toLong,
+      if (i < 6) "SAME\nALSO" else s"SAME\nALSO\nu$i")).toDF("doc_id", "text")
+    val refAll = LineDedup.removeRepeatedLines(allHot, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val joinAll = LineDedup.removeRepeatedLinesViaJoin(allHot, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(joinAll == refAll)
+    assert(joinAll(0L) == "")
+    assert(joinAll(7L) == "u7")
+    // other columns survive the rebuild join untouched
+    val withLang = corpus().withColumn("lang", lit("en"))
+    val viaJoin = LineDedup.removeRepeatedLinesViaJoin(withLang, "doc_id", "text", 5)
+    assert(viaJoin.columns.toSeq == Seq("doc_id", "text", "lang"))
+    // the affectedness semi join must be Bloom-prefiltered at the scan:
+    // without it, a non-broadcastable affected set would shuffle EVERY
+    // doc's exploded text just to decide affectedness. Asserted over a
+    // range-based corpus — on a LocalRelation fixture the optimizer's
+    // ConvertToLocalRelation EVALUATES the filter away at planning time
+    val ranged = spark.range(40).select(col("id").as("doc_id"),
+      concat_ws("\n", lit("HOT"), concat(lit("u"), col("id"))).as("text"))
+    val plan = LineDedup.removeRepeatedLinesViaJoin(ranged, "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_contains"),
+      s"rebuild path lost its Bloom scan prefilter:\n$plan")
+  }
+
   test("candidate-hash guard fires BEFORE the broadcast, same hint") {
     // two hot lines but a guard of 1: the eager phase-1 count must trip
     // (an over-permissive minDocs may not reach the broadcast/OOM)
