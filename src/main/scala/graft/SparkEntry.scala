@@ -1890,7 +1890,7 @@ object SparkEntry {
         |lines AS (
         |  SELECT b.doc_id, g.range AS pos,
         |    string_split(b.text, chr(10))[g.range] AS line
-        |  FROM built b CROSS JOIN range(1, 9) g
+        |  FROM built b CROSS JOIN range(1, 64) g
         |  WHERE g.range <= len(string_split(b.text, chr(10)))),
         |hot AS (
         |  SELECT line FROM lines WHERE line <> ''
@@ -1916,7 +1916,7 @@ object SparkEntry {
         |lines AS (
         |  SELECT b.doc_id, g.range AS pos,
         |    string_split(b.text, chr(10))[g.range] AS line
-        |  FROM built b CROSS JOIN range(1, 9) g
+        |  FROM built b CROSS JOIN range(1, 64) g
         |  WHERE g.range <= len(string_split(b.text, chr(10)))),
         |hot AS (
         |  SELECT line FROM lines WHERE line <> ''
@@ -1950,7 +1950,7 @@ object SparkEntry {
         |lines AS (
         |  SELECT b.doc_id, b.lang, g.range AS pos,
         |    string_split(b.text, chr(10))[g.range] AS line
-        |  FROM built b CROSS JOIN range(1, 9) g
+        |  FROM built b CROSS JOIN range(1, 64) g
         |  WHERE g.range <= len(string_split(b.text, chr(10)))),
         |hot AS (
         |  SELECT line FROM lines WHERE line <> ''
@@ -1980,7 +1980,7 @@ object SparkEntry {
         |lines AS (
         |  SELECT b.doc_id, g.range AS pos,
         |    string_split(b.text, chr(10))[g.range] AS line
-        |  FROM built b CROSS JOIN range(1, 9) g
+        |  FROM built b CROSS JOIN range(1, 64) g
         |  WHERE g.range <= len(string_split(b.text, chr(10))))
         |SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_count
         |FROM lines WHERE line <> ''

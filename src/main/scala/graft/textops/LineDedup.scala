@@ -126,23 +126,33 @@ object LineDedup {
   /** Join-based removal for hot sets too large to ride as a per-task
     * reference object (the [[removeRepeatedLines]] caps exist because
     * the resolved set lives on the driver and in every executor heap;
-    * past ~10^6 lines that stops being the right shape). Semantics are
-    * IDENTICAL to [[removeRepeatedLines]] — spec-pinned equal — but the
-    * hot table stays distributed:
+    * past ~10^6 lines that stops being the right shape). Semantics
+    * match [[removeRepeatedLines]] — spec-pinned equal — under the
+    * corpus contract every textops operator assumes: `idCol` unique and
+    * non-null. (The reference-object path is per-row and tolerates
+    * violations; this path would MERGE duplicate-id docs' lines into
+    * one rebuilt text and pass null-id docs through uncleaned.)
+    * The hot table stays distributed:
     *
     *   1. affected doc ids: (id, line-hash) semi-join against the hot
-    *      hashes — fixed-width only, and only docs CONTAINING a hot
-    *      line go any further;
-    *   2. rebuild affected docs: their exploded lines anti-join the hot
-    *      table on (hash, line) — exact string equality, so a hash
-    *      collision with a hot line cannot delete an innocent line —
-    *      then reassemble by position;
-    *   3. untouched docs pass through without their text ever entering
-    *      an exchange.
+    *      hashes — fixed-width only — materialized and counted, and the
+    *      count sizes the affectedness Bloom (~12 bits/id, the round-5
+    *      SpanRep precedent: a fixed-size filter saturates exactly at
+    *      the scale this path exists for);
+    *   2. rebuild affected docs: their exploded lines (Bloom-prefiltered
+    *      at the scan, false positives die in the exact semi join)
+    *      anti-join the hot table on (hash, line) — exact string
+    *      equality, so a hash collision with a hot line cannot delete
+    *      an innocent line — then reassemble by position;
+    *   3. the corpus splits on the SAME Bloom: definitely-unaffected
+    *      docs (Bloom negatives are exact) pass through without their
+    *      text entering any exchange; only Bloom-positive docs ride the
+    *      final rebuild join, and a false positive there simply keeps
+    *      its original text (no rebuilt row).
     *
-    * The text shuffle is proportional to AFFECTED docs (boilerplate
-    * carriers), not the corpus; with per-doc boilerplate fractions this
-    * is the join-side twin of the reference-object path.
+    * Every text-carrying shuffle is therefore proportional to AFFECTED
+    * docs (+ the Bloom FP sliver), not the corpus — the join-side twin
+    * of the reference-object path.
     */
   def removeRepeatedLinesViaJoin(
       df: DataFrame,
@@ -151,26 +161,30 @@ object LineDedup {
       minDocs: Long,
       sep: String = "\n",
       maxCandidateHashes: Long = 8L << 20): DataFrame = {
-    val hot = repeatedLines(df, idCol, textCol, minDocs, sep, maxCandidateHashes)
-      .withColumn("__lh", xxhash64(col("line")))
+    val hot = Materialize(
+      repeatedLines(df, idCol, textCol, minDocs, sep, maxCandidateHashes)
+        .withColumn("__lh", xxhash64(col("line"))))
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = df.select(
         col(idCol).as("__id"),
         posexplode(split(col(textCol), sepLit)).as(Seq("__pos", "__line")))
-    val affectedIds = lines
+    val affectedIds = Materialize(lines
       .select(col("__id"), xxhash64(col("__line")).as("__lh"))
       .join(hot.select("__lh"), Seq("__lh"), "left_semi")
-      .select(col("__id").as("__aid")).distinct()
+      .select(col("__id").as("__aid")).distinct())
+    val nAffected = affectedIds.count()
+    // ~12 bits/key (<1% FPR at 5 hashes), clamped to [2^20, 2^28] bits
+    // (128 KB - 32 MB of plan literal)
+    val bloomBits = math.min(1L << 28, math.max(1L << 20,
+      java.lang.Long.highestOneBit(math.max(1L, nAffected * 12)) << 1))
+    val affectedFilter = graft.pipeline.BloomJoin
+      .buildKeyFilter(affectedIds, "__aid", numBits = bloomBits)
     // LEFT join + null-skipping collect_list (not an anti join): a doc
     // whose every line is hot must still produce a rebuilt row (empty
-    // text), exactly like the reference-object path. The semi join
-    // against affected ids is Bloom-PREFILTERED at the scan: when the
-    // affected set is too big to broadcast, a plain semi join would
-    // shuffle EVERY doc's exploded text just to decide affectedness —
-    // the Bloom kills unaffected docs' lines before the exchange and
-    // FPs die in the exact semi join (the repo-standard shape)
+    // text), exactly like the reference-object path
     val rebuilt = graft.pipeline.BloomJoin
-      .prefilteredSemiJoin(lines, affectedIds, "__id", "__aid")
+      .prefilteredSemiJoinWith(lines, affectedIds, "__id", "__aid",
+        affectedFilter)
       .join(hot.select(col("__lh"), col("line").as("__hotline")),
         xxhash64(col("__line")) === col("__lh") &&
           col("__line") === col("__hotline"), "left")
@@ -180,9 +194,17 @@ object LineDedup {
           array_sort(collect_list(
             when(col("__hotline").isNull, struct(col("__pos"), col("__line"))))),
           x => x.getField("__line")), sep).as("__newtext"))
-    df.join(rebuilt, col(idCol) === col("__id"), "left")
+    // split the corpus on the SAME Bloom: negatives are exact
+    // non-members, so their text never enters an exchange; positives
+    // (affected + FP sliver) alone ride the rebuild join
+    val isMaybeAffected =
+      graft.spark.sketchFunctions.bloom_contains(affectedFilter, col(idCol))
+    val untouched = df.filter(!isMaybeAffected)
+    val joined = df.filter(isMaybeAffected)
+      .join(rebuilt, col(idCol) === col("__id"), "left")
       .withColumn(textCol,
         when(col("__id").isNull, col(textCol)).otherwise(col("__newtext")))
       .drop("__id", "__newtext")
+    untouched.unionByName(joined)
   }
 }
