@@ -203,7 +203,11 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (ident, info, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+      // registerFunction unconditionally REPLACES (and WARN-logs) an
+      // existing entry — sessions built with spark.sql.extensions already
+      // carry every function, so probe first to keep Verify logs quiet
+      if (!spark.sessionState.functionRegistry.functionExists(ident))
+        spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
     val em = spark.sessionState.experimentalMethods
     // sessions built WITH spark.sql.extensions already carry the rule via

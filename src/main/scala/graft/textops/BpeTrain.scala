@@ -45,9 +45,29 @@ object BpeTrain {
       .groupBy("pretoken")
       .agg(count(lit(1)).as("cnt"))
 
+  /** What the `maxWordTypes` cap did to a [[learn]] run — no silent
+    * caps: when the corpus has more distinct pre-token types than the
+    * learner keeps, the drop is REPORTED (count and frequency mass), so
+    * "trained on the whole corpus" is never silently false. Rare tail
+    * types cannot win a merge, so a small `droppedMassFrac` means the
+    * cap was harmless; a large one means `maxWordTypes` is undersized
+    * for this corpus.
+    */
+  final case class TrainStats(
+      totalTypes: Long,
+      keptTypes: Long,
+      totalMass: Long,
+      keptMass: Long) {
+    def droppedTypes: Long = totalTypes - keptTypes
+    def droppedMass: Long = totalMass - keptMass
+    def droppedMassFrac: Double =
+      if (totalMass == 0L) 0.0 else droppedMass.toDouble / totalMass
+  }
+
   /** Learn up to `numMerges` merges from a corpus column. Deterministic
     * for a fixed corpus (count aggregation is exact; ties break
-    * lexicographically).
+    * lexicographically). Logs to stderr when `maxWordTypes` drops tail
+    * types; use [[learnWithStats]] to get the drop programmatically.
     */
   def learn(
       df: DataFrame,
@@ -56,14 +76,44 @@ object BpeTrain {
       byteLevel: Boolean = true,
       minPairCount: Long = 2L,
       maxWordTypes: Int = 1 << 20): BpeVocab = {
+    val (vocab, stats) =
+      learnWithStats(df, textCol, numMerges, byteLevel, minPairCount, maxWordTypes)
+    if (stats.droppedTypes > 0)
+      Console.err.println(
+        f"BpeTrain: maxWordTypes=$maxWordTypes kept ${stats.keptTypes} of " +
+          f"${stats.totalTypes} word types (dropped ${stats.droppedTypes} " +
+          f"rare types carrying ${stats.droppedMass} occurrences = " +
+          f"${stats.droppedMassFrac * 100}%.3f%% of corpus mass)")
+    vocab
+  }
+
+  /** [[learn]] plus the cap accounting. One extra aggregation over the
+    * (materialized) word-type table — vocabulary-sized, never
+    * corpus-sized.
+    */
+  def learnWithStats(
+      df: DataFrame,
+      textCol: Column,
+      numMerges: Int,
+      byteLevel: Boolean = true,
+      minPairCount: Long = 2L,
+      maxWordTypes: Int = 1 << 20): (BpeVocab, TrainStats) = {
     require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
-    val types = pretokenCounts(df, textCol, byteLevel)
+    // materialized: the type table feeds both the totals aggregate and
+    // the top-N collect without re-running the corpus scan
+    val counted = Materialize(pretokenCounts(df, textCol, byteLevel))
+    val tot = counted.agg(count(lit(1)).as("n"),
+      coalesce(sum(col("cnt")), lit(0L)).as("m")).collect().head
+    val (totalTypes, totalMass) = (tot.getLong(0), tot.getLong(1))
+    val types = counted
       .orderBy(col("cnt").desc, col("pretoken").asc)
       .limit(maxWordTypes)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    learnFromTypes(types, numMerges, byteLevel, minPairCount)
+    val stats = TrainStats(totalTypes, types.length.toLong, totalMass,
+      types.iterator.map(_._2).sum)
+    (learnFromTypes(types, numMerges, byteLevel, minPairCount), stats)
   }
 
   /** The driver-side merge learner over an explicit word-type table

@@ -50,7 +50,7 @@ object LineDedup {
       textCol: String,
       minDocs: Long,
       sep: String = "\n",
-      maxCandidateHashes: Long = 8L << 20): DataFrame = {
+      maxCandidateHashes: Long = 2L << 20): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = df.select(
@@ -102,7 +102,7 @@ object LineDedup {
       minDocs: Long,
       sep: String = "\n",
       maxHotLines: Int = 1 << 20,
-      maxCandidateHashes: Long = 8L << 20): DataFrame = {
+      maxCandidateHashes: Long = 2L << 20): DataFrame = {
     val hot = repeatedLines(df, idCol, textCol, minDocs, sep, maxCandidateHashes)
       .select("line")
       .limit(maxHotLines + 1)
@@ -160,7 +160,7 @@ object LineDedup {
       textCol: String,
       minDocs: Long,
       sep: String = "\n",
-      maxCandidateHashes: Long = 8L << 20): DataFrame = {
+      maxCandidateHashes: Long = 2L << 20): DataFrame = {
     val hot = Materialize(
       repeatedLines(df, idCol, textCol, minDocs, sep, maxCandidateHashes)
         .withColumn("__lh", xxhash64(col("line"))))
@@ -196,9 +196,13 @@ object LineDedup {
           x => x.getField("__line")), sep).as("__newtext"))
     // split the corpus on the SAME Bloom: negatives are exact
     // non-members, so their text never enters an exchange; positives
-    // (affected + FP sliver) alone ride the rebuild join
-    val isMaybeAffected =
-      graft.spark.sketchFunctions.bloom_contains(affectedFilter, col(idCol))
+    // (affected + FP sliver) alone ride the rebuild join. coalesce:
+    // bloom_contains(_, null) is null, which BOTH filters would drop —
+    // a null-id doc (out of contract, but never silently lost) must
+    // take the untouched branch as documented above
+    val isMaybeAffected = coalesce(
+      graft.spark.sketchFunctions.bloom_contains(affectedFilter, col(idCol)),
+      lit(false))
     val untouched = df.filter(!isMaybeAffected)
     val joined = df.filter(isMaybeAffected)
       .join(rebuilt, col(idCol) === col("__id"), "left")

@@ -123,6 +123,26 @@ class ByteBpeSpec extends AnyFunSuite with SparkTestBase {
     assert(BpeTrain.learnFromTypes(Array(("abc", 1L)), 100, true, 2).size == 0)
   }
 
+  test("trainer cap accounting: a maxWordTypes drop is reported, never silent") {
+    // one pre-token per row so type counts are exact: aa:4, bb:3, cc:2, dd:1
+    val corpus = (Seq.fill(4)("aa") ++ Seq.fill(3)("bb") ++
+      Seq.fill(2)("cc") ++ Seq("dd")).toDF("text")
+    val (vCapped, st) = BpeTrain.learnWithStats(
+      corpus, $"text", numMerges = 100, maxWordTypes = 2)
+    assert(st == BpeTrain.TrainStats(
+      totalTypes = 4, keptTypes = 2, totalMass = 10, keptMass = 7))
+    assert(st.droppedTypes == 2 && st.droppedMass == 3)
+    assert(math.abs(st.droppedMassFrac - 0.3) < 1e-12)
+    // the capped learner trained only on the kept head: cc/dd pairs never
+    // reached minPairCount, so only aa's and bb's merges exist
+    assert(vCapped.merges.toSeq == Seq(("a", "a"), ("b", "b")))
+    // uncapped run reports a zero drop and learn() returns the same vocab
+    val (vFull, stFull) = BpeTrain.learnWithStats(corpus, $"text", 100)
+    assert(stFull.droppedTypes == 0 && stFull.droppedMass == 0 &&
+      stFull.keptTypes == 4 && stFull.totalMass == 10)
+    assert(BpeTrain.learn(corpus, $"text", 100) == vFull)
+  }
+
   test("trainer collapse invariant: every repeated pre-token becomes ONE kernel token") {
     // the property q_bpe_file's closed form rests on — checked against
     // the corpus the gate uses, through the real kernel (not the

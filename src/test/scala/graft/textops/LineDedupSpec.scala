@@ -144,6 +144,23 @@ class LineDedupSpec extends AnyFunSuite with SparkTestBase {
       s"rebuild path lost its Bloom scan prefilter:\n$plan")
   }
 
+  test("join path: a null-id doc passes through uncleaned, never dropped") {
+    // out-of-contract input (idCol must be unique and non-null), but the
+    // documented behavior is pass-through on the untouched branch —
+    // bloom_contains(filter, null) is null, which both split filters
+    // would silently drop without the coalesce
+    val withNull = corpus().unionByName(
+      Seq((Option.empty[Long], s"$Banner\nnull doc body"))
+        .toDF("doc_id", "text"))
+    val out = LineDedup.removeRepeatedLinesViaJoin(withNull, "doc_id", "text", 5)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toMap
+    assert(out.size == 31)
+    // uncleaned: the hot banner survives in the null-id doc only
+    assert(out(-1L) == s"$Banner\nnull doc body")
+    assert(out(0L) == LineDedup.removeRepeatedLines(corpus(), "doc_id", "text", 5)
+      .filter(col("doc_id") === 0L).collect().head.getString(1))
+  }
+
   test("candidate-hash guard fires BEFORE the broadcast, same hint") {
     // two hot lines but a guard of 1: the eager phase-1 count must trip
     // (an over-permissive minDocs may not reach the broadcast/OOM)
