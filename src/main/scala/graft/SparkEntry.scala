@@ -1187,6 +1187,34 @@ object SparkEntry {
             1L).otherwise(0L)) === 0L).as("sides_ok"))
     }),
 
+    // repeated-span EXCISION (the removal half of Lee et al.-style
+    // substring dedup) over two planted shared blocks: every 5th doc
+    // carries a 4-word mid block, every 3rd a 5-word tail, all other
+    // words doc-unique. Keep-one-copy by min id: only the smallest
+    // sharer of each block keeps it; every other copy is cut exactly
+    // ([start,end) chars — surrounding spaces survive). The oracle
+    // rebuilds every doc's expected text constructively with replace(),
+    // so per-doc output text hash-checks byte-for-byte
+    "q_span_excise" -> ((s, d) => {
+      val lim = 300
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        .filter(col("doc_id") < lim)
+      val uniqA = concat_ws(" ",
+        (1 to 6).map(i => concat(lit("u"), col("doc_id"), lit("q" + i))): _*)
+      val uniqB = concat_ws(" ",
+        (7 to 12).map(i => concat(lit("u"), col("doc_id"), lit("q" + i))): _*)
+      val text = concat(uniqA,
+        when(pmod(col("doc_id"), lit(5L)) === 0, lit(" ma mb mc md"))
+          .otherwise(lit("")),
+        lit(" "), uniqB,
+        when(pmod(col("doc_id"), lit(3L)) === 0, lit(" za zb zc zd ze"))
+          .otherwise(lit("")))
+      val corpus = docs.select(col("doc_id"), text.as("text"))
+      graft.textops.SpanRep.removeRepeatedSpans(corpus, "doc_id", "text",
+          n = 3, minOtherDocs = 1, partnersPerGram = lim)
+        .select(col("doc_id"), col("text"))
+    }),
+
     // composed training-data pipeline with a fully EXACT oracle: quality
     // filter -> exact dedup (min doc_id wins, its row carries through) ->
     // per-lang doc counts and token sums; DuckDB replays every stage
@@ -1849,6 +1877,27 @@ object SparkEntry {
         |   AS sum_span_chars,
         | TRUE AS victims_ok, TRUE AS sides_ok
         |FROM s, c GROUP BY lang, c.v, c.g1, c.g2""".stripMargin,
+    "q_span_excise" ->
+      """WITH s AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+        |m AS (SELECT
+        |  min(doc_id) FILTER (WHERE doc_id % 5 = 0) AS m5,
+        |  min(doc_id) FILTER (WHERE doc_id % 3 = 0) AS m3 FROM s),
+        |built AS (SELECT doc_id,
+        |  'u'||doc_id||'q1 u'||doc_id||'q2 u'||doc_id||'q3 u'||doc_id||
+        |  'q4 u'||doc_id||'q5 u'||doc_id||'q6' ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' ma mb mc md' ELSE '' END ||
+        |  ' u'||doc_id||'q7 u'||doc_id||'q8 u'||doc_id||'q9 u'||doc_id||
+        |  'q10 u'||doc_id||'q11 u'||doc_id||'q12' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' za zb zc zd ze' ELSE '' END AS text
+        |  FROM s)
+        |SELECT b.doc_id,
+        |  CASE WHEN b.doc_id % 3 = 0 AND b.doc_id <> m.m3
+        |       THEN replace(b.t1, 'za zb zc zd ze', '') ELSE b.t1 END AS text
+        |FROM (SELECT built.doc_id,
+        |        CASE WHEN built.doc_id % 5 = 0 AND built.doc_id <> m.m5
+        |             THEN replace(built.text, 'ma mb mc md', '')
+        |             ELSE built.text END AS t1
+        |      FROM built, m) b, m""".stripMargin,
     "q_extract" ->
       """SELECT CAST(20000 AS BIGINT) AS n_pages,
         | CAST(20000 AS BIGINT) AS n_extract_exact,

@@ -164,6 +164,40 @@ object TextScaleRun {
         .first().getLong(0)
     }
 
+    // ---- repeated-span EXCISION at size: tailed docs (every 3rd) carry
+    // a 20-word group tail where EVERY word embeds the group id
+    // ("bp1g000042 .. bp20g000042", 12 docs per group — so every tail
+    // gram is group-internal and the group stays under the
+    // partnersPerGram cap, making keep-one-copy exact; a group-GLOBAL
+    // bp-word tail would share its interior grams across all 333k tailed
+    // docs and the cap would leave hash-dependent extra keepers): the
+    // min-id doc of each group keeps its tail, the other 11 get it cut.
+    // Closed forms: changed = tailed − groups; every changed doc loses
+    // exactly the 230-char tail block (badDelta must be 0)
+    val seGroups = (srExpected + 11) / 12
+    val seGid = lpad(floor(col("id") / 36).cast("long").cast("string"), 6, "0")
+    val seTail = concat_ws(" ",
+      (1 to 20).map(i => concat(lit(s"bp${i}g"), seGid)): _*)
+    // 9 words of 10 chars + 11 of 11 + 19 separators
+    val seBlockLen = 9 * 10 + 11 * 11 + 19
+    val seCorpus = spark.range(rows).select(col("id").as("doc_id"),
+      when(col("id") % 3 === 0, concat(srUniq, lit(" "), seTail))
+        .otherwise(srUniq).as("text"))
+    val (seRow, seSec) = timed {
+      graft.textops.SpanRep.removeRepeatedSpans(
+          seCorpus, "doc_id", "text", n = 16, minOtherDocs = 1)
+        .select(col("doc_id"), col("text"))
+        .join(seCorpus.select(col("doc_id"), col("text").as("orig")), "doc_id")
+        .filter(col("text") =!= col("orig"))
+        .agg(count(lit(1)),
+          sum(when(length(col("orig")) - length(col("text")) =!= seBlockLen,
+            1L).otherwise(0L)))
+        .first()
+    }
+    val seChanged = seRow.getLong(0)
+    val seBadDelta = seRow.getLong(1)
+    val seExpected = srExpected - seGroups
+
     // ---- line-level boilerplate removal at size: 4-line docs where a
     // cookie banner rides in every 3rd doc and a nav line in every 5th,
     // the other two lines are id-unique or in rows/1000-doc groups
@@ -233,6 +267,9 @@ object TextScaleRun {
       s""","spanrep_sec":${f"$srSec%.1f"}""" +
       s""","spanrep_sampled_flagged":$srSampledFlagged""" +
       s""","spanrep_sampled_sec":${f"$srSampledSec%.1f"}""" +
+      s""","span_excise_changed":$seChanged,"span_excise_expected":$seExpected""" +
+      s""","span_excise_bad_delta":$seBadDelta""" +
+      s""","span_excise_sec":${f"$seSec%.1f"}""" +
       s""","linededup_changed":$ldChanged,"linededup_expected":$ldExpected""" +
       s""","linededup_sec":${f"$ldSec%.1f"}""" +
       s""","pii_counts":[${piiGot._1},${piiGot._2},${piiGot._3}]""" +

@@ -1,0 +1,110 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Splice character ranges out of a string: `remove_spans(text, spans)`
+  * where `spans` is `array<struct<start, end>>` of UTF-16 [start, end)
+  * offsets (the unit [[GramSpansExpr]] reports and
+  * [[graft.textops.SpanRep]] propagates). The kernel sorts the ranges,
+  * UNIONS overlapping or touching ones (two partially-overlapping
+  * repeated blocks must not double-delete their shared middle), clamps
+  * to [0, length], and rebuilds the survivors in one pass — exactly the
+  * excision half of Lee et al. 2022-style substring dedup, as a
+  * zero-shuffle codegen projection.
+  *
+  * Out-of-range offsets clamp rather than throw (a span table built
+  * against one snapshot may be applied to a re-extracted text); an
+  * empty span array leaves the text unchanged. Standard null semantics
+  * (null in, null out) — a left-join caller guards the unmatched side
+  * with `when(isnull, text)` as [[graft.textops.SpanRep]] does.
+  */
+case class RemoveSpansExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "remove_spans"
+
+  override def dataType: DataType = StringType
+
+  private def isSpanArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StructType(fields), _) =>
+      fields.length == 2 &&
+        fields.forall(f => f.dataType == LongType || f.dataType == IntegerType)
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && isSpanArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, array<struct<start,end>> of int/long), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+
+  // children unresolved at construction — dataType probes must be lazy
+  private lazy val offsetsAreLong: Boolean = right.dataType match {
+    case ArrayType(StructType(fields), _) => fields(0).dataType == LongType
+    case _ => true
+  }
+
+  protected override def nullSafeEval(t: Any, sp: Any): Any =
+    RemoveSpansExpr.remove(t.asInstanceOf[UTF8String],
+      sp.asInstanceOf[ArrayData], offsetsAreLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, sp) =>
+      s"${ev.value} = graft.spark.RemoveSpansExpr.remove($t, $sp, $offsetsAreLong);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): RemoveSpansExpr = copy(left = l, right = r)
+}
+
+object RemoveSpansExpr {
+
+  def remove(text: UTF8String, spans: ArrayData, longOffsets: Boolean): UTF8String = {
+    val n = spans.numElements()
+    if (n == 0) return text
+    val s = text.toString
+    val len = s.length
+    // clamp to [0, len], drop empty/degenerate ranges
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val row = spans.getStruct(i, 2)
+      var a = if (longOffsets) row.getLong(0) else row.getInt(0).toLong
+      var b = if (longOffsets) row.getLong(1) else row.getInt(1).toLong
+      if (a < 0L) a = 0L
+      if (b > len) b = len.toLong
+      if (a < b) { starts(m) = a.toInt; ends(m) = b.toInt; m += 1 }
+      i += 1
+    }
+    if (m == 0) return text
+    // insertion sort by start (span lists are per-document small)
+    i = 1
+    while (i < m) {
+      val sa = starts(i); val ea = ends(i)
+      var j = i - 1
+      while (j >= 0 && starts(j) > sa) {
+        starts(j + 1) = starts(j); ends(j + 1) = ends(j); j -= 1
+      }
+      starts(j + 1) = sa; ends(j + 1) = ea
+      i += 1
+    }
+    // single pass: splice out the union of ranges
+    val sb = new java.lang.StringBuilder(len)
+    var pos = 0
+    i = 0
+    while (i < m) {
+      if (starts(i) > pos) sb.append(s, pos, starts(i))
+      if (ends(i) > pos) pos = ends(i)
+      i += 1
+    }
+    if (pos < len) sb.append(s, pos, len)
+    UTF8String.fromString(sb.toString)
+  }
+}

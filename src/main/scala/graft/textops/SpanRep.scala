@@ -214,6 +214,30 @@ object SpanRep {
       minOtherDocs: Int = 1,
       partnersPerGram: Int = 16,
       numBits: Long = Decontaminate.AutoBits): DataFrame = {
+    val runs = pairRuns(df, idCol, textCol, n, minOtherDocs, partnersPerGram,
+      numBits)
+    // a partner's maximal block per span: count each partner once per
+    // distinct span it maximally shares (several diagonals of the same
+    // pair can yield the same span when the block repeats within the
+    // partner — still one shared-extent witness)
+    runs.groupBy(col("__id").as(idCol), col("span_start"), col("span_end"))
+      .agg(max(col("span_words")).as("span_words"),
+        countDistinct(col("__pid")).as("n_partners"))
+  }
+
+  /** The per-PAIR maximal-block table both [[maximalRepeatSpans]] and
+    * [[removeRepeatedSpans]] consume: one row per maximal diagonal run
+    * of one (doc, partner) pair — (__id, __pid, span_start, span_end,
+    * span_words), char offsets exact in __id's text.
+    */
+  private def pairRuns(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      minOtherDocs: Int,
+      partnersPerGram: Int,
+      numBits: Long): DataFrame = {
     require(minOtherDocs >= 1, "minOtherDocs must be >= 1")
     require(partnersPerGram >= 1, "partnersPerGram must be >= 1")
     // pass 1: hot grams, as in repeatedSpanStats (exact, unsampled: the
@@ -250,7 +274,7 @@ object SpanRep {
       .select(col("__id"), col("__pid"), (col("__p") - col("__pp")).as("__diag"),
         col("__p"), col("__s"), col("__e"))
     val wRun = Window.partitionBy("__id", "__pid", "__diag").orderBy("__p")
-    val runs = pairs
+    pairs
       .withColumn("__prev", lag(col("__p"), 1).over(wRun))
       .withColumn("__new",
         when(col("__prev").isNull || col("__p") =!= col("__prev") + 1, 1L)
@@ -261,13 +285,74 @@ object SpanRep {
       .agg(min(col("__s")).cast("long").as("span_start"),
         max(col("__e")).cast("long").as("span_end"),
         (count(lit(1)) + (n - 1)).as("span_words"))
-    // a partner's maximal block per span: count each partner once per
-    // distinct span it maximally shares (several diagonals of the same
-    // pair can yield the same span when the block repeats within the
-    // partner — still one shared-extent witness)
-    runs.groupBy(col("__id").as(idCol), col("span_start"), col("span_end"))
-      .agg(max(col("span_words")).as("span_words"),
-        countDistinct(col("__pid")).as("n_partners"))
+  }
+
+  /** Repeated-span EXCISION — the removal half of Lee et al. 2022-style
+    * substring dedup (the missing last mile past [[dropRepeatedSpanDocs]]
+    * whole-doc removal and [[LineDedup]] whole-line removal): rewrite
+    * `textCol` cutting out the maximal repeated blocks, keeping exactly
+    * one copy per sharing group by the min-id convention
+    * ([[Clusters]]' canonical-representative rule): a document excises a
+    * span iff some SMALLER-id document shares that block — so the
+    * smallest-id sharer keeps its occurrence verbatim and every other
+    * copy is cut. Spans of one document union before cutting (two
+    * overlapping blocks hot via different partners can't double-delete
+    * their shared middle — [[RemoveSpansExpr]]).
+    *
+    * The cut is exactly the span's [start, end) chars: surrounding
+    * whitespace survives (cutting " A B " 's "A B" leaves two adjacent
+    * spaces), keeping the rewrite byte-predictable for oracles and
+    * downstream diffing. Repeats shorter than `n` words are invisible
+    * (the [[maximalRepeatSpans]] precision floor); under the
+    * `partnersPerGram` cap a doc outside a gram's candidate list can
+    * only make a span SURVIVE (keep-one errs toward keeping), never
+    * over-delete.
+    *
+    * Scale shape: span discovery is [[pairRuns]] (fixed-width shuffles
+    * only); the rewrite splits the corpus on an affected-id Bloom sized
+    * from the measured affected count (negatives exact ⇒ untouched docs'
+    * text never enters an exchange, the [[LineDedup]] join-path
+    * precedent), and only affected docs ride the span join — a Bloom
+    * false positive just keeps its original text.
+    */
+  def removeRepeatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 16,
+      minOtherDocs: Int = 1,
+      partnersPerGram: Int = 16,
+      numBits: Long = Decontaminate.AutoBits): DataFrame = {
+    val runs = pairRuns(df, idCol, textCol, n, minOtherDocs, partnersPerGram,
+      numBits)
+    // keep-one-copy: excise iff a smaller-id doc shares the block.
+    // Consumed twice (count-for-sizing + join) — materialized.
+    val excised = Materialize(runs
+      .groupBy(col("__id"), col("span_start"), col("span_end"))
+      .agg(min(col("__pid")).as("__minpid"))
+      .filter(col("__minpid") < col("__id"))
+      .groupBy(col("__id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("__spans")))
+    val nAffected = excised.count()
+    // ~12 bits/key (<1% FPR at 5 hashes), clamped to [2^20, 2^28] bits —
+    // sized from the measured count, never fixed (round-5 lesson)
+    val bloomBits = math.min(1L << 28, math.max(1L << 20,
+      java.lang.Long.highestOneBit(math.max(1L, nAffected * 12)) << 1))
+    val affectedFilter = BloomJoin.buildKeyFilter(
+      excised.select(col("__id").as("__aid")), "__aid", numBits = bloomBits)
+    val isMaybeAffected = coalesce(
+      sketch.bloom_contains(affectedFilter, col(idCol)), lit(false))
+    val untouched = df.filter(!isMaybeAffected)
+    val rewritten = df.filter(isMaybeAffected)
+      .join(excised, col(idCol) === col("__id"), "left")
+      .withColumn(textCol,
+        when(col("__id").isNull, col(textCol)) // Bloom FP: keep original
+          .otherwise(bridge.column(graft.spark.RemoveSpansExpr(
+            bridge.expression(col(textCol)),
+            bridge.expression(col("__spans"))))))
+      .drop("__id", "__spans")
+    untouched.unionByName(rewritten)
   }
 
   /** Input rows minus documents whose repeated-span coverage exceeds

@@ -214,6 +214,107 @@ class SpanRepSpec extends AnyFunSuite with SparkTestBase {
     assert(full == dflt)
   }
 
+  // ---- excision reference: cut the union of every maximal span some
+  // smaller-id doc shares (keep-one-copy), built on the brute maximal
+  // table so it shares nothing with the operator's join/Bloom machinery
+  private def bruteExcised(corpus: Seq[(Long, String)], n: Int): Map[Long, String] = {
+    val spans = bruteMaximalSpans(corpus, n)
+    corpus.map { case (id, t) =>
+      val cuts = spans(id).toSeq.collect {
+        case ((s, e, _), sharers) if sharers.min < id => (s.toInt, e.toInt)
+      }.sortBy(_._1)
+      val sb = new java.lang.StringBuilder
+      var pos = 0
+      cuts.foreach { case (s, e) =>
+        if (s > pos) sb.append(t, pos, s)
+        if (e > pos) pos = e
+      }
+      if (pos < t.length) sb.append(t.substring(pos))
+      id -> sb.toString
+    }.toMap
+  }
+
+  test("removeRepeatedSpans matches the brute-force keep-one-copy reference") {
+    for (n <- Seq(3, 4)) {
+      val got = SpanRep.removeRepeatedSpans(
+          corpus.toDF("doc_id", "text"), "doc_id", "text", n,
+          partnersPerGram = corpus.size)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == bruteExcised(corpus, n), s"n=$n")
+    }
+    // landmarks of the n=3 run: the min-id copy of the 5/6 exact pair
+    // survives verbatim, the other collapses to ""; doc 2 loses aa..dd
+    // but keeps its unique frame; doc 1 (smallest sharer) keeps
+    val got3 = SpanRep.removeRepeatedSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", 3,
+        partnersPerGram = corpus.size)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got3(5L) == "same1 same2 same3 same4 same5")
+    assert(got3(6L) == "")
+    assert(got3(1L) == "PRE1 aa bb cc dd POST1")
+    assert(got3(2L) == "ZZZZ  YY")
+    assert(got3(3L) == corpus.toMap.apply(3L)) // unique doc untouched
+    assert(got3(4L) == "tiny doc")
+  }
+
+  test("removeRepeatedSpans unions overlapping spans before cutting") {
+    // the no-chain trap with the shared-block doc as the LARGEST id: it
+    // excises w1..w3 (shared with 2) and w3..w5 (shared with 3), whose
+    // union is w1..w5 — the shared middle w3 must be cut exactly once
+    val trap = Seq(
+      9L -> "p1 w1 w2 w3 w4 w5 s1",
+      2L -> "x1 w1 w2 w3 x2",
+      3L -> "y1 w3 w4 w5 y2")
+    val got = SpanRep.removeRepeatedSpans(trap.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(9L) == "p1  s1")
+    // smaller-id partners keep their copies (nobody smaller shares)
+    assert(got(2L) == "x1 w1 w2 w3 x2")
+    assert(got(3L) == "y1 w3 w4 w5 y2")
+    assert(got == bruteExcised(trap, 3))
+  }
+
+  test("removeRepeatedSpans: extra columns survive; untouched text never rewritten") {
+    val withLang = corpus.toDF("doc_id", "text")
+      .withColumn("lang", F.concat(F.lit("l"), F.pmod($"doc_id", F.lit(3L))))
+    val out = SpanRep.removeRepeatedSpans(withLang, "doc_id", "text", 3,
+      partnersPerGram = corpus.size)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
+    val langs = out.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    corpus.foreach { case (id, _) => assert(langs(id) == s"l${id % 3}") }
+    // a corpus with nothing shared comes back byte-identical
+    val unique = (1L to 6L).map(i => i -> s"a$i b$i c$i d$i")
+    val same = SpanRep.removeRepeatedSpans(unique.toDF("doc_id", "text"),
+        "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(same == unique.toMap)
+  }
+
+  test("remove_spans kernel: sort, merge, clamp, degenerate ranges") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    def cut(t: String, spans: (Long, Long)*): String = {
+      val spanCol = if (spans.isEmpty)
+        F.array().cast("array<struct<s:bigint,e:bigint>>")
+      else F.array(spans.map { case (a, b) =>
+        F.struct(F.lit(a).as("s"), F.lit(b).as("e")) }: _*)
+      // range-based input so the codegen path actually runs (a pure
+      // literal fixture constant-folds through the interpreted eval)
+      spark.range(1).select(Bridge.column(graft.spark.RemoveSpansExpr(
+          Bridge.expression(F.lit(t)), Bridge.expression(spanCol))).as("o"))
+        .collect().head.getString(0)
+    }
+    assert(cut("hello world") == "hello world")                  // no spans
+    assert(cut("hello world", (0L, 5L)) == " world")
+    assert(cut("hello world", (6L, 11L)) == "hello ")
+    assert(cut("abcdef", (1L, 3L), (2L, 5L)) == "af")            // overlap union
+    assert(cut("abcdef", (1L, 3L), (3L, 5L)) == "af")            // touching
+    assert(cut("abcdef", (4L, 6L), (0L, 2L)) == "cd")            // unsorted input
+    assert(cut("abcdef", (-5L, 2L), (4L, 99L)) == "cd")          // clamped
+    assert(cut("abcdef", (3L, 3L), (5L, 2L)) == "abcdef")        // degenerate
+    assert(cut("abcdef", (0L, 6L)) == "")                        // total cut
+  }
+
   test("dropRepeatedSpanDocs removes only high-coverage docs") {
     val kept = SpanRep.dropRepeatedSpanDocs(
         corpus.toDF("doc_id", "text"), "doc_id", "text",
