@@ -916,10 +916,18 @@ object SparkEntry {
     }),
 
     // PII redaction: every doc gets a planted e-mail, a phone on
-    // doc_id%3=0, an IPv4 on doc_id%2=0, prepended to the real text; the
-    // oracle rebuilds the expected scrubbed text CONSTRUCTIVELY (tokens
-    // in place of the plants), so detection, replacement, span order,
-    // counts, and non-mangling of surrounding text all hash-check
+    // doc_id%3=0, an IPv4 on doc_id%2=0, a Luhn-valid card on doc_id%4=0
+    // (spaced Visa / dashed MasterCard by doc_id%8), a Luhn-INVALID
+    // card-shaped run on doc_id%7=0 (must survive verbatim — the Luhn
+    // gate at work), and an AWS-style key on doc_id%5=0, prepended to
+    // the real text; the oracle rebuilds the expected scrubbed text
+    // CONSTRUCTIVELY (tokens in place of the plants), so detection,
+    // replacement, span order, counts, and non-mangling of surrounding
+    // text all hash-check. The natural-text suffix is stripped of
+    // digits/@/A on BOTH sides so refreshed testdata containing
+    // PII-shaped content can never flip the constructive oracle
+    // (digits feed card/phone/IP/hex/base64, @ feeds email, A feeds
+    // AKIA/ASIA)
     "q_pii" -> ((s, d) => {
       val raw = concat(
         lit("u"), col("doc_id"), lit("@ex"), pmod(col("doc_id"), lit(7L)),
@@ -932,11 +940,23 @@ object SparkEntry {
             pmod(col("doc_id"), lit(250L)), lit("."),
             pmod(col("doc_id"), lit(256L))))
           .otherwise(lit("")),
-        lit(" :: "), col("text"))
+        when(pmod(col("doc_id"), lit(4L)) === 0,
+          concat(lit(" card "),
+            when(pmod(col("doc_id"), lit(8L)) === 0, lit("4111 1111 1111 1111"))
+              .otherwise(lit("5555-5555-5555-4444"))))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          lit(" bad 4111 1111 1111 1112")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5L)) === 0,
+          concat(lit(" key AKIA"),
+            upper(substring(md5(col("doc_id").cast("string")), 1, 16))))
+          .otherwise(lit("")),
+        lit(" :: "), translate(col("text"), "0123456789@A", ""))
       t(s, d, "documents")
         .select(col("doc_id"), tf.pii_scrub(raw).as("p"))
         .select(col("doc_id"), col("p.text").as("scrubbed"),
-          col("p.emails").as("emails"), col("p.ipv4s").as("ipv4s"),
+          col("p.emails").as("emails"), col("p.cards").as("cards"),
+          col("p.ipv4s").as("ipv4s"), col("p.keys").as("keys"),
           col("p.phones").as("phones"))
     }),
 
@@ -1984,9 +2004,14 @@ object SparkEntry {
         | '<EMAIL>' ||
         | CASE WHEN doc_id % 3 = 0 THEN ' <PHONE>' ELSE '' END ||
         | CASE WHEN doc_id % 2 = 0 THEN ' <IP>' ELSE '' END ||
-        | ' :: ' || text AS scrubbed,
+        | CASE WHEN doc_id % 4 = 0 THEN ' card <CARD>' ELSE '' END ||
+        | CASE WHEN doc_id % 7 = 0 THEN ' bad 4111 1111 1111 1112' ELSE '' END ||
+        | CASE WHEN doc_id % 5 = 0 THEN ' key <KEY>' ELSE '' END ||
+        | ' :: ' || translate(text, '0123456789@A', '') AS scrubbed,
         | CAST(1 AS INT) AS emails,
+        | CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS cards,
         | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS ipv4s,
+        | CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS keys,
         | CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS phones
         |FROM documents""".stripMargin,
     "q_webtext_compose" ->

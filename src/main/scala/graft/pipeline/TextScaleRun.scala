@@ -225,7 +225,8 @@ object TextScaleRun {
 
     // ---- PII redaction at size: zero-shuffle projection over 1M docs
     // with plants mirroring q_pii (email always, phone on id%3=0, IP on
-    // id%2=0) ahead of ~340 chars of clean text; closed-form count sums
+    // id%2=0, Luhn-valid card on id%4=0, AWS-style key on id%5=0) ahead
+    // of ~340 chars of clean text; closed-form count sums
     val piiCorpus = spark.range(rows).select(col("id").as("doc_id"),
       concat(lit("u"), col("id"), lit("@ex.com"),
         when(col("id") % 3 === 0,
@@ -235,16 +236,24 @@ object TextScaleRun {
           concat(lit(" 10."), pmod(col("id"), lit(200L)), lit("."),
             pmod(col("id"), lit(250L)), lit("."), pmod(col("id"), lit(256L))))
           .otherwise(lit("")),
+        when(col("id") % 4 === 0, lit(" card 4111 1111 1111 1111"))
+          .otherwise(lit("")),
+        when(col("id") % 5 === 0,
+          concat(lit(" key AKIA"),
+            upper(substring(md5(col("id").cast("string")), 1, 16))))
+          .otherwise(lit("")),
         lit(" :: "), lit("w"), col("id"),
         lit(" the quick brown fox jumps over the lazy dog " * 4)).as("text"))
     val (piiRow, piiSec) = timed {
       piiCorpus.select(graft.spark.textFunctions.pii_scrub(col("text")).as("p"))
-        .agg(sum(col("p.emails")), sum(col("p.ipv4s")), sum(col("p.phones")))
+        .agg(sum(col("p.emails")), sum(col("p.ipv4s")), sum(col("p.phones")),
+          sum(col("p.cards")), sum(col("p.keys")))
         .first()
     }
-    val piiExpected =
-      (rows, (rows + 1) / 2, (rows + 2) / 3) // emails, ips (id%2=0), phones (id%3=0)
-    val piiGot = (piiRow.getLong(0), piiRow.getLong(1), piiRow.getLong(2))
+    val piiExpected = (rows, (rows + 1) / 2, (rows + 2) / 3,
+      (rows + 3) / 4, (rows + 4) / 5)
+    val piiGot = (piiRow.getLong(0), piiRow.getLong(1), piiRow.getLong(2),
+      piiRow.getLong(3), piiRow.getLong(4))
 
     val expectDrop = clusteredDocs - clusteredDocs / 4
     println(
@@ -272,8 +281,8 @@ object TextScaleRun {
       s""","span_excise_sec":${f"$seSec%.1f"}""" +
       s""","linededup_changed":$ldChanged,"linededup_expected":$ldExpected""" +
       s""","linededup_sec":${f"$ldSec%.1f"}""" +
-      s""","pii_counts":[${piiGot._1},${piiGot._2},${piiGot._3}]""" +
-      s""","pii_expected":[${piiExpected._1},${piiExpected._2},${piiExpected._3}]""" +
+      s""","pii_counts":[${piiGot._1},${piiGot._2},${piiGot._3},${piiGot._4},${piiGot._5}]""" +
+      s""","pii_expected":[${piiExpected._1},${piiExpected._2},${piiExpected._3},${piiExpected._4},${piiExpected._5}]""" +
       s""","pii_sec":${f"$piiSec%.1f"}}""")
     spark.stop()
   }

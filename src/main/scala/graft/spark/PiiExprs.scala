@@ -9,8 +9,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** PII redaction for web-text corpora (the RefinedWeb/CCNet-style pass
-  * run before training-data release): e-mail addresses, IPv4 addresses,
-  * and phone numbers are replaced by fixed tokens `<EMAIL>` / `<IP>` /
+  * run before training-data release): e-mail addresses, payment-card
+  * numbers, IPv4 addresses, API keys/secrets, and phone numbers are
+  * replaced by fixed tokens `<EMAIL>` / `<CARD>` / `<IP>` / `<KEY>` /
   * `<PHONE>`, with per-class counts reported alongside the scrubbed
   * text so a pipeline can both rewrite and audit in one scan.
   *
@@ -21,9 +22,30 @@ import org.apache.spark.unsafe.types.UTF8String
   *    labels of `[A-Za-z0-9-]+` joined by dots, final label alphabetic
   *    of length ≥ 2. The char after the match must not be
   *    alphanumeric (`user@x.com5` is not an e-mail and is left alone).
+  *  - CARD: a MAXIMAL run of digits linked by single space/dash
+  *    separators (maximal on both sides: a longer run never yields a
+  *    13-19-digit sub-match) totaling 13-19 digits, with
+  *    non-`[0-9A-Za-z_+.-]` start and non-alphanumeric end boundaries,
+  *    that passes the Luhn checksum — near-zero false positives. A
+  *    Luhn-INVALID run is left in the text unclaimed (a 9-15-digit one
+  *    falls through to the phone heuristic, exactly as it did before
+  *    this class existed). Maximality trade-off, documented: a card
+  *    glued by one separator to an adjacent digit run (e.g. followed by
+  *    a space and another number) is judged by the JOINED run's digit
+  *    count and may fall outside 13-19 — sub-window claiming would
+  *    over-redact far more often than this under-redacts.
   *  - IPV4: four 1-3 digit octets each ≤ 255, not adjacent to another
   *    digit or dot-digit on either side (`1.2.3.4.5` matches nothing;
   *    `999.1.2.3` has an out-of-range octet and is left alone).
+  *  - KEY: API credentials by known shape, all counted as `keys` —
+  *    AWS access key ids (`AKIA`/`ASIA` + 16 of `[0-9A-Z]`), GitHub
+  *    tokens (`gh[pousr]_` + 36 alphanumerics), hex secrets (32-128 hex
+  *    chars containing at least one decimal digit AND one hex letter —
+  *    the digit+letter requirement makes a 32-char natural-language
+  *    word unmatchable), and base64-ish secrets (40-512 of
+  *    `[A-Za-z0-9+/]` + optional `=` padding, requiring at least one
+  *    lowercase, one uppercase, and one digit). All with
+  *    non-alphanumeric boundaries.
   *  - PHONE: an optionally `+`-country-coded sequence of 2-4 digit
   *    groups (first group may be parenthesized) separated by single
   *    space/dot/dash, or one unbroken digit run, totaling 9-15 digits,
@@ -34,11 +56,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    flagged — the known, accepted false-positive class (redacting a
   *    rare date fragment is cheap; leaking a phone number is not).
   *
-  * Overlaps resolve by priority EMAIL > IPV4 > PHONE (the digits of
-  * `+15551234567@spam.com`'s local part are part of the e-mail, not a
-  * phone; an IP is never double-counted as a phone). Matching is a
-  * single left-to-right pass per class over a bounded input scan —
-  * all three patterns are backtracking-safe (no nested unbounded
+  * Overlaps resolve by priority EMAIL > CARD > IPV4 > KEY > PHONE (the
+  * digits of `+15551234567@spam.com`'s local part are part of the
+  * e-mail, not a phone; a Luhn-valid unbroken 13-15-digit run is a
+  * card, not a phone; an IP is never double-counted as a phone).
+  * Matching is a single left-to-right pass per class over a bounded
+  * input scan — every pattern is backtracking-safe (no nested unbounded
   * quantifiers), so adversarial inputs cannot blow up matching time.
   */
 case class PiiScrubExpr(child: Expression) extends UnaryExpression {
@@ -48,7 +71,9 @@ case class PiiScrubExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("text", StringType, nullable = false),
     StructField("emails", IntegerType, nullable = false),
+    StructField("cards", IntegerType, nullable = false),
     StructField("ipv4s", IntegerType, nullable = false),
+    StructField("keys", IntegerType, nullable = false),
     StructField("phones", IntegerType, nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -81,12 +106,59 @@ object PiiScrubExpr {
   private val Phone = java.util.regex.Pattern.compile(
     """(?<![0-9A-Za-z_+.-])(?:\+\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{2,4}(?:[ .-]?\d{2,4}){1,4}(?![0-9A-Za-z])""")
 
+  // KEY sub-patterns, scanned in this order with masking between passes
+  private val AwsKey = java.util.regex.Pattern.compile(
+    """(?<![0-9A-Za-z])(?:AKIA|ASIA)[0-9A-Z]{16}(?![0-9A-Za-z])""")
+  private val GithubToken = java.util.regex.Pattern.compile(
+    """(?<![0-9A-Za-z])gh[pousr]_[A-Za-z0-9]{36}(?![0-9A-Za-z_])""")
+  private val HexSecret = java.util.regex.Pattern.compile(
+    """(?<![0-9A-Za-z])[0-9a-fA-F]{32,128}(?![0-9A-Za-z])""")
+  private val B64Secret = java.util.regex.Pattern.compile(
+    """(?<![0-9A-Za-z+/=])[A-Za-z0-9+/]{40,512}={0,2}(?![0-9A-Za-z+/=])""")
+
   private final val EmailToken = "<EMAIL>"
+  private final val CardToken = "<CARD>"
   private final val IpToken = "<IP>"
+  private final val KeyToken = "<KEY>"
   private final val PhoneToken = "<PHONE>"
 
   private def isAlnum(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** Luhn checksum over the digits of s[from, until) (separators skipped). */
+  private def luhnValid(s: String, from: Int, until: Int): Boolean = {
+    var sum = 0
+    var double = false // rightmost digit is NOT doubled
+    var i = until - 1
+    while (i >= from) {
+      val c = s.charAt(i)
+      if (isDigit(c)) {
+        var d = c - '0'
+        if (double) { d *= 2; if (d > 9) d -= 9 }
+        sum += d
+        double = !double
+      }
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  // hex secrets need ≥1 digit and ≥1 letter; base64 secrets need
+  // lower + upper + digit — kills natural-language false positives
+  private def charClasses(s: String, from: Int, until: Int): Int = {
+    var mask = 0
+    var i = from
+    while (i < until) {
+      val c = s.charAt(i)
+      if (c >= '0' && c <= '9') mask |= 1
+      else if (c >= 'a' && c <= 'z') mask |= 2
+      else if (c >= 'A' && c <= 'Z') mask |= 4
+      i += 1
+    }
+    mask
+  }
 
   def scrub(text: UTF8String): InternalRow = {
     val s = text.toString
@@ -113,10 +185,22 @@ object PiiScrubExpr {
       starts.add(a); ends.add(b); toks.add(tok)
       mask(a, b)
     }
+    // the string each pass scans: s with all claims so far masked —
+    // regenerated only when a previous pass actually masked something
+    // new (the common clean row re-copies nothing)
+    var cachedGen = 0
+    var cachedStr = s
+    def snapshot(): String = {
+      if (masked == null || maskGen == cachedGen) cachedStr
+      else { cachedStr = new String(masked); cachedGen = maskGen; cachedStr }
+    }
     var emails = 0
+    var cards = 0
     var ips = 0
+    var keys = 0
     var phones = 0
 
+    // ---- EMAIL ----
     val em = Email.matcher(s)
     while (em.find()) {
       if (em.end() >= s.length || !isAlnum(s.charAt(em.end()))) {
@@ -124,8 +208,43 @@ object PiiScrubExpr {
         emails += 1
       }
     }
-    val gen1 = maskGen
-    val s1 = if (masked == null) s else new String(masked)
+
+    // ---- CARD: procedural maximal separator-linked digit runs ----
+    // (a regex with backtracking would claim 13-19-digit sub-windows of
+    // longer runs; the maximal-run scan makes over-long runs inert)
+    val sc = snapshot()
+    var ci = 0
+    while (ci < sc.length) {
+      if (isDigit(sc.charAt(ci))) {
+        // extend the maximal run: digits, optionally linked by ONE
+        // space/dash that must be followed by a digit
+        var j = ci
+        var digits = 0
+        var runEnd = ci
+        var cont = true
+        while (cont && j < sc.length) {
+          val cj = sc.charAt(j)
+          if (isDigit(cj)) { digits += 1; j += 1; runEnd = j }
+          else if ((cj == ' ' || cj == '-') && j + 1 < sc.length &&
+              isDigit(sc.charAt(j + 1))) j += 1
+          else cont = false
+        }
+        val prevOk = ci == 0 || {
+          val p = sc.charAt(ci - 1)
+          !isAlnum(p) && p != '_' && p != '+' && p != '.' && p != '-'
+        }
+        val endOk = runEnd >= sc.length || !isAlnum(sc.charAt(runEnd))
+        if (prevOk && endOk && digits >= 13 && digits <= 19 &&
+            luhnValid(sc, ci, runEnd)) {
+          claim(ci, runEnd, CardToken)
+          cards += 1
+        }
+        ci = runEnd // past the whole run, claimed or not (maximality)
+      } else ci += 1
+    }
+
+    // ---- IPV4 ----
+    val s1 = snapshot()
     val im = Ipv4.matcher(s1)
     while (im.find()) {
       if ((1 to 4).forall(g => im.group(g).toInt <= 255)) {
@@ -139,18 +258,38 @@ object PiiScrubExpr {
         mask(im.start(), im.end())
       }
     }
-    // skip the second copy when the IP pass masked nothing new (the
-    // common email-only row in the hot zero-shuffle projection)
-    val s2 =
-      if (masked == null) s
-      else if (maskGen == gen1) s1
-      else new String(masked)
+
+    // ---- KEY: four sub-shapes, masking between passes so one secret
+    // is never double-counted (a hex run inside a GitHub token body) ----
+    val keyPatterns = Array(AwsKey, GithubToken, HexSecret, B64Secret)
+    var kp = 0
+    while (kp < keyPatterns.length) {
+      val sk = snapshot()
+      val km = keyPatterns(kp).matcher(sk)
+      while (km.find()) {
+        val m = charClasses(sk, km.start(), km.end())
+        val ok =
+          if (keyPatterns(kp) eq HexSecret)
+            (m & 1) != 0 && (m & 6) != 0 // ≥1 digit and ≥1 letter (any case)
+          else if (keyPatterns(kp) eq B64Secret)
+            (m & 7) == 7 // digit + lower + upper
+          else true
+        if (ok) {
+          claim(km.start(), km.end(), KeyToken)
+          keys += 1
+        }
+      }
+      kp += 1
+    }
+
+    // ---- PHONE ----
+    val s2 = snapshot()
     val pm = Phone.matcher(s2)
     while (pm.find()) {
       var digits = 0
       var i = pm.start()
       while (i < pm.end()) {
-        if (s2.charAt(i) >= '0' && s2.charAt(i) <= '9') digits += 1
+        if (isDigit(s2.charAt(i))) digits += 1
         i += 1
       }
       if (digits >= 9 && digits <= 15) {
@@ -175,7 +314,8 @@ object PiiScrubExpr {
         UTF8String.fromString(sb.toString)
       }
     new GenericInternalRow(Array[Any](out,
-      java.lang.Integer.valueOf(emails), java.lang.Integer.valueOf(ips),
+      java.lang.Integer.valueOf(emails), java.lang.Integer.valueOf(cards),
+      java.lang.Integer.valueOf(ips), java.lang.Integer.valueOf(keys),
       java.lang.Integer.valueOf(phones)))
   }
 }
