@@ -54,11 +54,23 @@ object Bench {
 
     // ---- part 1: headline queries at full parallelism ----
     val spark = session(cpus)
+    // Throttle self-diagnosis (VERDICT r6: three rounds of driver windows
+    // ran 2-3x co-tenant-throttled and the artifact couldn't say so):
+    // short raw-CPU burn probes interleaved between query blocks record
+    // the hardware actually available at each moment of THIS window.
+    // Readers normalize any suspicious block by the nearest probe; the
+    // floor ratio (min/max probe) in the summary line says at a glance
+    // how throttled the worst part of the window was.
+    val probes = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def probe(label: String): Unit =
+      probes += label -> burnThroughput(cpus, 200000000L)
+    probe("start")
     // JIT/IO warm-up on the smallest sf, untimed
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count()
       catch { case _: Throwable => }
     }
+    probe("post_warmup")
     // best-of-2 per query: this VM's co-tenants can throttle a single
     // measurement by 10-20x (observed); the min of two runs discards the
     // worst of that noise at modest cost.
@@ -68,13 +80,16 @@ object Bench {
     // the sketch work and time only the group count).
     // a failed query must surface as -1, never as a plausible-looking
     // elapsed-until-failure number summed into the total
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val secs = (1 to 2).map { _ =>
-        try timed(fn(spark, sfDir).queryExecution.toRdd.count())._2
-        catch { case _: Throwable => Double.NaN }
-      }
-      name -> (if (secs.exists(_.isNaN)) -1.0 else secs.min)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), i) =>
+        if (i > 0 && i % 12 == 0) probe(s"q_block_$i")
+        val secs = (1 to 2).map { _ =>
+          try timed(fn(spark, sfDir).queryExecution.toRdd.count())._2
+          catch { case _: Throwable => Double.NaN }
+        }
+        name -> (if (secs.exists(_.isNaN)) -1.0 else secs.min)
     }
+    probe("post_queries")
 
     // ---- part 1b: accuracy-vs-cardinality table (reference README
     // accuracy rows, hll_benchmark.cpp sweep w/ per-repeat seed) ----
@@ -141,6 +156,7 @@ object Bench {
         .select("component").distinct().count()
     }
     spark.catalog.clearCache()
+    probe("post_dedup_cc")
     // ---- part 1d: vocabulary-scale BPE (VERDICT r5 item 7): the counting
     // kernel against 50,000-merge byte-level vocabs on a generated
     // ~180 MB Zipf-worded lowercase corpus. Two vocabs on the identical
@@ -178,6 +194,7 @@ object Bench {
     val (bpeTrainedTokens, bpeTrainedSec) = bpeRun(bpeTrained)
     val (bpe50kTokens, bpe50kSec) = bpeRun(vocab50k)
     val (bpe676Tokens, bpe676Sec) = bpeRun(graft.data.SynthText.ladderVocab(676))
+    probe("post_bpe")
 
     // ---- part 2: scaling experiment on identical deterministic input ----
     // (throughput = generated input rows / wall-clock of the full job:
@@ -242,6 +259,12 @@ object Bench {
 
     val qJson = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // per-block throttle probes, normalized to the window's best probe:
+    // 1.0 = full hardware at that moment, 0.5 = co-tenants had half of it
+    val probeMax = probes.map(_._2).max
+    val probeJson = probes.map { case (l, v) =>
+      s""""$l":${f"${v / probeMax}%.3f"}""" }.mkString("{", ",", "}")
+    val throttleFloor = probes.map(_._2).min / probeMax
     val scaleJson = scaling.map { case (c, thr, sec, _, _) =>
       s""""hll_url_throughput_rps_c$c":${f"$thr%.0f"},"hll_url_sec_c$c":${f"$sec%.3f"}"""
     }.mkString(",")
@@ -277,7 +300,9 @@ object Bench {
       s""","raw_cpu_ceiling_${pairLo}":${f"$ceilLow%.3f"}""" +
       s""","raw_cpu_ceiling_${pairHi}":${f"$ceilHigh%.3f"}""" +
       s""","relative_efficiency_${pairLo}":${f"$relLow%.3f"}""" +
-      s""","relative_efficiency_${pairHi}":${f"$relHigh%.3f"}}"""
+      s""","relative_efficiency_${pairHi}":${f"$relHigh%.3f"}""" +
+      s""","throttle_probes":$probeJson""" +
+      s""","throttle_floor":${f"$throttleFloor%.3f"}}"""
     // the full JSON both prints (for humans) and persists to a file; the
     // LAST line printed is a SHORT self-contained summary (total + every
     // per-query second + the north-rule scaling numbers): the artifact
@@ -304,6 +329,7 @@ object Bench {
       s""","job_scaling_${pairHi}":${f"$effHighPair%.3f"}""" +
       s""","relative_efficiency_${pairLo}":${f"$relLow%.3f"}""" +
       s""","relative_efficiency_${pairHi}":${f"$relHigh%.3f"}""" +
+      s""","throttle_floor":${f"$throttleFloor%.3f"}""" +
       s""","detail_file":"${detailFile.toAbsolutePath}"}"""
     println(summary)
   }
@@ -324,8 +350,9 @@ object Bench {
     * hardware ceiling against which job scaling is judged on this
     * (vCPU-throttled, co-tenanted) sandbox.
     */
-  private def burnThroughput(threads: Int): Double = {
-    val per = 1500000000L // ~1s+ per burn: long enough to average co-tenant noise
+  private def burnThroughput(threads: Int, per: Long = 1500000000L): Double = {
+    // default ~1s+ per burn: long enough to average co-tenant noise;
+    // interleaved throttle probes pass a shorter budget (~0.2 s)
     val ts = (0 until threads).map { _ =>
       new Thread(() => {
         var h = 0L; var i = 0L

@@ -363,6 +363,52 @@ object SparkEntry {
           lit(vocab.size >= 300).as("vocab_several_hundred"))
     }),
 
+    // vocab-format interop (the two remaining de-facto formats): a
+    // trained vocab exported to HF tokenizer.json must reload losslessly
+    // and count identically over the corpus; a handcrafted tiktoken rank
+    // file (fixture chosen so every multi-byte token has exactly one
+    // valid split) must recover its exact merge table, with the
+    // rank-algorithm token counts verified in closed form
+    "q_bpe_vocab_io" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val trained = graft.textops.BpeTrain.learn(
+        docs.select(col("text")), col("text"), 1024)
+      val dir = java.nio.file.Files.createTempDirectory("graft-vocab")
+      val jsonPath = dir.resolve("tokenizer.json").toString
+      graft.textops.BpeTrain.writeTokenizerJson(trained, jsonPath)
+      val viaJson = graft.spark.BpeVocab.fromTokenizerJsonFile(jsonPath)
+      require(viaJson == trained, "tokenizer.json round-trip must be lossless")
+      // tiktoken fixture: all 256 single bytes + ab/cd/abcd — 'abcd'
+      // splits only as ab|cd ('a'+'bcd' and 'abc'+'d' are not tokens)
+      val b64 = java.util.Base64.getEncoder
+      val lines = (0 until 256).map(b =>
+          s"${b64.encodeToString(Array(b.toByte))} $b") ++
+        Seq("ab" -> 256, "cd" -> 257, "abcd" -> 258).map { case (tok, r) =>
+          s"${b64.encodeToString(tok.getBytes("UTF-8"))} $r" }
+      val tkPath = dir.resolve("fixture.model")
+      java.nio.file.Files.write(tkPath, lines.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val viaTk = graft.spark.BpeVocab.fromTiktokenFile(tkPath.toString)
+      require(viaTk.merges.toSeq == Seq(("a", "b"), ("c", "d"), ("ab", "cd")),
+        s"tiktoken merge recovery mismatch: ${viaTk.merges.toSeq}")
+      // closed form under the recovered table: "abcd abcd" → [abcd] +
+      // [Ġ, abcd] = 3; "xbcd" → [x, b, cd] = 3 (no (b,c) rule exists)
+      import org.apache.spark.unsafe.types.UTF8String
+      require(graft.spark.BpeCountExpr.count(
+        UTF8String.fromString("abcd abcd"), viaTk) == 3L, "tiktoken count")
+      require(graft.spark.BpeCountExpr.count(
+        UTF8String.fromString("xbcd"), viaTk) == 3L, "tiktoken count 2")
+      docs.select(col("lang"),
+          tf.bpe_token_count(col("text"), viaJson).as("__j"),
+          tf.bpe_token_count(col("text"), trained).as("__t"))
+        .groupBy("lang").agg(
+          count(lit(1)).as("cnt_docs"),
+          (sum(when(col("__j") =!= col("__t"), 1L).otherwise(0L)) === 0L)
+            .as("json_counts_equal"),
+          lit(true).as("json_roundtrip_lossless"),
+          lit(true).as("tiktoken_recovery_exact"))
+    }),
+
     // ---- north-rule sketch family (SURVEY.md §7.1 item 8) ----
     // count-min: per-source frequency estimates must bound the exact count
     // from above and stay under exact + eps*N (deterministic sketch)
@@ -2073,6 +2119,10 @@ object SparkEntry {
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT)
         |   AS sum_bpe_tokens,
         | TRUE AS all_exact, TRUE AS vocab_several_hundred
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_bpe_vocab_io" ->
+      """SELECT lang, count(*) AS cnt_docs, TRUE AS json_counts_equal,
+        | TRUE AS json_roundtrip_lossless, TRUE AS tiktoken_recovery_exact
         |FROM documents GROUP BY 1""".stripMargin,
     "q_hll_formats" ->
       "SELECT TRUE AS eq_8_6, TRUE AS eq_8_5, TRUE AS close_8_4, TRUE AS sizes_ok",

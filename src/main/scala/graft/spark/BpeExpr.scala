@@ -119,6 +119,105 @@ object BpeVocab {
     apply(merges, byteLevel)
   }
 
+  /** Load a Hugging Face `tokenizer.json` (the serialization every
+    * `tokenizers`-library BPE model ships as). Only the `model.merges`
+    * list matters for counting; both published layouts are accepted —
+    * merges as `"left right"` strings (tokenizers < 0.20) and as
+    * `["left", "right"]` two-element arrays (0.20+). `model.type` must
+    * be `"BPE"` (WordPiece/Unigram models have no merge list to load).
+    * Defaults to byte-level because that is the GPT-2/RoBERTa-family
+    * decomposition these files carry; the merge list itself is stored
+    * verbatim, so the round-trip through this loader is lossless.
+    *
+    * Driver-side read, like [[fromMergesFile]].
+    */
+  def fromTokenizerJsonFile(path: String, byteLevel: Boolean = true): BpeVocab = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(new java.io.File(path))
+    val model = root.get("model")
+    require(model != null && model.isObject, s"$path: no 'model' object")
+    val tpe = if (model.hasNonNull("type")) model.get("type").asText else "BPE"
+    require(tpe == "BPE",
+      s"$path: model.type '$tpe' has no BPE merge list to load")
+    val mergesNode = model.get("merges")
+    require(mergesNode != null && mergesNode.isArray,
+      s"$path: no 'model.merges' array")
+    val merges = mergesNode.elements().asScala.zipWithIndex.map {
+      case (n, i) =>
+        if (n.isArray) {
+          require(n.size == 2,
+            s"$path: merges[$i] must be a two-element array")
+          (n.get(0).asText, n.get(1).asText)
+        } else {
+          val parts = n.asText.split(' ')
+          require(parts.length == 2 && parts.forall(_.nonEmpty),
+            s"$path: merges[$i] '${n.asText}' must be two " +
+              "space-separated symbols")
+          (parts(0), parts(1))
+        }
+    }.toSeq
+    apply(merges, byteLevel)
+  }
+
+  /** Load a tiktoken `.model`/`.tiktoken` rank file (one
+    * `<base64 token bytes> <rank>` line per token) and recover the
+    * equivalent merge table. tiktoken's encoder has no merge list — an
+    * adjacent symbol pair is mergeable iff its CONCATENATION is a vocab
+    * token, with the concatenation's rank as priority — so the
+    * equivalent table has one entry per two-way split of every
+    * multi-byte token whose halves are both vocab tokens, ordered by
+    * (token rank, split position). A token with several valid splits
+    * yields several rules at adjacent table ranks; tiktoken breaks that
+    * tie leftmost-in-text while this table breaks it by split position,
+    * which can only matter when two splits of the SAME token are
+    * simultaneously live in one word — not observed in trained vocabs,
+    * documented here for the record. Tokens with no valid split (added
+    * special tokens) contribute no rule and are skipped. Always
+    * byte-level: tiktoken ranks are over raw UTF-8 bytes, which map
+    * through the GPT-2 byte-to-unicode table onto merge symbols.
+    */
+  def fromTiktokenFile(path: String): BpeVocab = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8).asScala
+    val b64 = java.util.Base64.getDecoder
+    // token symbol-string → rank, plus rank-ordered token list
+    val tokens = lines.iterator.zipWithIndex.filterNot(_._1.trim.isEmpty)
+      .map { case (l, i) =>
+        val parts = l.trim.split(' ')
+        require(parts.length == 2,
+          s"$path:${i + 1}: expected '<base64> <rank>', got '$l'")
+        val bytes =
+          try b64.decode(parts(0))
+          catch {
+            case e: IllegalArgumentException => throw new IllegalArgumentException(
+              s"$path:${i + 1}: bad base64 token '${parts(0)}'", e)
+          }
+        require(bytes.nonEmpty, s"$path:${i + 1}: empty token")
+        val sym = {
+          val cs = new Array[Char](bytes.length)
+          var k = 0
+          while (k < bytes.length) {
+            cs(k) = ByteBpe.byteToUnicode(bytes(k) & 0xff); k += 1
+          }
+          new String(cs)
+        }
+        sym -> parts(1).toInt
+      }.toSeq
+    val rankOf = new java.util.HashMap[String, Integer](tokens.size * 2)
+    tokens.foreach { case (sym, r) =>
+      require(rankOf.put(sym, r) == null, s"$path: duplicate token '$sym'")
+    }
+    val merges = tokens.sortBy(_._2).flatMap { case (sym, _) =>
+      (1 until sym.length).iterator.map(i =>
+        (sym.substring(0, i), sym.substring(i)))
+        .filter { case (a, b) => rankOf.containsKey(a) && rankOf.containsKey(b) }
+    }
+    apply(merges, byteLevel = true)
+  }
+
   /** Parse the SQL-literal form: merges separated by commas, each pair's
     * two symbols separated by one space — `"a l,al p,p h"`. The grammar
     * cannot express symbols that CONTAIN a comma (e.g. the merge

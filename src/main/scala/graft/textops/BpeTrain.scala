@@ -261,4 +261,25 @@ object BpeTrain {
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
+
+  /** Export as a Hugging Face `tokenizer.json` (modern layout: merges as
+    * two-element arrays; jackson handles symbol escaping). Carries only
+    * what [[graft.spark.BpeVocab.fromTokenizerJsonFile]] reads —
+    * `model.type` and `model.merges` — so the round-trip is lossless by
+    * construction.
+    */
+  def writeTokenizerJson(vocab: BpeVocab, path: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val model = root.putObject("model")
+    model.put("type", "BPE")
+    val arr = model.putArray("merges")
+    vocab.merges.foreach { case (a, b) =>
+      val pair = arr.addArray(); pair.add(a); pair.add(b)
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    ()
+  }
 }

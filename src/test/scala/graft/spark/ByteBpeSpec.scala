@@ -108,6 +108,125 @@ class ByteBpeSpec extends AnyFunSuite with SparkTestBase {
     assert(BpeVocab.parse("").size == 0)
   }
 
+  test("tokenizer.json: both published layouts, round-trip, escaping, rejects") {
+    val dir = java.nio.file.Files.createTempDirectory("tokjson")
+    // modern layout: merges as two-element arrays
+    val pArr = dir.resolve("arr.json")
+    java.nio.file.Files.write(pArr,
+      """{"model":{"type":"BPE","vocab":{"t":0},"merges":[["t","h"],["th","e"]]}}"""
+        .getBytes("UTF-8"))
+    val vArr = BpeVocab.fromTokenizerJsonFile(pArr.toString)
+    assert(vArr.byteLevel && vArr.merges.toSeq == Seq(("t", "h"), ("th", "e")))
+    // legacy layout: merges as "left right" strings
+    val pStr = dir.resolve("str.json")
+    java.nio.file.Files.write(pStr,
+      """{"model":{"type":"BPE","merges":["t h","th e"]}}""".getBytes("UTF-8"))
+    assert(BpeVocab.fromTokenizerJsonFile(pStr.toString) == vArr)
+    // writer round-trip is lossless, including symbols jackson must
+    // escape (the printable '"' byte maps to itself in byte-level mode)
+    val tricky = BpeVocab(Seq(("\"", "a"), ("\\", "b"), ("Ġ", "t")),
+      byteLevel = true)
+    val pOut = dir.resolve("out.json").toString
+    BpeTrain.writeTokenizerJson(tricky, pOut)
+    assert(BpeVocab.fromTokenizerJsonFile(pOut) == tricky)
+    // non-BPE models carry no merge list: fail loudly
+    val pUni = dir.resolve("uni.json")
+    java.nio.file.Files.write(pUni,
+      """{"model":{"type":"Unigram","vocab":[]}}""".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      BpeVocab.fromTokenizerJsonFile(pUni.toString)
+    }
+    assert(e.getMessage.contains("Unigram"))
+    // no model.merges at all
+    val pNone = dir.resolve("none.json")
+    java.nio.file.Files.write(pNone, """{"model":{"type":"BPE"}}""".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      BpeVocab.fromTokenizerJsonFile(pNone.toString)
+    }
+  }
+
+  test("tiktoken: merge recovery, ambiguity order, specials skipped, errors") {
+    val dir = java.nio.file.Files.createTempDirectory("tiktoken")
+    val b64 = java.util.Base64.getEncoder
+    def line(tok: String, r: Int) =
+      s"${b64.encodeToString(tok.getBytes("UTF-8"))} $r"
+    // singles + unique-split multi tokens + one ambiguous token
+    // ("abab": a|bab no, ab|ab YES, aba|b no) + ("aa": a|a yes) +
+    // ("aaa": a|aa AND aa|a — both valid, split-position order) +
+    // a special token with NO valid split ("xyz": x,y,z singles absent)
+    val toks = Seq("a" -> 0, "b" -> 1, "ab" -> 2, "abab" -> 3,
+      "aa" -> 4, "aaa" -> 5, "xyz" -> 6)
+    val p = dir.resolve("v.model")
+    java.nio.file.Files.write(p,
+      toks.map((line _).tupled).mkString("\n").getBytes("UTF-8"))
+    val v = BpeVocab.fromTiktokenFile(p.toString)
+    assert(v.byteLevel)
+    assert(v.merges.toSeq == Seq(
+      ("a", "b"), ("ab", "ab"), ("a", "a"), ("a", "aa"), ("aa", "a")))
+    // the rank algorithm agrees with the recovered merge table on the
+    // pre-token everyone cares about
+    assert(byteTokens("abab", v) == Seq("abab"))
+    assert(byteTokens("aaa", v) == Seq("aaa"))
+    assert(byteTokens("xyz", v) == Seq("x", "y", "z"))
+    // errors: duplicate token, malformed base64, bad field count
+    val pDup = dir.resolve("dup.model")
+    java.nio.file.Files.write(pDup,
+      (line("a", 0) + "\n" + line("a", 1)).getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { BpeVocab.fromTiktokenFile(pDup.toString) }
+    val pBad = dir.resolve("bad.model")
+    java.nio.file.Files.write(pBad, "!!notb64!! 0".getBytes("UTF-8"))
+    val eBad = intercept[IllegalArgumentException] {
+      BpeVocab.fromTiktokenFile(pBad.toString)
+    }
+    assert(eBad.getMessage.contains("bad.model:1"))
+    val pThree = dir.resolve("three.model")
+    java.nio.file.Files.write(pThree, "YQ== 0 extra".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] { BpeVocab.fromTiktokenFile(pThree.toString) }
+  }
+
+  test("tiktoken recovery counts like the rank algorithm itself") {
+    // independent reference: tiktoken's published encoder loop — merge
+    // the adjacent pair whose CONCATENATION has the lowest rank,
+    // leftmost on ties, until none concatenates to a vocab token
+    val rankOf = Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3, "Ġ" -> 4,
+      "ab" -> 256, "cd" -> 257, "abcd" -> 258, "Ġa" -> 259, "Ġab" -> 260)
+    def rankEncode(word: Array[String]): Int = {
+      var syms = word.toVector
+      var done = false
+      while (!done && syms.length > 1) {
+        val cands = syms.indices.dropRight(1)
+          .flatMap(i => rankOf.get(syms(i) + syms(i + 1)).map(r => (r, i)))
+        if (cands.isEmpty) done = true
+        else {
+          val (_, i) = cands.min
+          syms = syms.patch(i, Seq(syms(i) + syms(i + 1)), 2)
+        }
+      }
+      syms.length
+    }
+    val dir = java.nio.file.Files.createTempDirectory("tiktoken2")
+    val b64 = java.util.Base64.getEncoder
+    val p = dir.resolve("r.model")
+    java.nio.file.Files.write(p, rankOf.toSeq.sortBy(_._2).map { case (t, r) =>
+      s"${b64.encodeToString(ByteBpe.decode(t))} $r"
+    }.mkString("\n").getBytes("UTF-8"))
+    val v = BpeVocab.fromTiktokenFile(p.toString)
+    // deterministic pseudo-random letter strings, pre-tokenized the
+    // same way the kernel does (GPT-2 regex + byte mapping)
+    val rnd = new scala.util.Random(20260818L)
+    (1 to 200).foreach { _ =>
+      val s = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => "abcd".charAt(rnd.nextInt(4))).mkString ++
+        (if (rnd.nextBoolean()) " " + (1 to (1 + rnd.nextInt(6)))
+          .map(_ => "abcd".charAt(rnd.nextInt(4))).mkString else "")
+      val m = ByteBpe.pretokenPattern.matcher(s)
+      var expected = 0
+      while (m.find()) expected += rankEncode(ByteBpe.symbols(s, m.start(), m.end()))
+      val got = BpeCountExpr.count(UTF8String.fromString(s), v)
+      assert(got == expected, s"'$s': kernel $got vs rank algorithm $expected")
+    }
+  }
+
   test("trainer: hand-traceable fixture, determinism, frequency order") {
     val types = Array(("low", 2L), ("top", 10L))
     val v = BpeTrain.learnFromTypes(types, 100, byteLevel = true, minPairCount = 2)
