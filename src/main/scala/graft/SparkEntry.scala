@@ -51,6 +51,65 @@ object SparkEntry {
         concat(lit("doc "), col("doc_id"), lit(" body")),
         concat(lit("tail "), pmod(col("doc_id"), lit(97L)))).as("text"))
 
+  /** q_line_norm corpus: the banner recurs in THREE whitespace
+    * perturbations (leading spaces / internal tab / trailing space) that
+    * share one normalized form. Each raw variant lands in ~1/15 of docs
+    * — below the minDocs=count/10 threshold — while the normalized form
+    * covers ~1/5: only normalization makes the banner hot, which is
+    * exactly the RefinedWeb-style failure mode the option exists for.
+    */
+  private def lineNormCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat_ws("\n",
+        when(pmod(col("doc_id"), lit(3L)) === 0,
+          concat(lit("  banner "), pmod(col("doc_id"), lit(5L))))
+          .when(pmod(col("doc_id"), lit(3L)) === 1,
+            concat(lit("banner\t "), pmod(col("doc_id"), lit(5L))))
+          .otherwise(concat(lit("banner "), pmod(col("doc_id"), lit(5L)), lit(" "))),
+        concat(lit("doc "), col("doc_id"), lit(" body")),
+        lit(""),
+        concat(lit("tail "), pmod(col("doc_id"), lit(97L)))).as("text"))
+
+  /** Shared oracle for q_line_norm / q_line_norm_join: the full
+    * normalize-resolve-remove recompute in SQL. The normalization regex
+    * is [[graft.spark.LineNorm.RunPattern]] spelled with chr() (DuckDB
+    * string literals do not interpret backslash escapes), with the 'g'
+    * flag — DuckDB's regexp_replace is first-match-only without it.
+    */
+  private val lineNormOracle: String =
+    """WITH built AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN '  banner ' || (doc_id % 5)
+      |         WHEN doc_id % 3 = 1 THEN 'banner' || chr(9) || ' ' || (doc_id % 5)
+      |         ELSE 'banner ' || (doc_id % 5) || ' ' END || chr(10) ||
+      |    'doc ' || doc_id || ' body' || chr(10) ||
+      |    chr(10) ||
+      |    'tail ' || (doc_id % 97) AS text
+      |  FROM documents),
+      |lines AS (
+      |  SELECT b.doc_id, g.range AS pos,
+      |    string_split(b.text, chr(10))[g.range] AS line
+      |  FROM built b CROSS JOIN range(1, 64) g
+      |  WHERE g.range <= len(string_split(b.text, chr(10)))),
+      |normed AS (
+      |  SELECT doc_id, pos, line,
+      |    trim(regexp_replace(line,
+      |      '[ ' || chr(9) || chr(13) || chr(10) || chr(12) || ']+',
+      |      ' ', 'g')) AS norm
+      |  FROM lines),
+      |hot AS (
+      |  SELECT norm FROM normed WHERE norm <> ''
+      |  GROUP BY norm
+      |  HAVING count(DISTINCT doc_id) >=
+      |    greatest(2, (SELECT count(*) FROM documents) // 10)),
+      |kept AS (
+      |  SELECT doc_id, pos, line FROM normed
+      |  WHERE norm = '' OR norm NOT IN (SELECT norm FROM hot))
+      |SELECT b.doc_id,
+      |  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+      |FROM built b LEFT JOIN kept k ON b.doc_id = k.doc_id
+      |GROUP BY b.doc_id""".stripMargin
+
   /** Streaming gates drive tiny MemoryStream batches where each
     * microbatch pays per-STATE-PARTITION fixed work — incremental
     * re-planning, one state-store commit, offset/commit-log writes per
@@ -950,6 +1009,32 @@ object SparkEntry {
       val minDocs = math.max(2L, t(s, d, "documents").count() / 10)
       graft.textops.LineDedup
         .removeRepeatedLinesViaJoin(built, "doc_id", "text", minDocs)
+        .select(col("doc_id"), col("text"))
+    }),
+
+    // whitespace normalization (opt-in): banner variants that differ
+    // only in surrounding/internal whitespace dedup together — the raw
+    // variants each sit BELOW minDocs, so any hit in the output proves
+    // normalization drove the resolution, and survivors must keep their
+    // original (un-normalized) bytes; oracle recomputes wholesale in SQL
+    "q_line_norm" -> ((s, d) => {
+      val built = lineNormCorpus(t(s, d, "documents"))
+      val minDocs = math.max(2L, t(s, d, "documents").count() / 10)
+      graft.textops.LineDedup
+        .removeRepeatedLines(built, "doc_id", "text", minDocs,
+          normalize = true)
+        .select(col("doc_id"), col("text"))
+    }),
+
+    // the join path under normalization: same corpus, threshold, and
+    // oracle as q_line_norm — both paths must reproduce the SQL
+    // recompute byte-for-byte
+    "q_line_norm_join" -> ((s, d) => {
+      val built = lineNormCorpus(t(s, d, "documents"))
+      val minDocs = math.max(2L, t(s, d, "documents").count() / 10)
+      graft.textops.LineDedup
+        .removeRepeatedLinesViaJoin(built, "doc_id", "text", minDocs,
+          normalize = true)
         .select(col("doc_id"), col("text"))
     }),
 
@@ -2045,6 +2130,8 @@ object SparkEntry {
         |  coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
         |FROM built b LEFT JOIN kept k ON b.doc_id = k.doc_id
         |GROUP BY b.doc_id""".stripMargin,
+    "q_line_norm" -> lineNormOracle,
+    "q_line_norm_join" -> lineNormOracle,
     "q_pii" ->
       """SELECT doc_id,
         | '<EMAIL>' ||

@@ -55,14 +55,44 @@ object LineSet {
   }
 }
 
+/** Whitespace normalization shared by every [[graft.textops.LineDedup]]
+  * phase when its `normalize` option is on: runs of `[ \t\r\n\f]+`
+  * collapse to one space, then the (single) leading/trailing space is
+  * stripped. The char class is EXPLICIT, not `\s`, because the three
+  * engines that must agree byte-for-byte — this kernel (Java regex),
+  * Spark's regexp_replace (Java regex), and the DuckDB oracle (RE2) —
+  * disagree on `\s` itself (Java includes U+000B, RE2 does not).
+  */
+object LineNorm {
+
+  /** The collapse pattern, as a string so the Spark/DuckDB SQL sides can
+    * embed the identical regex.
+    */
+  final val RunPattern = "[ \\t\\r\\n\\f]+"
+
+  private val Run = java.util.regex.Pattern.compile(RunPattern)
+
+  def normalize(s: String): String = {
+    val c = Run.matcher(s).replaceAll(" ")
+    val from = if (c.startsWith(" ")) 1 else 0
+    val until = if (c.length > from && c.endsWith(" ")) c.length - 1 else c.length
+    c.substring(from, until)
+  }
+}
+
 /** Zero-shuffle removal kernel: drop every segment of `text` (split on
   * the literal `sep`) that is a member of `set`, re-joining survivors
   * with `sep`. Empty segments are preserved verbatim ([[LineSet]]
   * forbids them as members), and trailing separators survive as the
   * empty segments they delimit — the contract is exactly
   * `sep.join(seg for seg in text.split(sep, -1) if seg not in set)`.
+  * With `normalize` on, membership is probed with the segment's
+  * [[LineNorm]] form (the set then holds normalized lines); SURVIVING
+  * segments keep their original bytes, and a segment that normalizes to
+  * empty is structure and always survives.
   */
-case class RemoveLinesExpr(child: Expression, set: LineSet, sep: String)
+case class RemoveLinesExpr(child: Expression, set: LineSet, sep: String,
+    normalize: Boolean = false)
   extends UnaryExpression {
 
   require(sep.nonEmpty, "separator must be non-empty")
@@ -79,13 +109,14 @@ case class RemoveLinesExpr(child: Expression, set: LineSet, sep: String)
       s"$prettyName expects a string column, got ${child.dataType.catalogString}")
 
   protected override def nullSafeEval(input: Any): Any =
-    RemoveLinesExpr.remove(input.asInstanceOf[UTF8String], set, sep)
+    RemoveLinesExpr.remove(input.asInstanceOf[UTF8String], set, sep, normalize)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setRef = ctx.addReferenceObj("lineSet", set, "graft.spark.LineSet")
     val sepRef = ctx.addReferenceObj("lineSep", sep, "java.lang.String")
     nullSafeCodeGen(ctx, ev, s =>
-      s"${ev.value} = graft.spark.RemoveLinesExpr.remove($s, $setRef, $sepRef);")
+      s"${ev.value} = graft.spark.RemoveLinesExpr.remove($s, $setRef, $sepRef, " +
+        s"$normalize);")
   }
 
   override protected def withNewChildInternal(c: Expression): RemoveLinesExpr =
@@ -94,7 +125,8 @@ case class RemoveLinesExpr(child: Expression, set: LineSet, sep: String)
 
 object RemoveLinesExpr {
 
-  def remove(text: UTF8String, set: LineSet, sep: String): UTF8String = {
+  def remove(text: UTF8String, set: LineSet, sep: String,
+      normalize: Boolean = false): UTF8String = {
     val s = text.toString
     val sb = new java.lang.StringBuilder(s.length)
     var first = true
@@ -104,7 +136,8 @@ object RemoveLinesExpr {
       val hit = s.indexOf(sep, start)
       val end = if (hit < 0) s.length else hit
       val seg = s.substring(start, end)
-      if (seg.isEmpty || !set.contains(seg)) {
+      val key = if (normalize) LineNorm.normalize(seg) else seg
+      if (key.isEmpty || !set.contains(key)) {
         if (!first) sb.append(sep)
         sb.append(seg)
         first = false

@@ -40,9 +40,22 @@ import graft.spark.{LineSet, RemoveLinesExpr}
   */
 object LineDedup {
 
+  /** One line's dedup key: the line itself, or with `normalize` its
+    * [[graft.spark.LineNorm]] form (trim + collapse internal whitespace
+    * runs) — hot boilerplate frequently differs only in surrounding
+    * whitespace, and normalizing identically in frequency, resolution,
+    * and removal makes those banner variants dedup together. The regex
+    * is [[graft.spark.LineNorm.RunPattern]] so the SQL side collapses
+    * byte-identically to the removal kernel.
+    */
+  private def lineKey(line: org.apache.spark.sql.Column, normalize: Boolean) =
+    if (normalize) trim(regexp_replace(line, graft.spark.LineNorm.RunPattern, " "))
+    else line
+
   /** Exact repeated lines: every non-empty line appearing in at least
     * `minDocs` distinct documents, with its distinct-doc count —
-    * phases 1-2 above. Output: (line STRING, doc_count BIGINT).
+    * phases 1-2 above. Output: (line STRING, doc_count BIGINT); with
+    * `normalize` the reported line is the normalized form.
     */
   def repeatedLines(
       df: DataFrame,
@@ -50,12 +63,14 @@ object LineDedup {
       textCol: String,
       minDocs: Long,
       sep: String = "\n",
-      maxCandidateHashes: Long = 2L << 20): DataFrame = {
+      maxCandidateHashes: Long = 2L << 20,
+      normalize: Boolean = false): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val sepLit = java.util.regex.Pattern.quote(sep)
     val lines = df.select(
         col(idCol).as("__id"),
-        explode(split(col(textCol), sepLit)).as("__line"))
+        explode(split(col(textCol), sepLit)).as("__raw"))
+      .select(col("__id"), lineKey(col("__raw"), normalize).as("__line"))
       .filter(length(col("__line")) > 0)
     // phase 1: fixed-width (id, hash) only through the corpus shuffle.
     // EAGER: materialized (checkpoint-knob-aware) and guard-counted
@@ -102,8 +117,10 @@ object LineDedup {
       minDocs: Long,
       sep: String = "\n",
       maxHotLines: Int = 1 << 20,
-      maxCandidateHashes: Long = 2L << 20): DataFrame = {
-    val hot = repeatedLines(df, idCol, textCol, minDocs, sep, maxCandidateHashes)
+      maxCandidateHashes: Long = 2L << 20,
+      normalize: Boolean = false): DataFrame = {
+    val hot = repeatedLines(df, idCol, textCol, minDocs, sep,
+        maxCandidateHashes, normalize)
       .select("line")
       .limit(maxHotLines + 1)
       .collect()
@@ -111,17 +128,19 @@ object LineDedup {
     require(hot.length <= maxHotLines,
       s"more than $maxHotLines repeated lines at minDocs=$minDocs; raise " +
         "minDocs (the threshold is catching ordinary text) or maxHotLines")
-    withLinesRemoved(df, textCol, LineSet(hot), sep)
+    withLinesRemoved(df, textCol, LineSet(hot), sep, normalize)
   }
 
   /** The zero-shuffle removal projection against an already-resolved
     * hot set (exposed so one resolution can rewrite many tables, e.g.
     * train and validation splits against the train-corpus hot set).
+    * `normalize` must match the resolution that built `hot` (the set
+    * then holds normalized lines and segments probe by normalized form).
     */
   def withLinesRemoved(df: DataFrame, textCol: String, hot: LineSet,
-      sep: String = "\n"): DataFrame =
+      sep: String = "\n", normalize: Boolean = false): DataFrame =
     df.withColumn(textCol, Bridge.column(
-      RemoveLinesExpr(Bridge.expression(col(textCol)), hot, sep)))
+      RemoveLinesExpr(Bridge.expression(col(textCol)), hot, sep, normalize)))
 
   /** Join-based removal for hot sets too large to ride as a per-task
     * reference object (the [[removeRepeatedLines]] caps exist because
@@ -160,16 +179,21 @@ object LineDedup {
       textCol: String,
       minDocs: Long,
       sep: String = "\n",
-      maxCandidateHashes: Long = 2L << 20): DataFrame = {
+      maxCandidateHashes: Long = 2L << 20,
+      normalize: Boolean = false): DataFrame = {
     val hot = Materialize(
-      repeatedLines(df, idCol, textCol, minDocs, sep, maxCandidateHashes)
+      repeatedLines(df, idCol, textCol, minDocs, sep, maxCandidateHashes,
+          normalize)
         .withColumn("__lh", xxhash64(col("line"))))
     val sepLit = java.util.regex.Pattern.quote(sep)
+    // __line keeps the original bytes (survivors reassemble verbatim);
+    // __key is what membership means under the normalize option
     val lines = df.select(
         col(idCol).as("__id"),
         posexplode(split(col(textCol), sepLit)).as(Seq("__pos", "__line")))
+      .withColumn("__key", lineKey(col("__line"), normalize))
     val affectedIds = Materialize(lines
-      .select(col("__id"), xxhash64(col("__line")).as("__lh"))
+      .select(col("__id"), xxhash64(col("__key")).as("__lh"))
       .join(hot.select("__lh"), Seq("__lh"), "left_semi")
       .select(col("__id").as("__aid")).distinct())
     val nAffected = affectedIds.count()
@@ -186,8 +210,8 @@ object LineDedup {
       .prefilteredSemiJoinWith(lines, affectedIds, "__id", "__aid",
         affectedFilter)
       .join(hot.select(col("__lh"), col("line").as("__hotline")),
-        xxhash64(col("__line")) === col("__lh") &&
-          col("__line") === col("__hotline"), "left")
+        xxhash64(col("__key")) === col("__lh") &&
+          col("__key") === col("__hotline"), "left")
       .groupBy("__id")
       .agg(array_join(
         transform(

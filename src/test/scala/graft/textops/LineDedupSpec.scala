@@ -161,6 +161,81 @@ class LineDedupSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("doc_id") === 0L).collect().head.getString(1))
   }
 
+  test("LineNorm: collapse + trim, explicit char class, idempotence") {
+    import graft.spark.LineNorm.normalize
+    assert(normalize("  banner 3") == "banner 3")
+    assert(normalize("banner\t 3") == "banner 3")
+    assert(normalize("banner 3 ") == "banner 3")
+    assert(normalize("\t a \r\n b \f ") == "a b")
+    assert(normalize("") == "")
+    assert(normalize(" ") == "")
+    assert(normalize("\t\r\f") == "")
+    assert(normalize("already clean") == "already clean")
+    // U+000B is deliberately NOT collapsed (Java/RE2 \s disagreement —
+    // the class is explicit so all three engines match byte-for-byte)
+    assert(normalize("a\u000Bb") == "a\u000Bb")
+    assert(normalize(normalize("  x \t y ")) == normalize("  x \t y "))
+  }
+
+  /** 30 docs where the banner appears in three whitespace perturbations
+    * (10 docs each) sharing one normalized form.
+    */
+  private def perturbedCorpus() = (0 until 30).map { i =>
+    val banner = (i % 3) match {
+      case 0 => s"  $Banner"
+      case 1 => Banner.replaceFirst(" ", "\t ")
+      case _ => s"$Banner "
+    }
+    (i.toLong, s"$banner\nbody of document $i\n\ntail $i")
+  }.toDF("doc_id", "text")
+
+  test("normalize: perturbed banners dedup together; raw mode leaves them cold") {
+    val df = perturbedCorpus()
+    // raw: each variant in 10 docs < minDocs=15 — nothing is hot
+    assert(LineDedup.repeatedLines(df, "doc_id", "text", 15).count() == 0)
+    // normalized: one hot line covering all 30 docs, reported normalized
+    val hot = LineDedup.repeatedLines(df, "doc_id", "text", 15,
+        normalize = true)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(hot.toSeq == Seq((Banner, 30L)))
+    // removal drops every variant; survivors keep ORIGINAL bytes
+    val expected = df.collect().map { r =>
+      r.getLong(0) -> r.getString(1).split("\n", -1)
+        .filter(l => graft.spark.LineNorm.normalize(l) != Banner)
+        .mkString("\n")
+    }.toMap
+    val ref = LineDedup.removeRepeatedLines(df, "doc_id", "text", 15,
+        normalize = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(ref == expected)
+    assert(ref(0L) == "body of document 0\n\ntail 0")
+    // the join path agrees row for row
+    val join = LineDedup.removeRepeatedLinesViaJoin(df, "doc_id", "text", 15,
+        normalize = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(join == ref)
+    // raw-mode removal at the same threshold touches nothing
+    val raw = LineDedup.removeRepeatedLines(df, "doc_id", "text", 15)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(raw == df.collect().map(r => (r.getLong(0), r.getString(1))).toMap)
+  }
+
+  test("normalize: whitespace-only segments are structure, never removed") {
+    // "  " normalizes to empty — must survive like a true empty line
+    // even when OTHER lines are hot
+    val df = (0 until 6).map(i => (i.toLong, s"HOT LINE\n  \nu$i"))
+      .toDF("doc_id", "text")
+    val out = LineDedup.removeRepeatedLines(df, "doc_id", "text", 5,
+        normalize = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(0L) == "  \nu0")
+    // and a whitespace-only line recurring everywhere is never hot
+    assert(LineDedup.repeatedLines(df.select(col("doc_id"),
+        concat(lit("  \n"), col("text")).as("text")),
+      "doc_id", "text", 5, normalize = true)
+      .collect().map(_.getString(0)).toSet == Set("HOT LINE"))
+  }
+
   test("candidate-hash guard fires BEFORE the broadcast, same hint") {
     // two hot lines but a guard of 1: the eager phase-1 count must trip
     // (an over-permissive minDocs may not reach the broadcast/OOM)
