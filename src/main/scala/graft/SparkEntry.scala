@@ -1369,6 +1369,66 @@ object SparkEntry {
     // composed training-data pipeline with a fully EXACT oracle: quality
     // filter -> exact dedup (min doc_id wins, its row carries through) ->
     // per-lang doc counts and token sums; DuckDB replays every stage
+    // the full release pipeline in ONE gate — extract (with dead-letter
+    // drop) → repetition filter → PII scrub → line dedup → exact near-dup
+    // dedup → decontaminate → per-source quota → token-budget pack —
+    // every stage's outcome planted by doc_id%12 role arithmetic so the
+    // oracle recomputes the FINAL packed output (id, text, shard)
+    // wholesale in SQL. Roles: 0 = unterminated-comment HTML (dead
+    // letter), 1 = 5-gram spam (repetition filter), 2 = carries the eval
+    // 5-gram (decontaminated), 3 = shared constant body (dedup keeps the
+    // min id), else clean. Every doc gets a hot banner and a contact
+    // line whose scrubbed form is corpus-identical — line dedup removes
+    // both, so each survivor reaches packing as its body line alone.
+    "q_release_pipeline" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("source"))
+      val role = pmod(col("doc_id"), lit(12L))
+      val spamBody = ("spam ham " * 20).trim
+      val evalGram = "zeta eta theta iota kappa"
+      val body = when(role === 3, lit("duplicate shared body"))
+        .when(role === 2, concat(lit("doc "), col("doc_id"), lit(s" $evalGram")))
+        .when(role === 1, lit(spamBody))
+        .otherwise(concat(lit("doc "), col("doc_id"), lit(" alpha beta gamma delta")))
+      val inner = concat_ws("\n",
+        lit("subscribe to our newsletter"),
+        concat(lit("contact u"), col("doc_id"), lit("@x.com today")),
+        body)
+      val html = concat(lit("<html><body><p>"), inner, lit("</p></body></html>"),
+        when(role === 0, lit("<!-- never closed")).otherwise(lit("")))
+      // 1-2. extract with status channel; dead letters drop
+      val extracted = docs.select(col("doc_id"), col("source"),
+          tf.html_extract_status(html).as("__e"))
+        .filter(col("__e").getField("status") === "ok")
+        .select(col("doc_id"), col("source"),
+          col("__e").getField("text").as("text"))
+      // 3. repetition filter (planted spam ~1.0, everything else exactly 0)
+      val unflagged = extracted
+        .filter(tf.dup_ngram_char_fraction(col("text"), 5) < 0.5)
+      // 4. PII scrub (normalizes every contact line to one hot form)
+      val scrubbed = unflagged.select(col("doc_id"), col("source"),
+        tf.pii_scrub(col("text")).getField("text").as("text"))
+      // 5. line dedup: banner + scrubbed contact are corpus-hot; the
+      // role-3 shared body (1/12 of docs) stays safely below n/2
+      val n2 = scrubbed.count()
+      val lineDeduped = graft.textops.LineDedup.removeRepeatedLines(
+        scrubbed, "doc_id", "text", minDocs = math.max(2L, n2 / 2))
+      // 6. exact dedup, min id wins
+      val deduped = graft.textops.Dedup.exactDedup(lineDeduped, "doc_id", "text")
+      // 7. decontaminate against the eval set (5-gram hit)
+      val cleaned = graft.textops.Decontaminate.clean(
+        deduped, "doc_id", "text",
+        Seq(evalGram).toDF("etext"), "etext", n = 5)
+      // 8. per-source quota, deterministic id order
+      val quotad = graft.textops.Sampling.capPerKey(cleaned, "source", k = 5,
+        orderBy = col("doc_id").asc, tieBreak = col("doc_id"))
+      // 9. token-budget packing of the released docs
+      graft.pipeline.Packing.packByBudget(quotad, "doc_id",
+          size(split(trim(col("text")), "\\s+")).cast("long"),
+          budget = 50, buckets = 16)
+        .select(col("doc_id"), col("text"), col("shard"))
+    }),
+
     "q_pipeline_compose" -> ((s, d) => {
       val docs = t(s, d, "documents")
         .withColumn("qs", tf.quality_score(col("text")))
@@ -1843,6 +1903,34 @@ object SparkEntry {
       """SELECT lang, count(DISTINCT text) AS exact_dc,
         | TRUE AS salted_byte_identical, TRUE AS within_bound
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_release_pipeline" ->
+      """WITH roles AS (
+        |  SELECT doc_id, source, doc_id % 12 AS r FROM documents),
+        |texted AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN r = 3 THEN 'duplicate shared body'
+        |         WHEN r = 2 THEN 'doc ' || doc_id || ' zeta eta theta iota kappa'
+        |         ELSE 'doc ' || doc_id || ' alpha beta gamma delta' END AS text
+        |  FROM roles WHERE r NOT IN (0, 1)),
+        |dedup AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM texted) WHERE rn = 1),
+        |clean AS (
+        |  SELECT * FROM dedup
+        |  WHERE text NOT LIKE '%zeta eta theta iota kappa%'),
+        |quota AS (
+        |  SELECT doc_id, source, text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS qn
+        |    FROM clean) WHERE qn <= 5),
+        |counted AS (
+        |  SELECT doc_id, text,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS t,
+        |    sum(len(regexp_split_to_array(trim(text), '\s+')))
+        |      OVER (ORDER BY doc_id) AS c
+        |  FROM quota)
+        |SELECT doc_id, text, CAST(floor((c - t) / 50.0) AS BIGINT) AS shard
+        |FROM counted""".stripMargin,
     "q_pipeline_compose" ->
       """WITH q AS (
         |  SELECT doc_id, text, lang,
