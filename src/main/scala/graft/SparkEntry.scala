@@ -20,6 +20,17 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  // Driver-side BPE gate fixtures (train → write file → reload, with the
+  // round-trip requires) are deterministic per SF dir and moderately
+  // expensive — cache per process so Verify re-runs and Bench's
+  // warm-up + best-of-2 executions time the distributed count, not the
+  // fixture prep, and no invocation leaks another temp file
+  // (review-caught). Temp paths register for JVM-exit deletion.
+  private val bpeFileVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.spark.BpeVocab]
+  private val vocabIoCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (graft.spark.BpeVocab, graft.spark.BpeVocab)]
+
   /** err(approx, exact) <= bound, null-safe for exact=0. */
   private def withinBound(approx: Column, exact: Column, bound: Double): Column =
     when(exact === 0L, approx === 0L)
@@ -403,14 +414,18 @@ object SparkEntry {
     // table, pre-tokenizer, or merge loop all flip all_exact to false.
     "q_bpe_file" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val corpus = docs.select(col("text"))
-        .unionAll(docs.select(initcap(col("text")).as("text")))
-        .unionAll(docs.select(upper(col("text")).as("text")))
-      val trained = graft.textops.BpeTrain.learn(corpus, col("text"), 4096)
-      val path = java.nio.file.Files.createTempFile("graft-merges", ".txt")
-      graft.textops.BpeTrain.writeMergesFile(trained, path.toString)
-      val vocab = graft.spark.BpeVocab.fromMergesFile(path.toString)
-      require(vocab == trained, "merges.txt round-trip must be lossless")
+      val vocab = bpeFileVocabCache.computeIfAbsent(d, _ => {
+        val corpus = docs.select(col("text"))
+          .unionAll(docs.select(initcap(col("text")).as("text")))
+          .unionAll(docs.select(upper(col("text")).as("text")))
+        val trained = graft.textops.BpeTrain.learn(corpus, col("text"), 4096)
+        val path = java.nio.file.Files.createTempFile("graft-merges", ".txt")
+        path.toFile.deleteOnExit()
+        graft.textops.BpeTrain.writeMergesFile(trained, path.toString)
+        val loaded = graft.spark.BpeVocab.fromMergesFile(path.toString)
+        require(loaded == trained, "merges.txt round-trip must be lossless")
+        loaded
+      })
       docs.select(col("lang"),
           tf.bpe_token_count(col("text"), vocab).as("__n"),
           size(split(col("text"), " ")).cast("long").as("__w"))
@@ -430,33 +445,41 @@ object SparkEntry {
     // rank-algorithm token counts verified in closed form
     "q_bpe_vocab_io" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val trained = graft.textops.BpeTrain.learn(
-        docs.select(col("text")), col("text"), 1024)
-      val dir = java.nio.file.Files.createTempDirectory("graft-vocab")
-      val jsonPath = dir.resolve("tokenizer.json").toString
-      graft.textops.BpeTrain.writeTokenizerJson(trained, jsonPath)
-      val viaJson = graft.spark.BpeVocab.fromTokenizerJsonFile(jsonPath)
-      require(viaJson == trained, "tokenizer.json round-trip must be lossless")
-      // tiktoken fixture: all 256 single bytes + ab/cd/abcd — 'abcd'
-      // splits only as ab|cd ('a'+'bcd' and 'abc'+'d' are not tokens)
-      val b64 = java.util.Base64.getEncoder
-      val lines = (0 until 256).map(b =>
-          s"${b64.encodeToString(Array(b.toByte))} $b") ++
-        Seq("ab" -> 256, "cd" -> 257, "abcd" -> 258).map { case (tok, r) =>
-          s"${b64.encodeToString(tok.getBytes("UTF-8"))} $r" }
-      val tkPath = dir.resolve("fixture.model")
-      java.nio.file.Files.write(tkPath, lines.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      val viaTk = graft.spark.BpeVocab.fromTiktokenFile(tkPath.toString)
-      require(viaTk.merges.toSeq == Seq(("a", "b"), ("c", "d"), ("ab", "cd")),
-        s"tiktoken merge recovery mismatch: ${viaTk.merges.toSeq}")
-      // closed form under the recovered table: "abcd abcd" → [abcd] +
-      // [Ġ, abcd] = 3; "xbcd" → [x, b, cd] = 3 (no (b,c) rule exists)
-      import org.apache.spark.unsafe.types.UTF8String
-      require(graft.spark.BpeCountExpr.count(
-        UTF8String.fromString("abcd abcd"), viaTk) == 3L, "tiktoken count")
-      require(graft.spark.BpeCountExpr.count(
-        UTF8String.fromString("xbcd"), viaTk) == 3L, "tiktoken count 2")
+      val (trained, viaJson) = vocabIoCache.computeIfAbsent(d, _ => {
+        val tr = graft.textops.BpeTrain.learn(
+          docs.select(col("text")), col("text"), 1024)
+        val dir = java.nio.file.Files.createTempDirectory("graft-vocab")
+        // deleteOnExit runs in reverse registration order: dir first,
+        // files after, so the files go before their directory
+        dir.toFile.deleteOnExit()
+        val jsonPath = dir.resolve("tokenizer.json")
+        jsonPath.toFile.deleteOnExit()
+        graft.textops.BpeTrain.writeTokenizerJson(tr, jsonPath.toString)
+        val vj = graft.spark.BpeVocab.fromTokenizerJsonFile(jsonPath.toString)
+        require(vj == tr, "tokenizer.json round-trip must be lossless")
+        // tiktoken fixture: all 256 single bytes + ab/cd/abcd — 'abcd'
+        // splits only as ab|cd ('a'+'bcd' and 'abc'+'d' are not tokens)
+        val b64 = java.util.Base64.getEncoder
+        val lines = (0 until 256).map(b =>
+            s"${b64.encodeToString(Array(b.toByte))} $b") ++
+          Seq("ab" -> 256, "cd" -> 257, "abcd" -> 258).map { case (tok, r) =>
+            s"${b64.encodeToString(tok.getBytes("UTF-8"))} $r" }
+        val tkPath = dir.resolve("fixture.model")
+        tkPath.toFile.deleteOnExit()
+        java.nio.file.Files.write(tkPath, lines.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val viaTk = graft.spark.BpeVocab.fromTiktokenFile(tkPath.toString)
+        require(viaTk.merges.toSeq == Seq(("a", "b"), ("c", "d"), ("ab", "cd")),
+          s"tiktoken merge recovery mismatch: ${viaTk.merges.toSeq}")
+        // closed form under the recovered table: "abcd abcd" → [abcd] +
+        // [Ġ, abcd] = 3; "xbcd" → [x, b, cd] = 3 (no (b,c) rule exists)
+        import org.apache.spark.unsafe.types.UTF8String
+        require(graft.spark.BpeCountExpr.count(
+          UTF8String.fromString("abcd abcd"), viaTk) == 3L, "tiktoken count")
+        require(graft.spark.BpeCountExpr.count(
+          UTF8String.fromString("xbcd"), viaTk) == 3L, "tiktoken count 2")
+        (tr, vj)
+      })
       docs.select(col("lang"),
           tf.bpe_token_count(col("text"), viaJson).as("__j"),
           tf.bpe_token_count(col("text"), trained).as("__t"))
@@ -1055,10 +1078,11 @@ object SparkEntry {
     // CONSTRUCTIVELY (tokens in place of the plants), so detection,
     // replacement, span order, counts, and non-mangling of surrounding
     // text all hash-check. The natural-text suffix is stripped of
-    // digits/@/A on BOTH sides so refreshed testdata containing
+    // digits/@/A/_ on BOTH sides so refreshed testdata containing
     // PII-shaped content can never flip the constructive oracle
-    // (digits feed card/phone/IP/hex/base64, @ feeds email, A feeds
-    // AKIA/ASIA)
+    // (digits feed card/phone/IP/hex/base64 — hex and base64 secrets
+    // both REQUIRE a digit, @ feeds email, A feeds AKIA/ASIA, _ feeds
+    // gh[pousr]_ tokens — the one key shape needing neither digit nor A)
     "q_pii" -> ((s, d) => {
       val raw = concat(
         lit("u"), col("doc_id"), lit("@ex"), pmod(col("doc_id"), lit(7L)),
@@ -1082,7 +1106,7 @@ object SparkEntry {
           concat(lit(" key AKIA"),
             upper(substring(md5(col("doc_id").cast("string")), 1, 16))))
           .otherwise(lit("")),
-        lit(" :: "), translate(col("text"), "0123456789@A", ""))
+        lit(" :: "), translate(col("text"), "0123456789@A_", ""))
       t(s, d, "documents")
         .select(col("doc_id"), tf.pii_scrub(raw).as("p"))
         .select(col("doc_id"), col("p.text").as("scrubbed"),
@@ -1099,15 +1123,17 @@ object SparkEntry {
     "q_webtext_compose" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val minDocs = math.max(2L, docs.count() / 10)
-      // the natural-text line is stripped of digits/@ IDENTICALLY on
-      // both sides so the oracle's constructive scrub stays exact even
-      // if refreshed testdata grew PII-shaped content (or a 50-char cut
-      // created some) — the oracle cannot run pii_scrub itself
+      // the natural-text line is stripped of digits/@/A/_ IDENTICALLY
+      // on both sides so the oracle's constructive scrub stays exact
+      // even if refreshed testdata grew PII-shaped content (or a
+      // 50-char cut created some) — the oracle cannot run pii_scrub
+      // itself; with digits gone only AKIA/ASIA (A) and gh*_ (_) key
+      // shapes could still fire, hence the extra two chars
       val built = docs.select(col("doc_id"), col("lang"),
         concat_ws("\n",
           lit("subscribe to our newsletter"),
           concat(lit("contact u"), col("doc_id"), lit("@ex.com for details")),
-          translate(col("text"), "0123456789@", "").substr(lit(1), lit(50)))
+          translate(col("text"), "0123456789@A_", "").substr(lit(1), lit(50)))
           .as("text"))
       val scrubbed = built.withColumn("text",
         tf.pii_scrub(col("text")).getField("text"))
@@ -2228,7 +2254,7 @@ object SparkEntry {
         | CASE WHEN doc_id % 4 = 0 THEN ' card <CARD>' ELSE '' END ||
         | CASE WHEN doc_id % 7 = 0 THEN ' bad 4111 1111 1111 1112' ELSE '' END ||
         | CASE WHEN doc_id % 5 = 0 THEN ' key <KEY>' ELSE '' END ||
-        | ' :: ' || translate(text, '0123456789@A', '') AS scrubbed,
+        | ' :: ' || translate(text, '0123456789@A_', '') AS scrubbed,
         | CAST(1 AS INT) AS emails,
         | CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS cards,
         | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT) AS ipv4s,
@@ -2240,7 +2266,7 @@ object SparkEntry {
         |  SELECT doc_id, lang,
         |    'subscribe to our newsletter' || chr(10) ||
         |    'contact <EMAIL> for details' || chr(10) ||
-        |    substr(translate(text, '0123456789@', ''), 1, 50) AS text
+        |    substr(translate(text, '0123456789@A_', ''), 1, 50) AS text
         |  FROM documents),
         |lines AS (
         |  SELECT b.doc_id, b.lang, g.range AS pos,

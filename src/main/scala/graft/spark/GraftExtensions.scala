@@ -204,9 +204,16 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (ident, info, builder) =>
       // registerFunction unconditionally REPLACES (and WARN-logs) an
-      // existing entry — sessions built with spark.sql.extensions already
-      // carry every function, so probe first to keep Verify logs quiet
-      if (!spark.sessionState.functionRegistry.functionExists(ident))
+      // existing entry. Sessions built with spark.sql.extensions already
+      // carry every function (same descriptions, so the registered
+      // ExpressionInfo class is ours) — skip those to keep Verify logs
+      // quiet. A same-name entry from anywhere ELSE (a user UDF, a stale
+      // library version, a future builtin) must still be replaced, or
+      // SQL would silently resolve to the foreign implementation; the
+      // replace keeps Spark's WARN as the trace (review-caught).
+      val existing = spark.sessionState.functionRegistry.lookupFunction(ident)
+      val oursAlready = existing.exists(_.getClassName == info.getClassName)
+      if (!oursAlready)
         spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
     val em = spark.sessionState.experimentalMethods

@@ -30,10 +30,14 @@ case class RemoveSpansExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = StringType
 
+  // both offsets must be the SAME width: the kernel reads the struct
+  // with one accessor chosen from fields(0), so a mixed int/long pair
+  // would read field 1 with the wrong getter (review-caught)
   private def isSpanArray(dt: DataType): Boolean = dt match {
     case ArrayType(StructType(fields), _) =>
       fields.length == 2 &&
-        fields.forall(f => f.dataType == LongType || f.dataType == IntegerType)
+        fields(0).dataType == fields(1).dataType &&
+        (fields(0).dataType == LongType || fields(0).dataType == IntegerType)
     case _ => false
   }
 
@@ -41,7 +45,8 @@ case class RemoveSpansExpr(left: Expression, right: Expression)
     if (left.dataType == StringType && isSpanArray(right.dataType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects (string, array<struct<start,end>> of int/long), got " +
+      s"$prettyName expects (string, array<struct<start,end>> of int/long, " +
+        "both offsets the same type), got " +
         s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
 
   // children unresolved at construction — dataType probes must be lazy
@@ -75,12 +80,16 @@ object RemoveSpansExpr {
     var m = 0
     var i = 0
     while (i < n) {
-      val row = spans.getStruct(i, 2)
-      var a = if (longOffsets) row.getLong(0) else row.getInt(0).toLong
-      var b = if (longOffsets) row.getLong(1) else row.getInt(1).toLong
-      if (a < 0L) a = 0L
-      if (b > len) b = len.toLong
-      if (a < b) { starts(m) = a.toInt; ends(m) = b.toInt; m += 1 }
+      // a null span element (the array type permits containsNull) is a
+      // no-op, consistent with out-of-range clamping
+      if (!spans.isNullAt(i)) {
+        val row = spans.getStruct(i, 2)
+        var a = if (longOffsets) row.getLong(0) else row.getInt(0).toLong
+        var b = if (longOffsets) row.getLong(1) else row.getInt(1).toLong
+        if (a < 0L) a = 0L
+        if (b > len) b = len.toLong
+        if (a < b) { starts(m) = a.toInt; ends(m) = b.toInt; m += 1 }
+      }
       i += 1
     }
     if (m == 0) return text

@@ -54,6 +54,22 @@ class RewriteRuleSpec extends AnyFunSuite with SparkTestBase {
     } finally s2.conf.set(RewriteApproxCountDistinct.ConfKey, "false")
   }
 
+  test("register() replaces a foreign same-name function, skips its own") {
+    // a user UDF (or stale library) shadowing a graft name must be
+    // replaced — skipping on bare name-existence would leave SQL silently
+    // resolving to the foreign implementation (review-caught); graft's
+    // own extensions-injected entry is recognized by class and skipped
+    val s3 = spark.newSession()
+    s3.udf.register("token_count", (_: String) => -1)
+    assert(s3.sql("SELECT token_count('a b c') AS c").head().get(0) == -1)
+    GraftExtensions.register(s3)
+    val viaSql = s3.sql("SELECT token_count('a b c') AS c").head().get(0)
+    val expected = s3.range(1)
+      .select(textFunctions.token_count(F.lit("a b c")).as("c")).head().get(0)
+    assert(viaSql == expected && viaSql != -1,
+      s"foreign shadow must be replaced: sql=$viaSql expected=$expected")
+  }
+
   test("precision mapping honors the 1.04/sqrt(2^p) bound") {
     assert(RewriteApproxCountDistinct.precisionFor(0.05) == 9)
     assert(RewriteApproxCountDistinct.precisionFor(0.01) == 14)

@@ -315,6 +315,38 @@ class SpanRepSpec extends AnyFunSuite with SparkTestBase {
     assert(cut("abcdef", (0L, 6L)) == "")                        // total cut
   }
 
+  test("remove_spans kernel: null span elements are no-ops (review-caught)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val spanCol = F.array(
+      F.struct(F.lit(0L).as("s"), F.lit(2L).as("e")),
+      F.lit(null).cast("struct<s:bigint,e:bigint>"))
+    val out = spark.range(1).select(Bridge.column(graft.spark.RemoveSpansExpr(
+        Bridge.expression(F.lit("abcdef")), Bridge.expression(spanCol))).as("o"))
+      .collect().head.getString(0)
+    assert(out == "cdef")
+  }
+
+  test("remove_spans kernel: mixed int/long offsets rejected (review-caught)") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    // one int + one long field would be read with a single accessor
+    // chosen from field 0 — the type check must refuse the pair
+    val mixed = F.array(F.struct(F.lit(0).as("s"), F.lit(5L).as("e")))
+    val ex = intercept[Exception] {
+      spark.range(1).select(Bridge.column(graft.spark.RemoveSpansExpr(
+          Bridge.expression(F.lit("hello world")),
+          Bridge.expression(mixed))).as("o"))
+        .collect()
+    }
+    assert(ex.getMessage.contains("remove_spans"))
+    // homogeneous int offsets still work
+    val ints = F.array(F.struct(F.lit(0).as("s"), F.lit(5).as("e")))
+    val out = spark.range(1).select(Bridge.column(graft.spark.RemoveSpansExpr(
+        Bridge.expression(F.lit("hello world")),
+        Bridge.expression(ints))).as("o"))
+      .collect().head.getString(0)
+    assert(out == " world")
+  }
+
   test("dropRepeatedSpanDocs removes only high-coverage docs") {
     val kept = SpanRep.dropRepeatedSpanDocs(
         corpus.toDF("doc_id", "text"), "doc_id", "text",
