@@ -1115,6 +1115,74 @@ object SparkEntry {
           col("p.phones").as("phones"))
     }),
 
+    // URL canonicalization: messy URLs planted by doc_id arithmetic —
+    // uppercase scheme/host, userinfo on %11, default port (:80 http /
+    // :443 https) vs kept :8443 on %7, empty path on %3, tracking params
+    // (utm_*/gclid) with a kept id param on %4, all-tracking query on %9,
+    // fragment on %6 — and the oracle rebuilds the expected normalized
+    // form, host, and registered domain CONSTRUCTIVELY (the q_pii
+    // pattern), so scheme/host lowering, userinfo/port/fragment
+    // stripping, param filtering, and public-suffix domain extraction
+    // all hash-check per doc
+    "q_url_normalize" -> ((s, d) => {
+      val id = col("doc_id")
+      val raw = concat(
+        when(pmod(id, lit(2L)) === 0, lit("HTTP://")).otherwise(lit("https://")),
+        when(pmod(id, lit(11L)) === 0, lit("user:p@ss@")).otherwise(lit("")),
+        lit("WWW.Shop"), pmod(id, lit(40L)),
+        when(pmod(id, lit(5L)) === 0, lit(".Example.CO.UK"))
+          .otherwise(lit(".Example.COM")),
+        when(pmod(id, lit(7L)) === 0, lit(":8443"))
+          .otherwise(when(pmod(id, lit(2L)) === 0, lit(":80"))
+            .otherwise(lit(":443"))),
+        when(pmod(id, lit(3L)) === 0, lit(""))
+          .otherwise(concat(lit("/Cat"), pmod(id, lit(6L)), lit("/item"))),
+        when(pmod(id, lit(4L)) === 0,
+          concat(lit("?utm_source=tw&id="), pmod(id, lit(9L)), lit("&gclid=g1")))
+          .otherwise(when(pmod(id, lit(9L)) === 0, lit("?utm_campaign=only"))
+            .otherwise(lit(""))),
+        when(pmod(id, lit(6L)) === 0, lit("#Sec2")).otherwise(lit("")))
+      t(s, d, "documents").select(id,
+        tf.url_normalize(raw).as("norm"),
+        tf.url_host(raw).as("host"),
+        tf.url_registered_domain(raw).as("domain"))
+    }),
+
+    // CCNet-style perplexity quality filter: train the char-trigram LM
+    // (one distributed aggregation) on a planted corpus — 3/4 natural
+    // pattern docs, 1/4 md5-hex gibberish — then score every doc with
+    // the model as a collected literal. The oracle pins the TRAINING
+    // kernel exactly in integers (DuckDB re-extracts every trigram with
+    // an uncorrelated cross join and recounts total + distinct — the
+    // planted chars are all [a-z0-9 ], where the symbol mapping is
+    // injective, so raw-substring trigrams equal model cells 1:1) and
+    // the SCORING behavior as closed-form booleans: every gibberish
+    // doc's perplexity above every clean doc's, floor at 1.0 (floats
+    // stay out of the hashed columns — house rule)
+    "q_lm_ppl" -> ((s, d) => {
+      val id = col("doc_id")
+      val docs = t(s, d, "documents").select(id,
+        when(pmod(id, lit(4L)) === 0, md5(id.cast("string")))
+          .otherwise(expr(
+            "repeat('the cat sat on the mat ', CAST(3 + doc_id % 3 AS INT))"))
+          .as("text"))
+      val bytes = docs.agg(sketch.lm_sketch(col("text"), 0.1))
+        .head().getAs[Array[Byte]](0)
+      val model = graft.core.CharTrigramLm.deserialize(bytes)
+      docs.select(id, col("text"),
+          sketch.lm_perplexity(lit(bytes), col("text")).as("ppl"))
+        .agg(
+          count(lit(1)).as("cnt_docs"),
+          sum(greatest(length(col("text")) - 2, lit(0)).cast("long"))
+            .cast("long").as("sum_positions"),
+          lit(model.distinctTrigrams).as("distinct_trigrams"),
+          lit(model.totalTrigrams).as("total_trigrams"),
+          (min(when(pmod(id, lit(4L)) === 0, col("ppl"))) >
+            max(when(pmod(id, lit(4L)) =!= 0, col("ppl"))))
+            .as("gibberish_separated"),
+          (min(col("ppl")) >= 1.0).as("ppl_floor_ok"))
+    }),
+
     // composed webtext pass: pii_scrub THEN line dedup — redaction
     // normalizes per-doc contact lines into one identical string, which
     // then goes corpus-hot and is removed (the scrub→dedup ordering
@@ -2261,6 +2329,42 @@ object SparkEntry {
         | CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS keys,
         | CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS phones
         |FROM documents""".stripMargin,
+    "q_url_normalize" ->
+      """SELECT doc_id,
+        | (CASE WHEN doc_id % 2 = 0 THEN 'http://' ELSE 'https://' END)
+        | || 'www.shop' || (doc_id % 40)
+        | || (CASE WHEN doc_id % 5 = 0 THEN '.example.co.uk' ELSE '.example.com' END)
+        | || (CASE WHEN doc_id % 7 = 0 THEN ':8443' ELSE '' END)
+        | || (CASE WHEN doc_id % 3 = 0 THEN '/'
+        |       ELSE '/Cat' || (doc_id % 6) || '/item' END)
+        | || (CASE WHEN doc_id % 4 = 0 THEN '?id=' || (doc_id % 9) ELSE '' END)
+        |   AS norm,
+        | 'www.shop' || (doc_id % 40) ||
+        |   (CASE WHEN doc_id % 5 = 0 THEN '.example.co.uk' ELSE '.example.com' END)
+        |   AS host,
+        | (CASE WHEN doc_id % 5 = 0 THEN 'example.co.uk' ELSE 'example.com' END)
+        |   AS domain
+        |FROM documents""".stripMargin,
+    "q_lm_ppl" ->
+      """WITH built AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN md5(CAST(doc_id AS VARCHAR))
+        |         ELSE repeat('the cat sat on the mat ',
+        |                     CAST(3 + doc_id % 3 AS INT)) END AS text
+        |  FROM documents),
+        |tris AS (
+        |  SELECT substr(b.text, CAST(g.range AS INT), 3) AS tri
+        |  FROM built b CROSS JOIN range(1, 256) g
+        |  WHERE g.range <= len(b.text) - 2)
+        |SELECT
+        |  (SELECT count(*) FROM built) AS cnt_docs,
+        |  (SELECT CAST(sum(greatest(len(text) - 2, 0)) AS BIGINT) FROM built)
+        |    AS sum_positions,
+        |  (SELECT CAST(count(DISTINCT tri) AS BIGINT) FROM tris)
+        |    AS distinct_trigrams,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tris) AS total_trigrams,
+        |  TRUE AS gibberish_separated,
+        |  TRUE AS ppl_floor_ok""".stripMargin,
     "q_webtext_compose" ->
       """WITH built AS (
         |  SELECT doc_id, lang,

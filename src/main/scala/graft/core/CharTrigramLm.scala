@@ -1,0 +1,194 @@
+package graft.core
+
+/** Character-trigram language model with add-alpha smoothing — the
+  * CCNet/KenLM-style perplexity quality signal for web corpora, reduced
+  * to a fixed-size mergeable count table so it trains as one distributed
+  * aggregation pass and scores as a zero-shuffle scalar (no external
+  * model artifacts, fully deterministic).
+  *
+  * Alphabet (V = 38): 'a'-'z' → 0..25 (ASCII uppercase folds in),
+  * '0'-'9' → 26..35, any whitespace → 36, everything else (punctuation,
+  * non-ASCII) → 37. This is deliberately ASCII-centric — the published
+  * CCNet setup trains one model per language after lang-id, and a
+  * per-language deployment would widen the alphabet the same way this
+  * one is built (the table is `V^3` longs; V=64 would still be 2 MB).
+  *
+  * Scoring: for mapped symbols s_0..s_{L-1}, each position i >= 2
+  * contributes ln((c(s_{i-2} s_{i-1} s_i) + alpha) / (ctx(s_{i-2}
+  * s_{i-1}) + alpha * V)); perplexity = exp(-logprob / positions).
+  * Texts with fewer than 3 chars have no evidence and score perplexity
+  * exactly V (the uniform add-alpha prediction). Context counts are
+  * DERIVED (ctx = sum over the third symbol), so merge stays a plain
+  * vector add and partial aggregation is exact.
+  *
+  * Wire format (sparse-if-smaller, like the HLL codec): 'L', mode byte
+  * (0 dense / 1 sparse), alpha as big-endian double bits, then either
+  * V^3 big-endian longs or an int count of (int index, long count)
+  * pairs. Merge requires equal alpha (mixing smoothing regimes silently
+  * would corrupt comparisons, matching the HLL precision-mismatch rule).
+  */
+final class CharTrigramLm private (val alpha: Double,
+    private[core] val counts: Array[Long]) {
+  import CharTrigramLm._
+
+  // lazily derived; invalidated by add/merge. Recomputation is
+  // idempotent, so concurrent readers through the thread-local parse
+  // cache are safe (t-digest lazy-flush precedent).
+  @volatile private var ctxCache: Array[Long] = null
+
+  private def ctx(): Array[Long] = {
+    var c = ctxCache
+    if (c == null) {
+      c = new Array[Long](V * V)
+      var i = 0
+      while (i < TriSpace) {
+        c(i / V) += counts(i)
+        i += 1
+      }
+      ctxCache = c
+    }
+    c
+  }
+
+  def add(text: String): Unit = {
+    val n = text.length
+    if (n < 3) return
+    ctxCache = null
+    var s0 = sym(text.charAt(0))
+    var s1 = sym(text.charAt(1))
+    var i = 2
+    while (i < n) {
+      val s2 = sym(text.charAt(i))
+      counts((s0 * V + s1) * V + s2) += 1L
+      s0 = s1
+      s1 = s2
+      i += 1
+    }
+  }
+
+  def merge(other: CharTrigramLm): CharTrigramLm = {
+    require(other.alpha == alpha,
+      s"LM smoothing mismatch: alpha $alpha vs ${other.alpha}")
+    ctxCache = null
+    var i = 0
+    while (i < TriSpace) { counts(i) += other.counts(i); i += 1 }
+    this
+  }
+
+  def totalTrigrams: Long = {
+    var t = 0L
+    var i = 0
+    while (i < TriSpace) { t += counts(i); i += 1 }
+    t
+  }
+
+  def distinctTrigrams: Long = {
+    var t = 0L
+    var i = 0
+    while (i < TriSpace) { if (counts(i) != 0L) t += 1; i += 1 }
+    t
+  }
+
+  /** Sum of per-position smoothed log-probabilities (0.0 for texts with
+    * no full trigram position).
+    */
+  def logProb(text: String): Double = {
+    val n = text.length
+    if (n < 3) return 0.0
+    val cx = ctx()
+    val aV = alpha * V
+    var lp = 0.0
+    var s0 = sym(text.charAt(0))
+    var s1 = sym(text.charAt(1))
+    var i = 2
+    while (i < n) {
+      val s2 = sym(text.charAt(i))
+      val bi = s0 * V + s1
+      lp += math.log((counts(bi * V + s2) + alpha) / (cx(bi) + aV))
+      s0 = s1
+      s1 = s2
+      i += 1
+    }
+    lp
+  }
+
+  /** exp(-logProb / positions); texts without a full trigram score V. */
+  def perplexity(text: String): Double = {
+    val positions = text.length - 2
+    if (positions <= 0) V.toDouble
+    else math.exp(-logProb(text) / positions)
+  }
+
+  def serialize(): Array[Byte] = {
+    val nz = distinctTrigrams.toInt
+    val sparseBytes = 2 + 8 + 4 + nz * 12
+    val denseBytes = 2 + 8 + TriSpace * 8
+    val sparse = sparseBytes < denseBytes
+    val bb = java.nio.ByteBuffer.allocate(if (sparse) sparseBytes else denseBytes)
+    bb.put(Magic)
+    bb.put(if (sparse) 1.toByte else 0.toByte)
+    bb.putDouble(alpha)
+    if (sparse) {
+      bb.putInt(nz)
+      var i = 0
+      while (i < TriSpace) {
+        if (counts(i) != 0L) { bb.putInt(i); bb.putLong(counts(i)) }
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < TriSpace) { bb.putLong(counts(i)); i += 1 }
+    }
+    bb.array()
+  }
+}
+
+object CharTrigramLm {
+  final val V = 38
+  final val TriSpace = V * V * V // 54,872
+  private final val Magic: Byte = 'L'
+
+  def sym(c: Char): Int =
+    if (c >= 'a' && c <= 'z') c - 'a'
+    else if (c >= 'A' && c <= 'Z') c - 'A'
+    else if (c >= '0' && c <= '9') 26 + (c - '0')
+    else if (Character.isWhitespace(c)) 36
+    else 37
+
+  def empty(alpha: Double): CharTrigramLm = {
+    require(alpha > 0.0 && alpha.isFinite,
+      s"alpha must be a positive finite smoothing constant, got $alpha")
+    new CharTrigramLm(alpha, new Array[Long](TriSpace))
+  }
+
+  def deserialize(bytes: Array[Byte]): CharTrigramLm = {
+    require(bytes.length >= 10, s"LM blob too short: ${bytes.length} bytes")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.get() == Magic, "not a char-trigram LM blob (bad magic)")
+    val mode = bb.get()
+    val alpha = bb.getDouble()
+    require(alpha > 0.0 && alpha.isFinite, s"corrupt LM blob: alpha $alpha")
+    val counts = new Array[Long](TriSpace)
+    mode match {
+      case 0 =>
+        require(bytes.length == 10 + TriSpace * 8,
+          s"corrupt dense LM blob: ${bytes.length} bytes")
+        var i = 0
+        while (i < TriSpace) { counts(i) = bb.getLong(); i += 1 }
+      case 1 =>
+        val nz = bb.getInt()
+        require(nz >= 0 && bytes.length == 14 + nz * 12,
+          s"corrupt sparse LM blob: $nz entries in ${bytes.length} bytes")
+        var i = 0
+        while (i < nz) {
+          val idx = bb.getInt()
+          require(idx >= 0 && idx < TriSpace, s"corrupt LM blob: index $idx")
+          counts(idx) = bb.getLong()
+          i += 1
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unknown LM blob mode $other")
+    }
+    new CharTrigramLm(alpha, counts)
+  }
+}

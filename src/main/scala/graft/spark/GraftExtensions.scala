@@ -53,6 +53,18 @@ object GraftExtensions {
         s"$name must be an integer literal, got $other")
     } else default
 
+  private def doubleArg(args: Seq[Expression], idx: Int, default: Double,
+      name: String): Double =
+    if (args.length > idx) args(idx) match {
+      case Literal(v: Double, _) => v
+      case Literal(v: Float, _) => v.toDouble
+      case Literal(v: Int, _) => v.toDouble
+      case Literal(v: Long, _) => v.toDouble
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$name must be a numeric literal, got $other")
+    } else default
+
   private def strArg(args: Seq[Expression], idx: Int, name: String): String =
     if (args.length > idx) args(idx) match {
       case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
@@ -120,6 +132,14 @@ object GraftExtensions {
       SketchScalarExpr(args(0), args(0), SketchScalarExpr.FreqErrorBound) },
     "freq_top_items" -> { args =>
       SketchScalarExpr(args(0), args(1), SketchScalarExpr.FreqTopItems) },
+    "lm_sketch" -> { args =>
+      LmAgg(args.head, doubleArg(args, 1, 0.1, "alpha")) },
+    "lm_merge" -> { args =>
+      LmAgg(args.head, doubleArg(args, 1, 0.1, "alpha"), merging = true) },
+    "lm_logprob" -> { args =>
+      SketchScalarExpr(args(0), args(1), SketchScalarExpr.LmLogprob) },
+    "lm_perplexity" -> { args =>
+      SketchScalarExpr(args(0), args(1), SketchScalarExpr.LmPerplexity) },
     "kll_sketch" -> { args => KllAgg(args.head, intArg(args, 1, 200, "k")) },
     "kll_merge" -> { args => KllAgg(args.head, intArg(args, 1, 200, "k"), merging = true) },
     "kll_quantile" -> { args =>
@@ -141,6 +161,11 @@ object GraftExtensions {
     "html_extract_text" -> { args => HtmlExtractExpr(args.head) },
     "html_extract_status" -> { args => HtmlExtractStatusExpr(args.head) },
     "pii_scrub" -> { args => PiiScrubExpr(args.head) },
+    "url_host" -> { args => UrlKernelExpr(args.head, UrlKernelExpr.Host) },
+    "url_registered_domain" -> { args =>
+      UrlKernelExpr(args.head, UrlKernelExpr.Domain) },
+    "url_normalize" -> { args =>
+      UrlKernelExpr(args.head, UrlKernelExpr.Normalize) },
     "dup_line_fraction" -> { args =>
       RepetitionExpr(args.head, RepetitionExpr.DupLineFrac, 1) },
     "dup_line_char_fraction" -> { args =>

@@ -207,6 +207,41 @@ case class FreqAgg(
   override protected def withNewChildInternal(c: Expression): FreqAgg = copy(child = c)
 }
 
+/** Char-trigram language-model counts (see [[graft.core.CharTrigramLm]]):
+  * `lm_sketch(text, alpha)` trains the CCNet-style perplexity model as
+  * ONE distributed aggregation — the buffer is a fixed 38^3-long count
+  * table, merge is a vector add, so partial (map-side) aggregation is
+  * exact and the shuffle carries one serialized table per task
+  * (sparse-if-smaller, ≤ ~440 KB). `merging=true` folds stored model
+  * blobs, so per-shard / per-language models re-aggregate like every
+  * other sketch here. Score with `lm_logprob` / `lm_perplexity`
+  * (zero-shuffle scalars; collect the model once and probe it as a
+  * literal, the big-sketch rule from [[SketchScalarExpr]]'s cache notes).
+  */
+case class LmAgg(
+    child: Expression,
+    alpha: Double = 0.1,
+    merging: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0) extends SketchAggBase[CharTrigramLm] {
+
+  override def prettyName: String = if (merging) "lm_merge" else "lm_sketch"
+  override def createAggregationBuffer(): CharTrigramLm = CharTrigramLm.empty(alpha)
+  protected def rawTypeOk(dt: DataType): Boolean = dt == StringType
+  protected def updateRaw(b: CharTrigramLm, v: Any, dt: DataType): Unit =
+    b.add(v.asInstanceOf[UTF8String].toString)
+  protected def mergeSerialized(b: CharTrigramLm, bytes: Array[Byte]): Unit =
+    b.merge(CharTrigramLm.deserialize(bytes))
+  override def merge(b: CharTrigramLm, o: CharTrigramLm): CharTrigramLm = b.merge(o)
+  override def eval(b: CharTrigramLm): Any = b.serialize()
+  override def serialize(b: CharTrigramLm): Array[Byte] = b.serialize()
+  override def deserialize(bytes: Array[Byte]): CharTrigramLm =
+    CharTrigramLm.deserialize(bytes)
+  override def withNewMutableAggBufferOffset(o: Int): LmAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): LmAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): LmAgg = copy(child = c)
+}
+
 /** Column API for the sketch family. */
 object sketchFunctions {
   private def c(e: Expression): Column = Bridge.column(e)
@@ -256,4 +291,13 @@ object sketchFunctions {
     c(SketchScalarExpr(x(sketch), x(q), SketchScalarExpr.KllQuantile))
   def kll_rank(sketch: Column, v: Column): Column =
     c(SketchScalarExpr(x(sketch), x(v), SketchScalarExpr.KllRank))
+
+  def lm_sketch(col: Column, alpha: Double = 0.1): Column =
+    agg(LmAgg(x(col), alpha))
+  def lm_merge(col: Column, alpha: Double = 0.1): Column =
+    agg(LmAgg(x(col), alpha, merging = true))
+  def lm_logprob(model: Column, text: Column): Column =
+    c(SketchScalarExpr(x(model), x(text), SketchScalarExpr.LmLogprob))
+  def lm_perplexity(model: Column, text: Column): Column =
+    c(SketchScalarExpr(x(model), x(text), SketchScalarExpr.LmPerplexity))
 }

@@ -22,7 +22,8 @@ case class SketchScalarExpr(left: Expression, right: Expression, op: Int)
   override def dataType: DataType = op match {
     case CmsEstimate | CmsTotal | FreqEstimate | FreqErrorBound => LongType
     case BloomContains => BooleanType
-    case TDigestQuantile | KllQuantile | KllRank => DoubleType
+    case TDigestQuantile | KllQuantile | KllRank | LmLogprob | LmPerplexity =>
+      DoubleType
     case FreqTopItems => ArrayType(StructType(Seq(
       StructField("item", StringType, nullable = false),
       StructField("est", LongType, nullable = false))), containsNull = false)
@@ -38,7 +39,7 @@ case class SketchScalarExpr(left: Expression, right: Expression, op: Int)
         case _ => false
       }
       case CmsTotal | FreqErrorBound => true
-      case FreqEstimate => right.dataType == StringType
+      case FreqEstimate | LmLogprob | LmPerplexity => right.dataType == StringType
       case FreqTopItems => right.dataType match {
         case LongType | IntegerType => true
         case _ => false
@@ -84,6 +85,8 @@ object SketchScalarExpr {
   final val FreqEstimate = 6
   final val FreqErrorBound = 7
   final val FreqTopItems = 8
+  final val LmLogprob = 9
+  final val LmPerplexity = 10
 
   def nameOf(op: Int): String = op match {
     case CmsEstimate => "cms_estimate"
@@ -95,6 +98,8 @@ object SketchScalarExpr {
     case FreqEstimate => "freq_estimate"
     case FreqErrorBound => "freq_error_bound"
     case FreqTopItems => "freq_top_items"
+    case LmLogprob => "lm_logprob"
+    case LmPerplexity => "lm_perplexity"
   }
 
   private def keyHash(arg: Any): Long = arg match {
@@ -129,7 +134,7 @@ object SketchScalarExpr {
     * across tasks; the probe ops are read-only (t-digest's lazy flush is
     * idempotent).
     */
-  private final val NumOps = 9
+  private final val NumOps = 11
 
   private val lastParsed = new ThreadLocal[Array[Array[AnyRef]]] {
     // per op: [bytes0, parsed0, bytes1, parsed1]; slot 4 = LRU entry index
@@ -205,5 +210,11 @@ object SketchScalarExpr {
           UTF8String.fromString(item), est): Any
       }.toArray
       new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+    case LmLogprob =>
+      cachedParse(op, sketch, CharTrigramLm.deserialize)
+        .logProb(arg.asInstanceOf[UTF8String].toString)
+    case LmPerplexity =>
+      cachedParse(op, sketch, CharTrigramLm.deserialize)
+        .perplexity(arg.asInstanceOf[UTF8String].toString)
   }
 }

@@ -372,6 +372,25 @@ object textFunctions {
   def pii_scrub(text: Column): Column =
     Bridge.column(PiiScrubExpr(Bridge.expression(text)))
 
+  /** Lowercased host of an absolute/protocol-relative URL ("" when the
+    * input has no authority). See [[UrlKernelExpr]] for the full contract.
+    */
+  def url_host(url: Column): Column =
+    Bridge.column(UrlKernelExpr(Bridge.expression(url), UrlKernelExpr.Host))
+
+  /** Registrable domain of the URL's host (public-suffix aware for the
+    * bundled multi-part set). See [[UrlKernelExpr]].
+    */
+  def url_registered_domain(url: Column): Column =
+    Bridge.column(UrlKernelExpr(Bridge.expression(url), UrlKernelExpr.Domain))
+
+  /** Canonical form of an absolute http(s) URL for dedup/quota keys
+    * (case, default-port, fragment, tracking-param normalization);
+    * non-http(s) input passes through unchanged. See [[UrlKernelExpr]].
+    */
+  def url_normalize(url: Column): Column =
+    Bridge.column(UrlKernelExpr(Bridge.expression(url), UrlKernelExpr.Normalize))
+
   /** Whitespace token count (columnar). */
   def token_count(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))

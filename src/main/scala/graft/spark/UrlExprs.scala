@@ -1,0 +1,272 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL kernels for web-corpus pipelines, as codegen'd projections
+  * (op-dispatched like [[TextKernelExpr]]): per-domain quotas, dedup
+  * keys, and source attribution all start from "what domain is this?",
+  * and at 10^12 pages that must be a zero-shuffle scalar, not a UDF.
+  *
+  * Deterministic contract (total functions — never throws on garbage):
+  *
+  *  - `url_host`: the lowercased (ASCII) host of an absolute
+  *    `scheme://` or protocol-relative `//` URL, with userinfo
+  *    (up to the LAST '@' in the authority, the browser rule) and port
+  *    stripped, a trailing root dot removed; bracketed IPv6 hosts keep
+  *    their brackets. Anything without an authority (relative paths,
+  *    `mailto:`, empty input) yields the empty string.
+  *  - `url_registered_domain`: the host's registrable domain — last two
+  *    labels, or last THREE when the last two form a known multi-part
+  *    public suffix (`co.uk`, `com.au`, ...). All-numeric hosts (IPv4)
+  *    and bracketed IPv6 literals return whole. The bundled suffix set
+  *    is a compact default covering the common ccTLD second-levels; a
+  *    production deployment should regenerate [[UrlKernelExpr.MultiPartSuffixes]]
+  *    from the full public-suffix list (publicsuffix.org) at build time.
+  *  - `url_normalize`: canonical dedup/quota key for absolute
+  *    http(s) URLs — scheme and host lowercased, userinfo dropped,
+  *    default port (:80 http, :443 https) dropped, fragment dropped,
+  *    tracking parameters dropped (keys starting `utm_`, or exactly
+  *    `fbclid`/`gclid`/`msclkid`, case-insensitive; a query left empty
+  *    loses its '?'), empty path becomes "/". Path/query case, escape
+  *    sequences, and parameter ORDER are preserved (sorting would merge
+  *    genuinely distinct keys on sites with order-significant routing).
+  *    Non-http(s) input comes back unchanged — the caller decides what
+  *    a non-web URI means, the kernel never invents a canonical form.
+  */
+case class UrlKernelExpr(child: Expression, op: Int) extends UnaryExpression {
+  import UrlKernelExpr._
+
+  override def prettyName: String = nameOf(op)
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${child.dataType.catalogString}")
+
+  protected override def nullSafeEval(input: Any): Any =
+    dispatch(input.asInstanceOf[UTF8String], op)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.spark.UrlKernelExpr.dispatch($s, $op);")
+
+  override protected def withNewChildInternal(c: Expression): UrlKernelExpr =
+    copy(child = c)
+}
+
+object UrlKernelExpr {
+  final val Host = 0
+  final val Domain = 1
+  final val Normalize = 2
+
+  def nameOf(op: Int): String = op match {
+    case Host => "url_host"
+    case Domain => "url_registered_domain"
+    case Normalize => "url_normalize"
+  }
+
+  def dispatch(url: UTF8String, op: Int): UTF8String = {
+    val s = url.toString
+    val out = op match {
+      case Host => host(s)
+      case Domain => registeredDomain(host(s))
+      case Normalize => normalize(s)
+    }
+    UTF8String.fromString(out)
+  }
+
+  /** Common ccTLD second-level suffixes under which registrations happen
+    * one label deeper. Compact default — regenerate from the full
+    * public-suffix list for production (see class doc).
+    */
+  val MultiPartSuffixes: java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    Seq(
+      "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk",
+      "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+      "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp",
+      "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz",
+      "co.kr", "or.kr", "ne.kr", "go.kr", "ac.kr",
+      "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+      "com.br", "net.br", "org.br", "gov.br",
+      "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+      "com.mx", "org.mx", "gob.mx",
+      "com.ar", "com.tr", "com.tw", "com.hk", "com.sg", "com.my",
+      "com.ph", "com.vn", "com.co", "com.pe", "com.ve", "com.uy",
+      "co.za", "org.za", "net.za", "ac.za", "gov.za", "web.za",
+      "co.il", "org.il", "ac.il", "gov.il",
+      "co.th", "ac.th", "or.th", "in.th", "go.th",
+      "co.id", "or.id", "ac.id", "web.id", "go.id",
+      "com.eg", "com.sa", "com.pk", "com.bd", "com.ng", "com.gh",
+      "co.ke", "or.ke", "ac.ke",
+      "com.ua", "in.ua", "org.ua", "net.ua",
+      "com.pl", "net.pl", "org.pl", "edu.pl",
+      "com.ru", "org.ru", "net.ru").foreach(set.add)
+    set
+  }
+
+  private val DroppedParams: java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    Seq("fbclid", "gclid", "msclkid").foreach(set.add)
+    set
+  }
+
+  private def asciiLower(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n && !(s.charAt(i) >= 'A' && s.charAt(i) <= 'Z')) i += 1
+    if (i == n) return s
+    val a = s.toCharArray
+    while (i < n) {
+      val c = a(i)
+      if (c >= 'A' && c <= 'Z') a(i) = (c + 32).toChar
+      i += 1
+    }
+    new String(a)
+  }
+
+  /** [start, end) of the authority in s, or null when s has none.
+    * Accepts `scheme://` (scheme = ALPHA *(alnum / + / - / .)) and
+    * protocol-relative `//`.
+    */
+  private def authoritySpan(s: String): (Int, Int) = {
+    val n = s.length
+    var authStart = -1
+    if (n >= 2 && s.charAt(0) == '/' && s.charAt(1) == '/') authStart = 2
+    else {
+      var i = 0
+      if (i < n && Character.isLetter(s.charAt(i))) {
+        i += 1
+        while (i < n && {
+          val c = s.charAt(i)
+          Character.isLetterOrDigit(c) || c == '+' || c == '-' || c == '.'
+        }) i += 1
+        if (i + 2 < n && s.charAt(i) == ':' && s.charAt(i + 1) == '/' &&
+          s.charAt(i + 2) == '/') authStart = i + 3
+      }
+    }
+    if (authStart < 0) return null
+    var end = authStart
+    while (end < n && {
+      val c = s.charAt(end); c != '/' && c != '?' && c != '#'
+    }) end += 1
+    (authStart, end)
+  }
+
+  /** Host inside authority [from, until): strip userinfo (last '@') and
+    * port; keep IPv6 brackets; drop one trailing root dot.
+    */
+  private def hostInAuthority(s: String, from: Int, until: Int): String = {
+    var h0 = from
+    val at = s.lastIndexOf('@', until - 1)
+    if (at >= from) h0 = at + 1
+    if (h0 >= until) return ""
+    var h1 = until
+    if (s.charAt(h0) == '[') {
+      val close = s.indexOf(']', h0)
+      if (close >= 0 && close < until) h1 = close + 1
+    } else {
+      val colon = s.indexOf(':', h0)
+      if (colon >= 0 && colon < until) h1 = colon
+    }
+    var end = h1
+    if (end > h0 && s.charAt(end - 1) == '.') end -= 1
+    asciiLower(s.substring(h0, end))
+  }
+
+  def host(s: String): String = {
+    val span = authoritySpan(s)
+    if (span == null) "" else hostInAuthority(s, span._1, span._2)
+  }
+
+  def registeredDomain(host: String): String = {
+    if (host.isEmpty || host.charAt(0) == '[') return host
+    // all-numeric labels = IPv4 literal, return whole
+    var numeric = true
+    var i = 0
+    while (numeric && i < host.length) {
+      val c = host.charAt(i)
+      if (!(c >= '0' && c <= '9') && c != '.') numeric = false
+      i += 1
+    }
+    if (numeric) return host
+    val lastDot = host.lastIndexOf('.')
+    if (lastDot < 0) return host
+    val prevDot = host.lastIndexOf('.', lastDot - 1)
+    if (prevDot < 0) return host
+    val lastTwo = host.substring(prevDot + 1)
+    if (MultiPartSuffixes.contains(lastTwo)) {
+      val thirdDot = host.lastIndexOf('.', prevDot - 1)
+      host.substring(thirdDot + 1) // -1 + 1 = 0: whole host IS the domain
+    } else lastTwo
+  }
+
+  private def isDroppedParam(s: String, from: Int, until: Int): Boolean = {
+    var keyEnd = s.indexOf('=', from)
+    if (keyEnd < 0 || keyEnd > until) keyEnd = until
+    val key = asciiLower(s.substring(from, keyEnd))
+    key.startsWith("utm_") || DroppedParams.contains(key)
+  }
+
+  def normalize(s: String): String = {
+    val span = authoritySpan(s)
+    if (span == null) return s
+    val schemeRaw = if (span._1 >= 3) s.substring(0, span._1 - 3) else ""
+    val scheme = asciiLower(schemeRaw)
+    if (scheme != "http" && scheme != "https") return s
+    val h = hostInAuthority(s, span._1, span._2)
+    if (h.isEmpty) return s
+    // port survives unless absent or the scheme default
+    var port = ""
+    val hostEndAbs = {
+      // recompute the host's end inside the authority to find the port
+      var h0 = span._1
+      val at = s.lastIndexOf('@', span._2 - 1)
+      if (at >= span._1) h0 = at + 1
+      if (h0 < span._2 && s.charAt(h0) == '[') {
+        val close = s.indexOf(']', h0)
+        if (close >= 0 && close < span._2) close + 1 else span._2
+      } else {
+        val colon = s.indexOf(':', h0)
+        if (colon >= 0 && colon < span._2) colon else span._2
+      }
+    }
+    if (hostEndAbs < span._2 && s.charAt(hostEndAbs) == ':') {
+      val p = s.substring(hostEndAbs + 1, span._2)
+      val default = if (scheme == "http") "80" else "443"
+      if (p.nonEmpty && p != default) port = ":" + p
+    }
+    // path [pathStart, pathEnd): up to '?' or '#'
+    val n = s.length
+    var pathEnd = span._2
+    while (pathEnd < n && s.charAt(pathEnd) != '?' && s.charAt(pathEnd) != '#')
+      pathEnd += 1
+    val path = if (pathEnd > span._2) s.substring(span._2, pathEnd) else "/"
+    // query [queryStart, queryEnd): param-filtered, order preserved
+    val sb = new java.lang.StringBuilder(s.length)
+    sb.append(scheme).append("://").append(h).append(port).append(path)
+    if (pathEnd < n && s.charAt(pathEnd) == '?') {
+      var qEnd = pathEnd + 1
+      while (qEnd < n && s.charAt(qEnd) != '#') qEnd += 1
+      var first = true
+      var p0 = pathEnd + 1
+      while (p0 <= qEnd) {
+        var p1 = s.indexOf('&', p0)
+        if (p1 < 0 || p1 > qEnd) p1 = qEnd
+        if (p1 > p0 && !isDroppedParam(s, p0, p1)) {
+          sb.append(if (first) '?' else '&')
+          sb.append(s, p0, p1)
+          first = false
+        }
+        p0 = p1 + 1
+      }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,126 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class LmSpec extends AnyFunSuite {
+  import CharTrigramLm.{V, sym}
+
+  /** Independent reference: plain map-based trigram counts + direct
+    * formula, sharing nothing with the packed-array implementation.
+    */
+  private class RefLm(alpha: Double) {
+    val tri = scala.collection.mutable.Map.empty[(Int, Int, Int), Long]
+    def add(s: String): Unit =
+      s.map(sym).sliding(3).filter(_.length == 3).foreach { w =>
+        val k = (w(0), w(1), w(2)); tri(k) = tri.getOrElse(k, 0L) + 1L
+      }
+    def logProb(s: String): Double = {
+      val syms = s.map(sym)
+      syms.sliding(3).filter(_.length == 3).map { w =>
+        val c = tri.getOrElse((w(0), w(1), w(2)), 0L)
+        val ctx = tri.collect {
+          case ((a, b, _), n) if a == w(0) && b == w(1) => n
+        }.sum
+        math.log((c + alpha) / (ctx + alpha * V))
+      }.sum
+    }
+  }
+
+  test("symbol mapping: case fold, digits, whitespace classes, other") {
+    assert(sym('a') == 0 && sym('z') == 25)
+    assert(sym('A') == 0 && sym('Z') == 25)
+    assert(sym('0') == 26 && sym('9') == 35)
+    assert(sym(' ') == 36 && sym('\t') == 36 && sym('\n') == 36)
+    assert(sym('.') == 37 && sym('é') == 37 && sym('中') == 37)
+  }
+
+  test("hand-computed smoothed logprob") {
+    val m = CharTrigramLm.empty(0.5)
+    m.add("aab")
+    // the only context with evidence is (a,a): count 1, trigram aab: 1
+    val expected = math.log((1 + 0.5) / (1 + 0.5 * V))
+    assert(math.abs(m.logProb("aab") - expected) < 1e-12)
+    // unseen trigram under the SAME context: (0 + a)/(1 + aV)
+    val unseen = math.log(0.5 / (1 + 0.5 * V))
+    assert(math.abs(m.logProb("aac") - unseen) < 1e-12)
+    // unseen context: (0 + a)/(0 + aV) = 1/V
+    assert(math.abs(m.logProb("xyz") - math.log(1.0 / V)) < 1e-12)
+  }
+
+  test("empty model scores the uniform perplexity V; short texts score V") {
+    val m = CharTrigramLm.empty(0.1)
+    assert(math.abs(m.perplexity("anything goes here") - V) < 1e-9)
+    m.add("the cat sat")
+    assert(m.perplexity("") == V.toDouble)
+    assert(m.perplexity("ab") == V.toDouble)
+    // perplexity is never below 1 (every smoothed P <= 1)
+    assert(m.perplexity("the cat sat") >= 1.0)
+  }
+
+  test("scoring matches the brute-force reference on random text") {
+    val rnd = new scala.util.Random(42)
+    def randText(): String =
+      (0 until 3 + rnd.nextInt(60)).map { _ =>
+        "abcdefgh XYZ012.,!中"(rnd.nextInt(19))
+      }.mkString
+    val m = CharTrigramLm.empty(0.3)
+    val ref = new RefLm(0.3)
+    val corpus = Seq.fill(50)(randText())
+    corpus.foreach { t => m.add(t); ref.add(t) }
+    (corpus ++ Seq.fill(20)(randText())).foreach { t =>
+      assert(math.abs(m.logProb(t) - ref.logProb(t)) < 1e-9, s"on '$t'")
+    }
+  }
+
+  test("merge equals training on the union; alpha mismatch throws") {
+    val a = CharTrigramLm.empty(0.1); a.add("the cat sat on the mat")
+    val b = CharTrigramLm.empty(0.1); b.add("a dog ate 99 red balloons")
+    val whole = CharTrigramLm.empty(0.1)
+    whole.add("the cat sat on the mat"); whole.add("a dog ate 99 red balloons")
+    a.merge(b)
+    assert(java.util.Arrays.equals(a.serialize(), whole.serialize()))
+    val ex = intercept[IllegalArgumentException] {
+      CharTrigramLm.empty(0.1).merge(CharTrigramLm.empty(0.2))
+    }
+    assert(ex.getMessage.contains("alpha"))
+  }
+
+  test("serialize round-trips sparse and dense, counts bit-exact") {
+    val sparse = CharTrigramLm.empty(0.25)
+    sparse.add("hello world")
+    val sb = sparse.serialize()
+    assert(sb(1) == 1, "small models must ship sparse")
+    val sp2 = CharTrigramLm.deserialize(sb)
+    assert(java.util.Arrays.equals(sp2.serialize(), sb))
+    assert(sp2.alpha == 0.25 && sp2.totalTrigrams == sparse.totalTrigrams)
+
+    // force dense: touch more than 1/3 of the trigram space
+    val dense = CharTrigramLm.empty(0.25)
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 ."
+    (0 until 40000).foreach { _ =>
+      dense.add((0 until 5).map(_ => alphabet(rnd.nextInt(38))).mkString)
+    }
+    val db = dense.serialize()
+    assert(db(1) == 0, s"expected dense wire mode, got nz=${dense.distinctTrigrams}")
+    val d2 = CharTrigramLm.deserialize(db)
+    assert(java.util.Arrays.equals(d2.serialize(), db))
+    assert(d2.distinctTrigrams == dense.distinctTrigrams)
+  }
+
+  test("corrupted blobs fail loudly") {
+    val good = { val m = CharTrigramLm.empty(0.1); m.add("abcabc"); m.serialize() }
+    intercept[IllegalArgumentException] { CharTrigramLm.deserialize(Array[Byte](1, 2)) }
+    val badMagic = good.clone(); badMagic(0) = 'X'
+    intercept[IllegalArgumentException] { CharTrigramLm.deserialize(badMagic) }
+    val badMode = good.clone(); badMode(1) = 9
+    intercept[IllegalArgumentException] { CharTrigramLm.deserialize(badMode) }
+    intercept[IllegalArgumentException] {
+      CharTrigramLm.deserialize(good.dropRight(1))
+    }
+    val badIdx = good.clone()
+    // first sparse entry index starts at offset 14: poison it
+    badIdx(14) = 0x7f.toByte
+    intercept[IllegalArgumentException] { CharTrigramLm.deserialize(badIdx) }
+  }
+}

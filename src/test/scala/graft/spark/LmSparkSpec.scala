@@ -1,0 +1,92 @@
+package graft.spark
+
+import graft.core.CharTrigramLm
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class LmSparkSpec extends AnyFunSuite with SparkTestBase {
+  import spark.implicits._
+
+  private def corpus = spark.range(0L, 2000L).select(
+    F.when(F.pmod(F.col("id"), F.lit(4L)) === 0,
+        F.md5(F.col("id").cast("string")))
+      .otherwise(F.concat(F.lit("the cat sat on the mat and the dog ran "),
+        F.pmod(F.col("id"), F.lit(3L)))).as("text"),
+    F.pmod(F.col("id"), F.lit(4L)).as("role"))
+
+  test("distributed training equals local training, byte-identical") {
+    val bytes = corpus.agg(sketchFunctions.lm_sketch(F.col("text"), 0.1))
+      .head().getAs[Array[Byte]](0)
+    val local = CharTrigramLm.empty(0.1)
+    corpus.collect().foreach(r => local.add(r.getString(0)))
+    assert(java.util.Arrays.equals(bytes, local.serialize()))
+  }
+
+  test("model bytes are shuffle-partition invariant") {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val runs = Seq(1, 4, 32).map { p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        corpus.repartition(p).agg(sketchFunctions.lm_sketch(F.col("text"), 0.1))
+          .head().getAs[Array[Byte]](0)
+      }
+      assert(java.util.Arrays.equals(runs(0), runs(1)))
+      assert(java.util.Arrays.equals(runs(1), runs(2)))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("lm_merge re-aggregates stored per-shard models exactly") {
+    val shards = corpus.withColumn("shard", F.pmod(F.col("role"), F.lit(2L)))
+      .groupBy("shard").agg(sketchFunctions.lm_sketch(F.col("text"), 0.1).as("m"))
+    val merged = shards.agg(sketchFunctions.lm_merge(F.col("m"), 0.1))
+      .head().getAs[Array[Byte]](0)
+    val direct = corpus.agg(sketchFunctions.lm_sketch(F.col("text"), 0.1))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct))
+  }
+
+  test("perplexity separates gibberish from natural text; SQL agrees") {
+    val bytes = corpus.agg(sketchFunctions.lm_sketch(F.col("text"), 0.1))
+      .head().getAs[Array[Byte]](0)
+    // big-sketch rule: probe a collected model as a LITERAL
+    val m = F.lit(bytes)
+    val row = corpus.select(F.col("role"),
+        sketchFunctions.lm_perplexity(m, F.col("text")).as("ppl"))
+      .agg(
+        F.min(F.when(F.col("role") === 0, F.col("ppl"))).as("gib_min"),
+        F.max(F.when(F.col("role") =!= 0, F.col("ppl"))).as("clean_max"),
+        F.min("ppl").as("all_min"))
+      .head()
+    assert(row.getDouble(0) > row.getDouble(1),
+      s"gibberish min ${row.getDouble(0)} must exceed clean max ${row.getDouble(1)}")
+    assert(row.getDouble(2) >= 1.0)
+
+    // SQL surface agrees with the Column API (scalar + aggregate)
+    corpus.createOrReplaceTempView("lm_spec_corpus")
+    val viaSql = spark.sql(
+      """SELECT lm_perplexity(m, 'the cat sat on the mat') AS p,
+        |       lm_logprob(m, 'the cat sat on the mat') AS lp
+        |FROM (SELECT lm_sketch(text, 0.1) AS m FROM lm_spec_corpus)""".stripMargin)
+      .head()
+    val viaCol = spark.range(1).select(
+        sketchFunctions.lm_perplexity(m, F.lit("the cat sat on the mat")).as("p"),
+        sketchFunctions.lm_logprob(m, F.lit("the cat sat on the mat")).as("lp"))
+      .head()
+    assert(viaSql.getDouble(0) == viaCol.getDouble(0))
+    assert(viaSql.getDouble(1) == viaCol.getDouble(1))
+    assert(math.abs(math.exp(-viaCol.getDouble(1) / 20.0) - viaCol.getDouble(0))
+      < 1e-9) // 22 chars -> 20 positions: ppl = exp(-lp/positions)
+  }
+
+  test("null text scores null; non-string text rejected at analysis") {
+    val bytes = { val m = CharTrigramLm.empty(0.1); m.add("abcdef"); m.serialize() }
+    val r = spark.range(1).select(sketchFunctions.lm_perplexity(
+      F.lit(bytes), F.lit(null).cast("string")).as("p")).head()
+    assert(r.isNullAt(0))
+    val ex = intercept[Exception] {
+      spark.range(1).select(sketchFunctions.lm_perplexity(
+        F.lit(bytes), F.lit(3L)).as("p")).collect()
+    }
+    assert(ex.getMessage.contains("lm_perplexity"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.spark
+
+import org.apache.spark.sql.{functions => F}
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlSpec extends AnyFunSuite with SparkTestBase {
+  import UrlKernelExpr.{host, normalize, registeredDomain}
+
+  test("host: scheme, case, userinfo, port, brackets, root dot") {
+    assert(host("https://Example.COM/p") == "example.com")
+    assert(host("HTTP://WWW.Site.Org:8080/a?b#c") == "www.site.org")
+    assert(host("https://bob@site.com/x") == "site.com")
+    // browser rule: host starts after the LAST '@' in the authority
+    assert(host("https://user:p@ss@evil.com/login") == "evil.com")
+    assert(host("//cdn.example.net/lib.js") == "cdn.example.net")
+    assert(host("ftp://files.example.com:21/") == "files.example.com")
+    assert(host("https://[2001:DB8::1]:8443/x") == "[2001:db8::1]")
+    assert(host("https://example.com./p") == "example.com")
+    assert(host("https://example.com") == "example.com")
+  }
+
+  test("host: no authority yields empty string, never throws") {
+    assert(host("/relative/path") == "")
+    assert(host("mailto:a@b.com") == "")
+    assert(host("not a url at all") == "")
+    assert(host("") == "")
+    assert(host("https://") == "")
+    assert(host("http://@/") == "")
+    assert(host("0http://x.com/") == "") // scheme must start with a letter
+  }
+
+  test("registered domain: two labels, multi-part suffixes, IPs") {
+    assert(registeredDomain("www.blog.example.com") == "example.com")
+    assert(registeredDomain("example.com") == "example.com")
+    assert(registeredDomain("a.b.news.co.uk") == "news.co.uk")
+    assert(registeredDomain("co.uk") == "co.uk") // the bare suffix
+    assert(registeredDomain("b.co.uk") == "b.co.uk")
+    assert(registeredDomain("shop.example.com.au") == "example.com.au")
+    assert(registeredDomain("localhost") == "localhost")
+    assert(registeredDomain("10.1.2.3") == "10.1.2.3")
+    assert(registeredDomain("[2001:db8::1]") == "[2001:db8::1]")
+    assert(registeredDomain("") == "")
+  }
+
+  test("normalize: case, default ports, fragment, tracking params") {
+    assert(normalize("HTTP://Example.COM/Path/X") == "http://example.com/Path/X")
+    assert(normalize("http://example.com:80/a") == "http://example.com/a")
+    assert(normalize("https://example.com:443/a") == "https://example.com/a")
+    assert(normalize("http://example.com:443/a") == "http://example.com:443/a")
+    assert(normalize("https://example.com:8443/a") == "https://example.com:8443/a")
+    assert(normalize("https://example.com") == "https://example.com/")
+    assert(normalize("https://example.com#frag") == "https://example.com/")
+    assert(normalize("https://bob@example.com/x") == "https://example.com/x")
+    assert(normalize("https://e.com/p?utm_source=tw&id=3&gclid=g") ==
+      "https://e.com/p?id=3")
+    assert(normalize("https://e.com/p?UTM_Campaign=c") == "https://e.com/p")
+    assert(normalize("https://e.com/p?a=1&b=2#x") == "https://e.com/p?a=1&b=2")
+    // param ORDER is preserved (order-significant routing exists)
+    assert(normalize("https://e.com/p?b=2&a=1") == "https://e.com/p?b=2&a=1")
+    assert(normalize("https://e.com/p?") == "https://e.com/p")
+    assert(normalize("https://e.com/p?fbclid=f&") == "https://e.com/p")
+  }
+
+  test("normalize: non-http(s) and unparseable input pass through") {
+    assert(normalize("ftp://files.example.com/x") == "ftp://files.example.com/x")
+    assert(normalize("mailto:a@b.com") == "mailto:a@b.com")
+    assert(normalize("/relative?utm_source=x") == "/relative?utm_source=x")
+    assert(normalize("") == "")
+    assert(normalize("https://") == "https://") // empty host: unchanged
+  }
+
+  test("normalize is idempotent on its own output") {
+    val urls = Seq(
+      "HTTP://U:p@WWW.A.CO.UK:80/P?utm_x=1&q=2&fbclid=f#s",
+      "https://example.com", "ftp://x/y", "not a url",
+      "https://[2001:DB8::1]:443/x?a=1")
+    urls.foreach { u =>
+      val once = normalize(u)
+      assert(normalize(once) == once, s"not idempotent on $u -> $once")
+    }
+  }
+
+  test("column API + SQL registration agree, codegen path exercised") {
+    // spark.range keeps the plan out of ConvertToLocalRelation so the
+    // codegen'd projection actually runs (round-6 gotcha)
+    val df = spark.range(4).select(
+      F.concat(F.lit("HTTP://User@WWW.Shop"), F.col("id"),
+        F.lit(".Example.CO.UK:80/Item?utm_s=a&n="), F.col("id"),
+        F.lit("#top")).as("u"))
+    val viaCol = df.select(
+        textFunctions.url_normalize(F.col("u")).as("n"),
+        textFunctions.url_host(F.col("u")).as("h"),
+        textFunctions.url_registered_domain(F.col("u")).as("d"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    df.createOrReplaceTempView("urls_spec")
+    val viaSql = spark.sql(
+      """SELECT url_normalize(u) AS n, url_host(u) AS h,
+        |       url_registered_domain(u) AS d FROM urls_spec""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(viaCol.toSeq == viaSql.toSeq)
+    assert(viaCol(2) == ((
+      "http://www.shop2.example.co.uk/Item?n=2",
+      "www.shop2.example.co.uk",
+      "example.co.uk")))
+  }
+
+  test("null in, null out") {
+    val r = spark.range(1).select(
+      textFunctions.url_host(F.lit(null).cast("string")).as("h")).head()
+    assert(r.isNullAt(0))
+  }
+}
