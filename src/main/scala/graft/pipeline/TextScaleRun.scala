@@ -255,6 +255,54 @@ object TextScaleRun {
     val piiGot = (piiRow.getLong(0), piiRow.getLong(1), piiRow.getLong(2),
       piiRow.getLong(3), piiRow.getLong(4))
 
+    // ---- LM perplexity quality filter at size: train the char-trigram
+    // model in ONE aggregation pass over all docs (1/4 md5-hex
+    // gibberish, 3/4 natural pattern), then score the corpus against the
+    // collected model literal — a zero-shuffle projection. Closed form:
+    // every gibberish doc's perplexity above every clean doc's.
+    val lmCorpus = spark.range(rows).select(col("id").as("doc_id"),
+      when(col("id") % 4 === 0,
+        concat(md5(col("id").cast("string")),
+          md5((col("id") + rows).cast("string"))))
+        .otherwise(concat(
+          lit("the cat sat on the mat and the dog ran after the "),
+          lit("w"), pmod(col("id"), lit(3L)))).as("text"))
+    val (lmBytes, lmTrainSec) = timed {
+      lmCorpus.agg(graft.spark.sketchFunctions.lm_sketch(col("text"), 0.1))
+        .head().getAs[Array[Byte]](0)
+    }
+    val (lmRow, lmScoreSec) = timed {
+      lmCorpus.select(col("doc_id"),
+          graft.spark.sketchFunctions.lm_perplexity(lit(lmBytes), col("text"))
+            .as("ppl"))
+        .agg(min(when(col("doc_id") % 4 === 0, col("ppl"))).as("gmin"),
+          max(when(col("doc_id") % 4 =!= 0, col("ppl"))).as("cmax"))
+        .first()
+    }
+    val lmSeparated = lmRow.getDouble(0) > lmRow.getDouble(1)
+
+    // ---- URL canonicalization at size: zero-shuffle normalize +
+    // registered-domain extraction over messy synthesized URLs. Closed
+    // forms: every URL changes (uppercase scheme/host, default port,
+    // tracking param, fragment), distinct registrable domains =
+    // min(rows, 997).
+    val urlCorpus = spark.range(rows).select(col("id").as("doc_id"),
+      concat(lit("HTTP://WWW.Shop"), pmod(col("id"), lit(1000L)),
+        lit(".Example"), pmod(col("id"), lit(997L)),
+        lit(".COM:80/item/"), col("id"),
+        lit("?utm_source=feed&ref="), pmod(col("id"), lit(7L)),
+        lit("#frag")).as("url"))
+    val (urlRow, urlSec) = timed {
+      urlCorpus.select(
+          graft.spark.textFunctions.url_normalize(col("url")).as("n"),
+          graft.spark.textFunctions.url_registered_domain(col("url")).as("d"),
+          col("url"))
+        .agg(sum(when(col("n") =!= col("url"), 1L).otherwise(0L)).as("changed"),
+          countDistinct(col("d")).as("domains"))
+        .first()
+    }
+    val urlDomainsExpected = math.min(rows, 997L)
+
     val expectDrop = clusteredDocs - clusteredDocs / 4
     println(
       s"""{"text_scale_rows":$nDocs,"neardup_pairs":$nPairs""" +
@@ -283,7 +331,14 @@ object TextScaleRun {
       s""","linededup_sec":${f"$ldSec%.1f"}""" +
       s""","pii_counts":[${piiGot._1},${piiGot._2},${piiGot._3},${piiGot._4},${piiGot._5}]""" +
       s""","pii_expected":[${piiExpected._1},${piiExpected._2},${piiExpected._3},${piiExpected._4},${piiExpected._5}]""" +
-      s""","pii_sec":${f"$piiSec%.1f"}}""")
+      s""","pii_sec":${f"$piiSec%.1f"}""" +
+      s""","lm_train_sec":${f"$lmTrainSec%.1f"}""" +
+      s""","lm_score_sec":${f"$lmScoreSec%.1f"}""" +
+      s""","lm_separated":$lmSeparated""" +
+      s""","url_changed":${urlRow.getLong(0)},"url_changed_expected":$rows""" +
+      s""","url_domains":${urlRow.getLong(1)}""" +
+      s""","url_domains_expected":$urlDomainsExpected""" +
+      s""","url_sec":${f"$urlSec%.1f"}}""")
     spark.stop()
   }
 }
