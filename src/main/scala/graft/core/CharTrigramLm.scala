@@ -19,32 +19,134 @@ package graft.core
   * Texts with fewer than 3 chars have no evidence and score perplexity
   * exactly V (the uniform add-alpha prediction). Context counts are
   * DERIVED (ctx = sum over the third symbol), so merge stays a plain
-  * vector add and partial aggregation is exact.
+  * count add and partial aggregation is exact.
+  *
+  * Storage is sparse-until-threshold (review-caught): a per-GROUP
+  * aggregation buffer (`groupBy(lang).agg(lm_sketch(...))`) would pay
+  * the dense 2^~16-long table (~440 KB) per key no matter how few
+  * trigrams the group saw — the round-2 per-key-buffer failure shape.
+  * Counts live in an open-addressed int→long table until
+  * `PromoteEntries` distinct cells (~100 KB worst case), then promote
+  * to the dense array once, so small groups stay KB-sized and corpus
+  * buffers end up dense. All observable behavior (scores, wire bytes)
+  * is representation-independent: serialization iterates cells in
+  * ascending index order either way.
   *
   * Wire format (sparse-if-smaller, like the HLL codec): 'L', mode byte
   * (0 dense / 1 sparse), alpha as big-endian double bits, then either
   * V^3 big-endian longs or an int count of (int index, long count)
-  * pairs. Merge requires equal alpha (mixing smoothing regimes silently
-  * would corrupt comparisons, matching the HLL precision-mismatch rule).
+  * pairs in ascending index order. Merge requires equal alpha (mixing
+  * smoothing regimes silently would corrupt comparisons, matching the
+  * HLL precision-mismatch rule).
   */
-final class CharTrigramLm private (val alpha: Double,
-    private[core] val counts: Array[Long]) {
+final class CharTrigramLm private (val alpha: Double) {
   import CharTrigramLm._
 
-  // lazily derived; invalidated by add/merge. Recomputation is
-  // idempotent, so concurrent readers through the thread-local parse
-  // cache are safe (t-digest lazy-flush precedent).
+  // representation: EITHER dense != null, OR the open-addressed
+  // (keys, vals) table with `used` live entries (keys slot -1 = empty)
+  private var dense: Array[Long] = null
+  private var keys: Array[Int] = null
+  private var vals: Array[Long] = null
+  private var used = 0
+
+  // lazily derived context table; invalidated by add/merge.
+  // Recomputation is idempotent, so concurrent readers through the
+  // thread-local parse cache are safe (t-digest lazy-flush precedent).
   @volatile private var ctxCache: Array[Long] = null
+
+  private def ensureSparse(capacity: Int): Unit = {
+    if (keys == null) {
+      keys = Array.fill(capacity)(-1)
+      vals = new Array[Long](capacity)
+    }
+  }
+
+  private def promote(): Unit = {
+    val d = new Array[Long](TriSpace)
+    var i = 0
+    while (i < keys.length) {
+      if (keys(i) >= 0) d(keys(i)) = vals(i)
+      i += 1
+    }
+    dense = d
+    keys = null
+    vals = null
+    used = 0
+  }
+
+  private def grow(): Unit = {
+    val ok = keys; val ov = vals
+    keys = Array.fill(ok.length << 1)(-1)
+    vals = new Array[Long](ok.length << 1)
+    val mask = keys.length - 1
+    var i = 0
+    while (i < ok.length) {
+      val k = ok(i)
+      if (k >= 0) {
+        var slot = scramble(k) & mask
+        while (keys(slot) >= 0) slot = (slot + 1) & mask
+        keys(slot) = k
+        vals(slot) = ov(i)
+      }
+      i += 1
+    }
+  }
+
+  private def inc(idx: Int, by: Long): Unit = {
+    if (dense != null) { dense(idx) += by; return }
+    ensureSparse(64)
+    val mask = keys.length - 1
+    var slot = scramble(idx) & mask
+    while (keys(slot) >= 0 && keys(slot) != idx) slot = (slot + 1) & mask
+    if (keys(slot) == idx) vals(slot) += by
+    else {
+      keys(slot) = idx
+      vals(slot) = by
+      used += 1
+      if (used > PromoteEntries) promote()
+      else if (used * 2 > keys.length) grow()
+    }
+  }
+
+  private def get(idx: Int): Long = {
+    if (dense != null) return dense(idx)
+    if (keys == null) return 0L
+    val mask = keys.length - 1
+    var slot = scramble(idx) & mask
+    while (keys(slot) >= 0) {
+      if (keys(slot) == idx) return vals(slot)
+      slot = (slot + 1) & mask
+    }
+    0L
+  }
+
+  private def foreachCell(f: (Int, Long) => Unit): Unit = {
+    if (dense != null) {
+      var i = 0
+      while (i < TriSpace) { if (dense(i) != 0L) f(i, dense(i)); i += 1 }
+    } else if (keys != null) {
+      var i = 0
+      while (i < keys.length) { if (keys(i) >= 0) f(keys(i), vals(i)); i += 1 }
+    }
+  }
+
+  /** Live cell indices in ascending order (the deterministic iteration
+    * the wire format requires — hash-table layout depends on insertion
+    * order, which partition scheduling must never leak into bytes).
+    */
+  private def sortedIndices(): Array[Int] = {
+    val out = new Array[Int](distinctTrigrams.toInt)
+    var n = 0
+    foreachCell((idx, _) => { out(n) = idx; n += 1 })
+    java.util.Arrays.sort(out)
+    out
+  }
 
   private def ctx(): Array[Long] = {
     var c = ctxCache
     if (c == null) {
       c = new Array[Long](V * V)
-      var i = 0
-      while (i < TriSpace) {
-        c(i / V) += counts(i)
-        i += 1
-      }
+      foreachCell((idx, cnt) => c(idx / V) += cnt)
       ctxCache = c
     }
     c
@@ -59,7 +161,7 @@ final class CharTrigramLm private (val alpha: Double,
     var i = 2
     while (i < n) {
       val s2 = sym(text.charAt(i))
-      counts((s0 * V + s1) * V + s2) += 1L
+      inc((s0 * V + s1) * V + s2, 1L)
       s0 = s1
       s1 = s2
       i += 1
@@ -70,23 +172,31 @@ final class CharTrigramLm private (val alpha: Double,
     require(other.alpha == alpha,
       s"LM smoothing mismatch: alpha $alpha vs ${other.alpha}")
     ctxCache = null
-    var i = 0
-    while (i < TriSpace) { counts(i) += other.counts(i); i += 1 }
+    if (other eq this) {
+      // self-merge doubles every cell — snapshot first, inc() may grow
+      // or promote the table mid-iteration
+      val idxs = sortedIndices()
+      val cnts = idxs.map(get)
+      var i = 0
+      while (i < idxs.length) { inc(idxs(i), cnts(i)); i += 1 }
+    } else other.foreachCell((idx, cnt) => inc(idx, cnt))
     this
   }
 
   def totalTrigrams: Long = {
     var t = 0L
-    var i = 0
-    while (i < TriSpace) { t += counts(i); i += 1 }
+    foreachCell((_, cnt) => t += cnt)
     t
   }
 
   def distinctTrigrams: Long = {
-    var t = 0L
-    var i = 0
-    while (i < TriSpace) { if (counts(i) != 0L) t += 1; i += 1 }
-    t
+    if (dense == null) used.toLong
+    else {
+      var t = 0L
+      var i = 0
+      while (i < TriSpace) { if (dense(i) != 0L) t += 1; i += 1 }
+      t
+    }
   }
 
   /** Sum of per-position smoothed log-probabilities (0.0 for texts with
@@ -104,7 +214,7 @@ final class CharTrigramLm private (val alpha: Double,
     while (i < n) {
       val s2 = sym(text.charAt(i))
       val bi = s0 * V + s1
-      lp += math.log((counts(bi * V + s2) + alpha) / (cx(bi) + aV))
+      lp += math.log((get(bi * V + s2) + alpha) / (cx(bi) + aV))
       s0 = s1
       s1 = s2
       i += 1
@@ -120,7 +230,8 @@ final class CharTrigramLm private (val alpha: Double,
   }
 
   def serialize(): Array[Byte] = {
-    val nz = distinctTrigrams.toInt
+    val idxs = sortedIndices()
+    val nz = idxs.length
     val sparseBytes = 2 + 8 + 4 + nz * 12
     val denseBytes = 2 + 8 + TriSpace * 8
     val sparse = sparseBytes < denseBytes
@@ -131,13 +242,10 @@ final class CharTrigramLm private (val alpha: Double,
     if (sparse) {
       bb.putInt(nz)
       var i = 0
-      while (i < TriSpace) {
-        if (counts(i) != 0L) { bb.putInt(i); bb.putLong(counts(i)) }
-        i += 1
-      }
+      while (i < nz) { bb.putInt(idxs(i)); bb.putLong(get(idxs(i))); i += 1 }
     } else {
       var i = 0
-      while (i < TriSpace) { bb.putLong(counts(i)); i += 1 }
+      while (i < TriSpace) { bb.putLong(get(i)); i += 1 }
     }
     bb.array()
   }
@@ -147,6 +255,11 @@ object CharTrigramLm {
   final val V = 38
   final val TriSpace = V * V * V // 54,872
   private final val Magic: Byte = 'L'
+  // sparse worst case just before promotion: 16k-slot table ≈ 200 KB,
+  // under the 440 KB dense table it converts into
+  private final val PromoteEntries = 8192
+
+  private def scramble(idx: Int): Int = (idx * 0x9E3779B9) >>> 16
 
   def sym(c: Char): Int =
     if (c >= 'a' && c <= 'z') c - 'a'
@@ -158,7 +271,7 @@ object CharTrigramLm {
   def empty(alpha: Double): CharTrigramLm = {
     require(alpha > 0.0 && alpha.isFinite,
       s"alpha must be a positive finite smoothing constant, got $alpha")
-    new CharTrigramLm(alpha, new Array[Long](TriSpace))
+    new CharTrigramLm(alpha)
   }
 
   def deserialize(bytes: Array[Byte]): CharTrigramLm = {
@@ -168,13 +281,15 @@ object CharTrigramLm {
     val mode = bb.get()
     val alpha = bb.getDouble()
     require(alpha > 0.0 && alpha.isFinite, s"corrupt LM blob: alpha $alpha")
-    val counts = new Array[Long](TriSpace)
+    val m = new CharTrigramLm(alpha)
     mode match {
       case 0 =>
         require(bytes.length == 10 + TriSpace * 8,
           s"corrupt dense LM blob: ${bytes.length} bytes")
+        val d = new Array[Long](TriSpace)
         var i = 0
-        while (i < TriSpace) { counts(i) = bb.getLong(); i += 1 }
+        while (i < TriSpace) { d(i) = bb.getLong(); i += 1 }
+        m.dense = d
       case 1 =>
         val nz = bb.getInt()
         require(nz >= 0 && bytes.length == 14 + nz * 12,
@@ -183,12 +298,13 @@ object CharTrigramLm {
         while (i < nz) {
           val idx = bb.getInt()
           require(idx >= 0 && idx < TriSpace, s"corrupt LM blob: index $idx")
-          counts(idx) = bb.getLong()
+          val cnt = bb.getLong()
+          if (cnt != 0L) m.inc(idx, cnt)
           i += 1
         }
       case other =>
         throw new IllegalArgumentException(s"unknown LM blob mode $other")
     }
-    new CharTrigramLm(alpha, counts)
+    m
   }
 }

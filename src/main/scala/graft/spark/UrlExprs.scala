@@ -159,23 +159,37 @@ object UrlKernelExpr {
     (authStart, end)
   }
 
-  /** Host inside authority [from, until): strip userinfo (last '@') and
-    * port; keep IPv6 brackets; drop one trailing root dot.
+  /** Host bounds inside authority [from, until) — start after userinfo
+    * (last '@'), end before the port colon (bracket-aware) — packed as
+    * (start << 32 | end). ONE scan shared by host extraction and
+    * normalize's port detection so the two can never desynchronize
+    * (review-caught divergence risk).
     */
-  private def hostInAuthority(s: String, from: Int, until: Int): String = {
+  private def hostBounds(s: String, from: Int, until: Int): Long = {
     var h0 = from
     val at = s.lastIndexOf('@', until - 1)
     if (at >= from) h0 = at + 1
-    if (h0 >= until) return ""
     var h1 = until
-    if (s.charAt(h0) == '[') {
-      val close = s.indexOf(']', h0)
-      if (close >= 0 && close < until) h1 = close + 1
-    } else {
-      val colon = s.indexOf(':', h0)
-      if (colon >= 0 && colon < until) h1 = colon
+    if (h0 < until) {
+      if (s.charAt(h0) == '[') {
+        val close = s.indexOf(']', h0)
+        if (close >= 0 && close < until) h1 = close + 1
+      } else {
+        val colon = s.indexOf(':', h0)
+        if (colon >= 0 && colon < until) h1 = colon
+      }
     }
-    var end = h1
+    (h0.toLong << 32) | h1.toLong
+  }
+
+  /** Host inside authority [from, until): strip userinfo and port; keep
+    * IPv6 brackets; drop one trailing root dot.
+    */
+  private def hostInAuthority(s: String, from: Int, until: Int): String = {
+    val b = hostBounds(s, from, until)
+    val h0 = (b >>> 32).toInt
+    if (h0 >= until) return ""
+    var end = (b & 0xffffffffL).toInt
     if (end > h0 && s.charAt(end - 1) == '.') end -= 1
     asciiLower(s.substring(h0, end))
   }
@@ -224,19 +238,7 @@ object UrlKernelExpr {
     if (h.isEmpty) return s
     // port survives unless absent or the scheme default
     var port = ""
-    val hostEndAbs = {
-      // recompute the host's end inside the authority to find the port
-      var h0 = span._1
-      val at = s.lastIndexOf('@', span._2 - 1)
-      if (at >= span._1) h0 = at + 1
-      if (h0 < span._2 && s.charAt(h0) == '[') {
-        val close = s.indexOf(']', h0)
-        if (close >= 0 && close < span._2) close + 1 else span._2
-      } else {
-        val colon = s.indexOf(':', h0)
-        if (colon >= 0 && colon < span._2) colon else span._2
-      }
-    }
+    val hostEndAbs = (hostBounds(s, span._1, span._2) & 0xffffffffL).toInt
     if (hostEndAbs < span._2 && s.charAt(hostEndAbs) == ':') {
       val p = s.substring(hostEndAbs + 1, span._2)
       val default = if (scheme == "http") "80" else "443"

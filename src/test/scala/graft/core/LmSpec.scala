@@ -108,6 +108,38 @@ class LmSpec extends AnyFunSuite {
     assert(d2.distinctTrigrams == dense.distinctTrigrams)
   }
 
+  test("sparse/dense representations interoperate (review-caught buffer shape)") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 ."
+    def randDoc() = (0 until 50).map(_ => alphabet(rnd.nextInt(38))).mkString
+    val bigDocs = Seq.fill(2000)(randDoc())
+    val big = CharTrigramLm.empty(0.1)
+    bigDocs.foreach(big.add)
+    assert(big.distinctTrigrams > 8192, "fixture must cross the promote threshold")
+    val small = CharTrigramLm.empty(0.1)
+    small.add("tiny evidence here")
+    // a small group's model stays KB-sized (the per-group buffer story)
+    assert(small.serialize().length < 1000)
+    val union = CharTrigramLm.empty(0.1)
+    bigDocs.foreach(union.add); union.add("tiny evidence here")
+    // dense += sparse
+    val m1 = CharTrigramLm.empty(0.1)
+    bigDocs.foreach(m1.add)
+    m1.merge(small)
+    assert(java.util.Arrays.equals(m1.serialize(), union.serialize()))
+    // sparse += dense (promotes mid-merge)
+    val m2 = CharTrigramLm.empty(0.1)
+    m2.add("tiny evidence here")
+    m2.merge(big)
+    assert(java.util.Arrays.equals(m2.serialize(), union.serialize()))
+    // self-merge doubles every cell without corrupting the table
+    val dbl = CharTrigramLm.empty(0.1)
+    dbl.add("tiny evidence here"); dbl.merge(dbl)
+    val twice = CharTrigramLm.empty(0.1)
+    twice.add("tiny evidence here"); twice.add("tiny evidence here")
+    assert(java.util.Arrays.equals(dbl.serialize(), twice.serialize()))
+  }
+
   test("corrupted blobs fail loudly") {
     val good = { val m = CharTrigramLm.empty(0.1); m.add("abcabc"); m.serialize() }
     intercept[IllegalArgumentException] { CharTrigramLm.deserialize(Array[Byte](1, 2)) }
