@@ -919,6 +919,24 @@ object SparkEntry {
           (col("__hits") === col("cnt_docs")).as("all_detected"))
     }),
 
+    // script detection: one planted sample per writing system by
+    // doc_id%11 (latin/cyrillic/greek/arabic/hebrew/devanagari/thai/
+    // hangul/kana/cjk + an all-digit "none" case), detected per doc —
+    // the oracle restates the expected script constructively, so block
+    // ranges, letter-only voting, and code-point iteration all
+    // hash-check per doc
+    "q_script" -> ((s, d) => {
+      val id = col("doc_id")
+      val sample = element_at(array(
+        lit("hello world"), lit("привет мир"), lit("γεια σου κόσμε"),
+        lit("مرحبا بالعالم"), lit("שלום עולם"), lit("नमस्ते दुनिया"),
+        lit("สวัสดีชาวโลก"), lit("안녕하세요 세계"), lit("こんにちは せかい"),
+        lit("你好世界和平发展"), lit("12345 67890 !!")),
+        (pmod(id, lit(11L)) + 1).cast("int"))
+      t(s, d, "documents").select(id,
+        tf.script_id(sample).as("script"))
+    }),
+
     // deterministic sampling: per-lang stratified bottom-10 by md5(text)
     // plus a global bottom-100, both exactly replayable in DuckDB (same
     // hash, same ordering, same tie-break)
@@ -2146,6 +2164,14 @@ object SparkEntry {
     "q_lang_id" ->
       """SELECT lang, count(*) AS cnt_docs, TRUE AS all_detected
         |FROM documents GROUP BY 1""".stripMargin,
+    "q_script" ->
+      """SELECT doc_id,
+        | CASE doc_id % 11
+        |   WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic' WHEN 2 THEN 'greek'
+        |   WHEN 3 THEN 'arabic' WHEN 4 THEN 'hebrew' WHEN 5 THEN 'devanagari'
+        |   WHEN 6 THEN 'thai' WHEN 7 THEN 'hangul' WHEN 8 THEN 'kana'
+        |   WHEN 9 THEN 'cjk' ELSE 'none' END AS script
+        |FROM documents""".stripMargin,
     "q_sample" ->
       """SELECT lang, CAST(sample_rank AS INT) AS sample_rank, doc_id FROM (
         |  SELECT lang, row_number() OVER (

@@ -156,6 +156,7 @@ object GraftExtensions {
     "simhash64_chars" -> { args =>
       TextKernelExpr(args.head, TextKernelExpr.SimHashChar) },
     "lang_id" -> { args => TextKernelExpr(args.head, TextKernelExpr.LangId) },
+    "script_id" -> { args => TextKernelExpr(args.head, TextKernelExpr.ScriptId) },
     "doc_fingerprint" -> { args => TextKernelExpr(args.head, TextKernelExpr.Fingerprint) },
     "utf16_length" -> { args => TextKernelExpr(args.head, TextKernelExpr.Utf16Len) },
     "html_extract_text" -> { args => HtmlExtractExpr(args.head) },

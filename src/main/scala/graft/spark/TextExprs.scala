@@ -21,7 +21,7 @@ case class TextKernelExpr(child: Expression, op: Int) extends UnaryExpression {
 
   override def dataType: DataType = op match {
     case SimHash | SimHashChar | Fingerprint | Utf16Len => LongType
-    case LangId => StringType
+    case LangId | ScriptId => StringType
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -54,6 +54,7 @@ object TextKernelExpr {
   final val Fingerprint = 2
   final val SimHashChar = 3
   final val Utf16Len = 4
+  final val ScriptId = 5
 
   def nameOf(op: Int): String = op match {
     case SimHash => "simhash64"
@@ -61,6 +62,7 @@ object TextKernelExpr {
     case Fingerprint => "doc_fingerprint"
     case SimHashChar => "simhash64_chars"
     case Utf16Len => "utf16_length"
+    case ScriptId => "script_id"
   }
 
   def dispatch(text: UTF8String, op: Int): Any = op match {
@@ -68,6 +70,7 @@ object TextKernelExpr {
     case LangId => UTF8String.fromString(LangProfiles.detect(text.toString))
     case Fingerprint => java.lang.Long.valueOf(fingerprint(text.toString))
     case SimHashChar => java.lang.Long.valueOf(simhash64Chars(text.toString))
+    case ScriptId => UTF8String.fromString(scriptId(text.toString))
     // UTF-16 code-unit length: Spark's `length()` counts CODE POINTS, so
     // operators whose offsets come from Java String indices (SpanRep's
     // gram spans) must measure totals in the SAME unit or fractions
@@ -150,6 +153,64 @@ object TextKernelExpr {
     var b = 0
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  /** Dominant writing system of the text — the routing signal AHEAD of
+    * [[LangProfiles]] trigram lang-id (which assumes an alphabetic
+    * script): a 10^12-page crawl splits by script first, then runs the
+    * per-script language models. Counts letters per script by Unicode
+    * block range (code-point iteration, so astral CJK counts correctly),
+    * returns the script with the most letters; ties break by the fixed
+    * order below (deterministic), texts with no letters → "none".
+    * Digits, punctuation, and whitespace never vote. Scripts covered:
+    * latin (incl. Latin-1/Extended/additional), cyrillic, greek, arabic,
+    * hebrew, devanagari, thai, hangul, kana (hiragana+katakana), cjk
+    * (unified ideographs + ext A/B); any other letter → "other".
+    */
+  def scriptId(text: String): String = {
+    val counts = new Array[Int](ScriptNames.length)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val cp = text.codePointAt(i)
+      val s = scriptOf(cp)
+      if (s >= 0) counts(s) += 1
+      i += Character.charCount(cp)
+    }
+    var best = -1
+    var bestCount = 0
+    var k = 0
+    while (k < counts.length) {
+      if (counts(k) > bestCount) { best = k; bestCount = counts(k) }
+      k += 1
+    }
+    if (best < 0) "none" else ScriptNames(best)
+  }
+
+  private val ScriptNames = Array("latin", "cyrillic", "greek", "arabic",
+    "hebrew", "devanagari", "thai", "hangul", "kana", "cjk", "other")
+
+  /** Script index for a code point, or -1 for non-letters. */
+  private def scriptOf(cp: Int): Int = {
+    if (cp < 0x80) {
+      if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) 0 else -1
+    } else if (cp <= 0x024F || (cp >= 0x1E00 && cp <= 0x1EFF))
+      if (Character.isLetter(cp)) 0 else -1 // Latin-1/Ext-A/B + additional
+    else if (cp >= 0x0400 && cp <= 0x052F) 1 // Cyrillic + supplement
+    else if (cp >= 0x0370 && cp <= 0x03FF) if (Character.isLetter(cp)) 2 else -1
+    else if ((cp >= 0x0600 && cp <= 0x06FF) || (cp >= 0x0750 && cp <= 0x077F))
+      if (Character.isLetter(cp)) 3 else -1 // Arabic digits/marks don't vote
+    else if (cp >= 0x0590 && cp <= 0x05FF) if (Character.isLetter(cp)) 4 else -1
+    else if (cp >= 0x0900 && cp <= 0x097F) if (Character.isLetter(cp)) 5 else -1
+    else if (cp >= 0x0E00 && cp <= 0x0E7F) if (Character.isLetter(cp)) 6 else -1
+    else if ((cp >= 0xAC00 && cp <= 0xD7AF) || (cp >= 0x1100 && cp <= 0x11FF))
+      7 // Hangul syllables + jamo
+    else if (cp >= 0x3040 && cp <= 0x30FF)
+      if (Character.isLetter(cp)) 8 else -1 // hiragana + katakana
+    else if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+      (cp >= 0x20000 && cp <= 0x2A6DF)) 9 // CJK unified + ext A/B
+    else if (Character.isLetter(cp)) 10
+    else -1
   }
 
   /** Winnowing-style document fingerprint (Schleimer et al., MOSS): minimum
@@ -371,6 +432,12 @@ object textFunctions {
     */
   def pii_scrub(text: Column): Column =
     Bridge.column(PiiScrubExpr(Bridge.expression(text)))
+
+  /** Dominant writing system ("latin", "cyrillic", ..., "none") — the
+    * routing signal ahead of [[lang_id]]. See [[TextKernelExpr.scriptId]].
+    */
+  def script_id(text: Column): Column =
+    Bridge.column(TextKernelExpr(Bridge.expression(text), TextKernelExpr.ScriptId))
 
   /** Lowercased host of an absolute/protocol-relative URL ("" when the
     * input has no authority). See [[UrlKernelExpr]] for the full contract.

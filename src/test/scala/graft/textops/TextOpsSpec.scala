@@ -207,6 +207,37 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
       s"expected ${r.getString(0)} got ${r.getString(1)}"))
   }
 
+  test("script_id routes by dominant writing system") {
+    import graft.spark.TextKernelExpr.scriptId
+    assert(scriptId("hello world") == "latin")
+    assert(scriptId("привет мир") == "cyrillic")
+    assert(scriptId("γεια σου κόσμε") == "greek")
+    assert(scriptId("مرحبا بالعالم") == "arabic")
+    assert(scriptId("שלום עולם") == "hebrew")
+    assert(scriptId("नमस्ते दुनिया") == "devanagari")
+    assert(scriptId("สวัสดีชาวโลก") == "thai")
+    assert(scriptId("안녕하세요 세계") == "hangul")
+    assert(scriptId("こんにちは せかい") == "kana")
+    assert(scriptId("你好世界和平发展") == "cjk")
+    assert(scriptId("ამბავი ქართული") == "other") // Georgian: letters, no bucket
+    // majority wins; digits/punctuation/whitespace never vote
+    assert(scriptId("the word мир here") == "latin")
+    assert(scriptId("слово word слово") == "cyrillic")
+    assert(scriptId("abc 123 456 789 !!") == "latin")
+    assert(scriptId("12345 67890 !!") == "none")
+    assert(scriptId("") == "none")
+    // ties break deterministically by the fixed script order
+    assert(scriptId("abc мир") == "latin")
+    // astral CJK (ext B) counts via code points, not UTF-16 units
+    assert(scriptId(new String(Character.toChars(0x20000)) * 3 + "ab") == "cjk")
+    // SQL and Column surfaces agree
+    val df = spark.range(1).select(F.lit("你好世界").as("t"))
+    df.createOrReplaceTempView("script_spec")
+    assert(spark.sql("SELECT script_id(t) FROM script_spec").head().getString(0)
+      == "cjk")
+    assert(df.select(tf.script_id(F.col("t"))).head().getString(0) == "cjk")
+  }
+
   test("doc_fingerprint: equal for identical text, stable under case/space noise") {
     val fp = spark.createDataFrame(Seq(
       (1L, "The Quick  Brown Fox Jumped Over It"),
