@@ -1169,6 +1169,27 @@ object SparkEntry {
         tf.url_registered_domain(raw).as("domain"))
     }),
 
+    // URL-level dedup — the FIRST dedup pass of a crawl pipeline:
+    // canonicalize, then exact-dedup on the normalized URL (min doc_id
+    // keeps the row). Planted URLs collide in groups of doc_id%100 but
+    // differ per doc in scheme case, tracking params, and fragment —
+    // only normalization makes them equal, so the gate proves the
+    // composition, and the oracle replays it constructively (group =
+    // id%100, survivor = min id of the group)
+    "q_url_dedup" -> ((s, d) => {
+      val id = col("doc_id")
+      val raw = concat(
+        when(pmod(id, lit(2L)) === 0, lit("HTTP://")).otherwise(lit("http://")),
+        lit("News"), pmod(id, lit(100L)), lit(".Example.COM/Story/"),
+        pmod(id, lit(100L)),
+        when(pmod(id, lit(3L)) === 0, lit("?utm_medium=rss")).otherwise(lit("")),
+        when(pmod(id, lit(7L)) === 0, lit("#comments")).otherwise(lit("")))
+      val canon = t(s, d, "documents")
+        .select(id, tf.url_normalize(raw).as("curl"))
+      graft.textops.Dedup.exactDedup(canon, "doc_id", "curl")
+        .select(col("doc_id"), col("curl"))
+    }),
+
     // CCNet-style perplexity quality filter: train the char-trigram LM
     // (one distributed aggregation) on a planted corpus — 3/4 natural
     // pattern docs, 1/4 md5-hex gibberish — then score every doc with
@@ -2381,6 +2402,11 @@ object SparkEntry {
         | (CASE WHEN doc_id % 5 = 0 THEN 'example.co.uk' ELSE 'example.com' END)
         |   AS domain
         |FROM documents""".stripMargin,
+    "q_url_dedup" ->
+      """SELECT doc_id,
+        | 'http://news' || (doc_id % 100) || '.example.com/Story/' ||
+        |   (doc_id % 100) AS curl
+        |FROM documents WHERE doc_id < 100""".stripMargin,
     "q_lm_ppl" ->
       """WITH built AS (
         |  SELECT doc_id,

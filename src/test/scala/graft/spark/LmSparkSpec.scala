@@ -78,6 +78,16 @@ class LmSparkSpec extends AnyFunSuite with SparkTestBase {
       < 1e-9) // 22 chars -> 20 positions: ppl = exp(-lp/positions)
   }
 
+  test("plan lock: scoring is an Exchange-free codegen projection") {
+    val bytes = corpus.agg(sketchFunctions.lm_sketch(F.col("text"), 0.1))
+      .head().getAs[Array[Byte]](0)
+    val plan = corpus.select(
+        sketchFunctions.lm_perplexity(F.lit(bytes), F.col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1) Project"), plan) // *(n) = WholeStageCodegen span
+  }
+
   test("null text scores null; non-string text rejected at analysis") {
     val bytes = { val m = CharTrigramLm.empty(0.1); m.add("abcdef"); m.serialize() }
     val r = spark.range(1).select(sketchFunctions.lm_perplexity(

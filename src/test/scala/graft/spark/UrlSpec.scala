@@ -104,6 +104,18 @@ class UrlSpec extends AnyFunSuite with SparkTestBase {
       "example.co.uk")))
   }
 
+  test("plan lock: url kernels are Exchange-free codegen projections") {
+    val df = spark.range(1000).select(
+      F.concat(F.lit("https://s"), F.col("id"), F.lit(".example.com/p")).as("u"))
+    val plan = df.select(
+        textFunctions.url_normalize(F.col("u")),
+        textFunctions.url_host(F.col("u")),
+        textFunctions.url_registered_domain(F.col("u")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("*(1) Project"), plan) // *(n) = WholeStageCodegen span
+  }
+
   test("null in, null out") {
     val r = spark.range(1).select(
       textFunctions.url_host(F.lit(null).cast("string")).as("h")).head()
