@@ -158,14 +158,18 @@ object TextKernelExpr {
   /** Dominant writing system of the text — the routing signal AHEAD of
     * [[LangProfiles]] trigram lang-id (which assumes an alphabetic
     * script): a 10^12-page crawl splits by script first, then runs the
-    * per-script language models. Counts letters per script by Unicode
-    * block range (code-point iteration, so astral CJK counts correctly),
-    * returns the script with the most letters; ties break by the fixed
-    * order below (deterministic), texts with no letters → "none".
-    * Digits, punctuation, and whitespace never vote. Scripts covered:
-    * latin (incl. Latin-1/Extended/additional), cyrillic, greek, arabic,
-    * hebrew, devanagari, thai, hangul, kana (hiragana+katakana), cjk
-    * (unified ideographs + ext A/B); any other letter → "other".
+    * per-script language models. Counts LETTERS per script (code-point
+    * iteration, so astral CJK counts correctly; digits, punctuation,
+    * marks, and whitespace never vote), returns the script with the
+    * most letters; ties break by the fixed order below (deterministic),
+    * texts with no letters → "none". Classification delegates to the
+    * JDK's `Character.UnicodeScript` (full Unicode script property —
+    * polytonic Greek, halfwidth katakana, compatibility jamo, Arabic
+    * presentation forms all land correctly; review-caught gaps of the
+    * hand-rolled block ranges this replaced) with buckets: latin,
+    * cyrillic, greek, arabic, hebrew, devanagari, thai, hangul, kana
+    * (hiragana+katakana), cjk (Han); any other script's letters →
+    * "other".
     */
   def scriptId(text: String): String = {
     val counts = new Array[Int](ScriptNames.length)
@@ -190,27 +194,29 @@ object TextKernelExpr {
   private val ScriptNames = Array("latin", "cyrillic", "greek", "arabic",
     "hebrew", "devanagari", "thai", "hangul", "kana", "cjk", "other")
 
-  /** Script index for a code point, or -1 for non-letters. */
+  /** Script index for a code point, or -1 for non-letters. ASCII fast
+    * path first (the overwhelmingly common case pays no script lookup);
+    * everything else gates on isLetter, then buckets the JDK's Unicode
+    * script property.
+    */
   private def scriptOf(cp: Int): Int = {
-    if (cp < 0x80) {
-      if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) 0 else -1
-    } else if (cp <= 0x024F || (cp >= 0x1E00 && cp <= 0x1EFF))
-      if (Character.isLetter(cp)) 0 else -1 // Latin-1/Ext-A/B + additional
-    else if (cp >= 0x0400 && cp <= 0x052F) 1 // Cyrillic + supplement
-    else if (cp >= 0x0370 && cp <= 0x03FF) if (Character.isLetter(cp)) 2 else -1
-    else if ((cp >= 0x0600 && cp <= 0x06FF) || (cp >= 0x0750 && cp <= 0x077F))
-      if (Character.isLetter(cp)) 3 else -1 // Arabic digits/marks don't vote
-    else if (cp >= 0x0590 && cp <= 0x05FF) if (Character.isLetter(cp)) 4 else -1
-    else if (cp >= 0x0900 && cp <= 0x097F) if (Character.isLetter(cp)) 5 else -1
-    else if (cp >= 0x0E00 && cp <= 0x0E7F) if (Character.isLetter(cp)) 6 else -1
-    else if ((cp >= 0xAC00 && cp <= 0xD7AF) || (cp >= 0x1100 && cp <= 0x11FF))
-      7 // Hangul syllables + jamo
-    else if (cp >= 0x3040 && cp <= 0x30FF)
-      if (Character.isLetter(cp)) 8 else -1 // hiragana + katakana
-    else if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
-      (cp >= 0x20000 && cp <= 0x2A6DF)) 9 // CJK unified + ext A/B
-    else if (Character.isLetter(cp)) 10
-    else -1
+    if (cp < 0x80)
+      return if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')) 0 else -1
+    if (!Character.isLetter(cp)) return -1
+    import java.lang.Character.UnicodeScript
+    UnicodeScript.of(cp) match {
+      case UnicodeScript.LATIN => 0
+      case UnicodeScript.CYRILLIC => 1
+      case UnicodeScript.GREEK => 2
+      case UnicodeScript.ARABIC => 3
+      case UnicodeScript.HEBREW => 4
+      case UnicodeScript.DEVANAGARI => 5
+      case UnicodeScript.THAI => 6
+      case UnicodeScript.HANGUL => 7
+      case UnicodeScript.HIRAGANA | UnicodeScript.KATAKANA => 8
+      case UnicodeScript.HAN => 9
+      case _ => 10
+    }
   }
 
   /** Winnowing-style document fingerprint (Schleimer et al., MOSS): minimum

@@ -79,8 +79,9 @@ class LmSparkSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("plan lock: scoring is an Exchange-free codegen projection") {
-    val bytes = corpus.agg(sketchFunctions.lm_sketch(F.col("text"), 0.1))
-      .head().getAs[Array[Byte]](0)
+    // plan shape doesn't depend on where the bytes came from — build
+    // them locally, no aggregation job (review-caught)
+    val bytes = { val m = CharTrigramLm.empty(0.1); m.add("abcdef"); m.serialize() }
     val plan = corpus.select(
         sketchFunctions.lm_perplexity(F.lit(bytes), F.col("text")))
       .queryExecution.executedPlan.toString

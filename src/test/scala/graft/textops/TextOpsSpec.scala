@@ -220,6 +220,16 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(scriptId("こんにちは せかい") == "kana")
     assert(scriptId("你好世界和平发展") == "cjk")
     assert(scriptId("ამბავი ქართული") == "other") // Georgian: letters, no bucket
+    // JDK script property covers what hand-rolled block ranges missed
+    // (review-caught): polytonic Greek, halfwidth katakana, Hangul
+    // compatibility jamo, Arabic presentation forms
+    assert(scriptId("ἀρχὴ ἥμισυ παντός") == "greek")
+    assert(scriptId("ｱｲｳｴｵ ｶｷｸ") == "kana")
+    assert(scriptId("ㅋㅋㅋ ㅎㅎ") == "hangul")
+    assert(scriptId("ﭐﻟﺴﻼﻡ") == "arabic")
+    // symbols and combining marks never vote, whatever their block
+    // (U+0482 thousands sign So, U+0483/U+0489 marks are Cyrillic-block)
+    assert(scriptId("ab҂҃҉") == "latin")
     // majority wins; digits/punctuation/whitespace never vote
     assert(scriptId("the word мир here") == "latin")
     assert(scriptId("слово word слово") == "cyrillic")
