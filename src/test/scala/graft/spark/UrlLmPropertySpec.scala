@@ -1,0 +1,101 @@
+package graft.spark
+
+import graft.core.CharTrigramLm
+import org.scalacheck.{Gen, Prop}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties for the round-7 kernels (URL canonicalization,
+  * script detection, char-trigram LM) — checked at the JVM kernel level
+  * so thousands of generated inputs run without Spark jobs. The URL and
+  * script kernels claim to be TOTAL functions over arbitrary strings
+  * (garbage in a 10^12-page crawl is the norm); these properties are
+  * that claim.
+  */
+class UrlLmPropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop): Unit = {
+    val params = org.scalacheck.Test.Parameters.default
+      .withMinSuccessfulTests(300)
+      .withInitialSeed(org.scalacheck.rng.Seed(77L)) // deterministic CI
+    val res = org.scalacheck.Test.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  // hostile strings: random unicode incl. lone surrogates, URL
+  // metacharacters in wrong places, empties
+  private val genHostile: Gen[String] = for {
+    k <- Gen.choose(0, 40)
+    cs <- Gen.listOfN(k, Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf(':', '/', '@', '?', '#', '&', '=', '.', '[', ']', '%'),
+      Gen.oneOf('\u4e2d', '\u044f', '\u00e9', '\ud83d', '\ude00', ' ', '\u3000')))
+  } yield cs.mkString
+
+  // well-formed-ish URLs from parts
+  private val genUrl: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS", "ftp")
+    user <- Gen.oneOf("", "bob@", "u:p@")
+    host <- Gen.oneOf("Example.COM", "a.b.co.uk", "x.example.com.",
+      "[2001:DB8::1]", "10.0.0.1", "localhost")
+    port <- Gen.oneOf("", ":80", ":443", ":8080")
+    path <- Gen.oneOf("", "/", "/A/b", "/p%20q")
+    query <- Gen.oneOf("", "?", "?a=1", "?utm_x=1&b=2", "?fbclid=f",
+      "?b=2&UTM_s=t&a=1")
+    frag <- Gen.oneOf("", "#", "#Sec")
+  } yield s"$scheme://$user$host$port$path$query$frag"
+
+  test("property: url kernels are total and never throw on hostile input") {
+    check(Prop.forAll(genHostile) { s =>
+      val h = UrlKernelExpr.host(s)
+      val d = UrlKernelExpr.registeredDomain(h)
+      val n = UrlKernelExpr.normalize(s)
+      // host is lowercase (no ASCII uppercase survives), domain is a
+      // suffix of host, normalize returns SOMETHING
+      !h.exists(c => c >= 'A' && c <= 'Z') && h.endsWith(d) && n != null
+    })
+  }
+
+  test("property: normalize is idempotent and well-formed on http(s) URLs") {
+    check(Prop.forAll(genUrl) { u =>
+      val once = UrlKernelExpr.normalize(u)
+      val lowerScheme = u.takeWhile(_ != ':').toLowerCase
+      val httpish = (lowerScheme == "http" || lowerScheme == "https") &&
+        UrlKernelExpr.host(u).nonEmpty
+      val idem = UrlKernelExpr.normalize(once) == once
+      val shaped = !httpish || (
+        once.startsWith(lowerScheme + "://") &&
+          !once.contains("#") &&
+          !once.toLowerCase.contains("utm_") &&
+          !once.contains("@") &&
+          once.contains(UrlKernelExpr.host(u)))
+      idem && shaped
+    })
+  }
+
+  test("property: script_id is total, closed over its label set, vote-blind to non-letters") {
+    val labels = Set("latin", "cyrillic", "greek", "arabic", "hebrew",
+      "devanagari", "thai", "hangul", "kana", "cjk", "other", "none")
+    check(Prop.forAll(genHostile) { s =>
+      val r = TextKernelExpr.scriptId(s)
+      // appending non-letters never changes the verdict
+      labels.contains(r) && TextKernelExpr.scriptId(s + " 123 ?! .,") == r
+    })
+  }
+
+  test("property: LM merge is commutative and scores stay in range") {
+    val genCorpus = Gen.listOfN(8, genHostile)
+    check(Prop.forAll(genCorpus, genCorpus) { (ca, cb) =>
+      val ab = CharTrigramLm.empty(0.2); ca.foreach(ab.add); cb.foreach(ab.add)
+      val a = CharTrigramLm.empty(0.2); ca.foreach(a.add)
+      val b = CharTrigramLm.empty(0.2); cb.foreach(b.add)
+      val ba = CharTrigramLm.empty(0.2); cb.foreach(ba.add); ca.foreach(ba.add)
+      val mergedBytes = a.merge(b).serialize()
+      java.util.Arrays.equals(mergedBytes, ab.serialize()) &&
+        java.util.Arrays.equals(mergedBytes, ba.serialize()) &&
+        (ca ++ cb).forall { t =>
+          val p = ab.perplexity(t)
+          p >= 1.0 - 1e-12 && p.isFinite
+        }
+    })
+  }
+}
