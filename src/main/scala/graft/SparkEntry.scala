@@ -937,6 +937,22 @@ object SparkEntry {
         tf.script_id(sample).as("script"))
     }),
 
+    // mojibake repair: planted UTF-8-misread-as-cp1252 damage by
+    // doc_id%6 — single and double encoding plus three must-not-touch
+    // classes (ASCII, already-clean accents, legitimate Latin-1 with a
+    // lone accent that is an invalid UTF-8 lead). Oracle restates the
+    // expected repaired string constructively per doc
+    "q_mojibake" -> ((s, d) => {
+      val id = col("doc_id")
+      val planted = element_at(array(
+        lit("CafÃ© au lait"), lit("naÃ¯ve rÃ©sumÃ©"),
+        lit("æ—¥æœ¬èªžãƒ†ã‚¹ãƒˆ"), lit("CafÃƒÂ©"),
+        lit("plain ascii stays"), lit("Müller – 50% äöü")),
+        (pmod(id, lit(6L)) + 1).cast("int"))
+      t(s, d, "documents").select(id,
+        tf.fix_mojibake(planted).as("fixed"))
+    }),
+
     // deterministic sampling: per-lang stratified bottom-10 by md5(text)
     // plus a global bottom-100, both exactly replayable in DuckDB (same
     // hash, same ordering, same tie-break)
@@ -2401,6 +2417,13 @@ object SparkEntry {
         |   AS host,
         | (CASE WHEN doc_id % 5 = 0 THEN 'example.co.uk' ELSE 'example.com' END)
         |   AS domain
+        |FROM documents""".stripMargin,
+    "q_mojibake" ->
+      """SELECT doc_id,
+        | CASE doc_id % 6
+        |   WHEN 0 THEN 'Café au lait' WHEN 1 THEN 'naïve résumé'
+        |   WHEN 2 THEN '日本語テスト' WHEN 3 THEN 'Café'
+        |   WHEN 4 THEN 'plain ascii stays' ELSE 'Müller – 50% äöü' END AS fixed
         |FROM documents""".stripMargin,
     "q_url_dedup" ->
       """SELECT doc_id,

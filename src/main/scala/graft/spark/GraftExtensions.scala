@@ -157,6 +157,8 @@ object GraftExtensions {
       TextKernelExpr(args.head, TextKernelExpr.SimHashChar) },
     "lang_id" -> { args => TextKernelExpr(args.head, TextKernelExpr.LangId) },
     "script_id" -> { args => TextKernelExpr(args.head, TextKernelExpr.ScriptId) },
+    "fix_mojibake" -> { args =>
+      TextKernelExpr(args.head, TextKernelExpr.FixMojibake) },
     "doc_fingerprint" -> { args => TextKernelExpr(args.head, TextKernelExpr.Fingerprint) },
     "utf16_length" -> { args => TextKernelExpr(args.head, TextKernelExpr.Utf16Len) },
     "html_extract_text" -> { args => HtmlExtractExpr(args.head) },

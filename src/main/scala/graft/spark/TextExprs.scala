@@ -21,7 +21,7 @@ case class TextKernelExpr(child: Expression, op: Int) extends UnaryExpression {
 
   override def dataType: DataType = op match {
     case SimHash | SimHashChar | Fingerprint | Utf16Len => LongType
-    case LangId | ScriptId => StringType
+    case LangId | ScriptId | FixMojibake => StringType
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -55,6 +55,7 @@ object TextKernelExpr {
   final val SimHashChar = 3
   final val Utf16Len = 4
   final val ScriptId = 5
+  final val FixMojibake = 6
 
   def nameOf(op: Int): String = op match {
     case SimHash => "simhash64"
@@ -63,6 +64,7 @@ object TextKernelExpr {
     case SimHashChar => "simhash64_chars"
     case Utf16Len => "utf16_length"
     case ScriptId => "script_id"
+    case FixMojibake => "fix_mojibake"
   }
 
   def dispatch(text: UTF8String, op: Int): Any = op match {
@@ -71,6 +73,7 @@ object TextKernelExpr {
     case Fingerprint => java.lang.Long.valueOf(fingerprint(text.toString))
     case SimHashChar => java.lang.Long.valueOf(simhash64Chars(text.toString))
     case ScriptId => UTF8String.fromString(scriptId(text.toString))
+    case FixMojibake => UTF8String.fromString(fixMojibake(text.toString))
     // UTF-16 code-unit length: Spark's `length()` counts CODE POINTS, so
     // operators whose offsets come from Java String indices (SpanRep's
     // gram spans) must measure totals in the SAME unit or fractions
@@ -193,6 +196,83 @@ object TextKernelExpr {
 
   private val ScriptNames = Array("latin", "cyrillic", "greek", "arabic",
     "hebrew", "devanagari", "thai", "hangul", "kana", "cjk", "other")
+
+  /** Repair classic mojibake — UTF-8 bytes that were misread as
+    * Windows-1252/Latin-1 somewhere upstream ("Café" shipped as
+    * "CafÃ©"), the single most common encoding damage in web crawls
+    * (the core transform of the published ftfy tool). Deterministic
+    * contract: map every char back to its Windows-1252 byte (Latin-1
+    * fallback for the five undefined slots, the WHATWG rule); if EVERY
+    * char maps, the byte string decodes as strict RFC 3629 UTF-8, and
+    * the decode actually changes the text, return the decode — else
+    * return the input unchanged. Applied to fixpoint (≤3 rounds) for
+    * doubly-damaged text. Legitimate Latin-1 prose is safe in practice:
+    * a lone accented char ("Müller") is an invalid UTF-8 lead and fails
+    * the strict decode; only byte sequences that ARE well-formed UTF-8
+    * (which real Latin-1 text essentially never forms by accident) get
+    * rewritten.
+    */
+  def fixMojibake(text: String): String = {
+    var cur = text
+    var round = 0
+    while (round < 3) {
+      val fixed = fixOnce(cur)
+      if (fixed == null) return cur
+      cur = fixed
+      round += 1
+    }
+    cur
+  }
+
+  // one repair round, or null if the text isn't repairable mojibake
+  private def fixOnce(s: String): String = {
+    val n = s.length
+    if (n == 0) return null
+    val bytes = new Array[Byte](n)
+    var hasHigh = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val b = if (c < 0x100) c.toInt else cp1252ByteOf(c)
+      if (b < 0) return null // some char has no single-byte ancestor
+      if (b >= 0x80) hasHigh = true
+      bytes(i) = b.toByte
+      i += 1
+    }
+    if (!hasHigh) return null // pure ASCII round-trips, nothing to fix
+    try {
+      val dec = Utf8StrictDecoder.get()
+      dec.reset()
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (out == s) null else out
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => null
+    }
+  }
+
+  private val Utf8StrictDecoder =
+    new ThreadLocal[java.nio.charset.CharsetDecoder] {
+      override def initialValue(): java.nio.charset.CharsetDecoder =
+        java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    }
+
+  /** Windows-1252 byte for the 27 chars the 0x80-0x9F block maps above
+    * Latin-1, or -1 (chars < 0x100 are handled by the identity path).
+    */
+  private def cp1252ByteOf(c: Char): Int = c match {
+    case '€' => 0x80; case '‚' => 0x82; case 'ƒ' => 0x83
+    case '„' => 0x84; case '…' => 0x85; case '†' => 0x86
+    case '‡' => 0x87; case 'ˆ' => 0x88; case '‰' => 0x89
+    case 'Š' => 0x8A; case '‹' => 0x8B; case 'Œ' => 0x8C
+    case 'Ž' => 0x8E; case '‘' => 0x91; case '’' => 0x92
+    case '“' => 0x93; case '”' => 0x94; case '•' => 0x95
+    case '–' => 0x96; case '—' => 0x97; case '˜' => 0x98
+    case '™' => 0x99; case 'š' => 0x9A; case '›' => 0x9B
+    case 'œ' => 0x9C; case 'ž' => 0x9E; case 'Ÿ' => 0x9F
+    case _ => -1
+  }
 
   /** Script index for a code point, or -1 for non-letters. ASCII fast
     * path first (the overwhelmingly common case pays no script lookup);
@@ -444,6 +524,12 @@ object textFunctions {
     */
   def script_id(text: Column): Column =
     Bridge.column(TextKernelExpr(Bridge.expression(text), TextKernelExpr.ScriptId))
+
+  /** Repair UTF-8-misread-as-Windows-1252 mojibake; non-mojibake text
+    * passes through unchanged. See [[TextKernelExpr.fixMojibake]].
+    */
+  def fix_mojibake(text: Column): Column =
+    Bridge.column(TextKernelExpr(Bridge.expression(text), TextKernelExpr.FixMojibake))
 
   /** Lowercased host of an absolute/protocol-relative URL ("" when the
     * input has no authority). See [[UrlKernelExpr]] for the full contract.

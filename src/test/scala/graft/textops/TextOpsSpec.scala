@@ -248,6 +248,29 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(df.select(tf.script_id(F.col("t"))).head().getString(0) == "cjk")
   }
 
+  test("fix_mojibake repairs double-encoded text, leaves clean text alone") {
+    import graft.spark.TextKernelExpr.fixMojibake
+    assert(fixMojibake("CafÃ© au lait") == "Café au lait")
+    assert(fixMojibake("naÃ¯ve rÃ©sumÃ©") == "naïve résumé")
+    assert(fixMojibake("æ—¥æœ¬èªžãƒ†ã‚¹ãƒˆ") == "日本語テスト")
+    assert(fixMojibake("â‚¬ 99 â€“ dash") == "€ 99 – dash")
+    // doubly-damaged text reaches the original (fixpoint loop)
+    assert(fixMojibake("CafÃƒÂ©") == "Café")
+    // clean text is untouched: ASCII, already-fixed output, and
+    // legitimate Latin-1 prose (lone accents are invalid UTF-8 leads)
+    assert(fixMojibake("plain ascii stays") == "plain ascii stays")
+    assert(fixMojibake("Café") == "Café")
+    assert(fixMojibake("Müller – 50% äöü") == "Müller – 50% äöü")
+    assert(fixMojibake("你好") == "你好") // no single-byte ancestor: unchanged
+    assert(fixMojibake("") == "")
+    // SQL and Column surfaces agree
+    val df = spark.range(1).select(F.lit("CafÃ©").as("t"))
+    df.createOrReplaceTempView("moji_spec")
+    assert(spark.sql("SELECT fix_mojibake(t) FROM moji_spec").head().getString(0)
+      == "Café")
+    assert(df.select(tf.fix_mojibake(F.col("t"))).head().getString(0) == "Café")
+  }
+
   test("doc_fingerprint: equal for identical text, stable under case/space noise") {
     val fp = spark.createDataFrame(Seq(
       (1L, "The Quick  Brown Fox Jumped Over It"),
