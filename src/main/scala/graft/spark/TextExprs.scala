@@ -73,7 +73,11 @@ object TextKernelExpr {
     case Fingerprint => java.lang.Long.valueOf(fingerprint(text.toString))
     case SimHashChar => java.lang.Long.valueOf(simhash64Chars(text.toString))
     case ScriptId => UTF8String.fromString(scriptId(text.toString))
-    case FixMojibake => UTF8String.fromString(fixMojibake(text.toString))
+    case FixMojibake =>
+      // ASCII fast path: numBytes == numChars ⇔ no char ≥ 0x80 ⇔ the
+      // kernel is a guaranteed no-op — skip the String round-trip
+      if (text.numBytes == text.numChars) text
+      else UTF8String.fromString(fixMojibake(text.toString))
     // UTF-16 code-unit length: Spark's `length()` counts CODE POINTS, so
     // operators whose offsets come from Java String indices (SpanRep's
     // gram spans) must measure totals in the SAME unit or fractions
@@ -172,7 +176,9 @@ object TextKernelExpr {
     * hand-rolled block ranges this replaced) with buckets: latin,
     * cyrillic, greek, arabic, hebrew, devanagari, thai, hangul, kana
     * (hiragana+katakana), cjk (Han); any other script's letters →
-    * "other".
+    * "other". Letters of script Common/Inherited (katakana prolonged
+    * sound marks, Arabic tatweel) ABSTAIN — they decorate a host script
+    * rather than identify one.
     */
   def scriptId(text: String): String = {
     val counts = new Array[Int](ScriptNames.length)
@@ -228,18 +234,20 @@ object TextKernelExpr {
   private def fixOnce(s: String): String = {
     val n = s.length
     if (n == 0) return null
-    val bytes = new Array[Byte](n)
-    var hasHigh = false
+    // pure-ASCII bail BEFORE any allocation — the overwhelming majority
+    // of crawl rows take this path (review-caught no-op cost)
     var i = 0
+    while (i < n && s.charAt(i) < 0x80) i += 1
+    if (i == n) return null
+    val bytes = new Array[Byte](n)
+    i = 0
     while (i < n) {
       val c = s.charAt(i)
       val b = if (c < 0x100) c.toInt else cp1252ByteOf(c)
       if (b < 0) return null // some char has no single-byte ancestor
-      if (b >= 0x80) hasHigh = true
       bytes(i) = b.toByte
       i += 1
     }
-    if (!hasHigh) return null // pure ASCII round-trips, nothing to fix
     try {
       val dec = Utf8StrictDecoder.get()
       dec.reset()
@@ -295,6 +303,12 @@ object TextKernelExpr {
       case UnicodeScript.HANGUL => 7
       case UnicodeScript.HIRAGANA | UnicodeScript.KATAKANA => 8
       case UnicodeScript.HAN => 9
+      // script-Common/Inherited LETTERS (katakana prolonged marks,
+      // Arabic tatweel, kana repeat marks) carry no script identity of
+      // their own — they ABSTAIN, so 'えーーー' stays kana and
+      // tatweel-padded Arabic stays arabic instead of flipping to
+      // "other" (review-caught regression of the UnicodeScript rewrite)
+      case UnicodeScript.COMMON | UnicodeScript.INHERITED => -1
       case _ => 10
     }
   }

@@ -227,6 +227,12 @@ class TextOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(scriptId("ｱｲｳｴｵ ｶｷｸ") == "kana")
     assert(scriptId("ㅋㅋㅋ ㅎㅎ") == "hangul")
     assert(scriptId("ﭐﻟﺴﻼﻡ") == "arabic")
+    // Common-script letters (prolonged marks, tatweel) abstain rather
+    // than voting "other" (review-caught): the host script still wins
+    assert(scriptId("えーーー") == "kana")
+    assert(scriptId("ｺｰﾋｰ") == "kana")
+    assert(scriptId("هـــــلا") == "arabic")
+    assert(scriptId("ーーー") == "none") // nothing but abstainers: no evidence
     // symbols and combining marks never vote, whatever their block
     // (U+0482 thousands sign So, U+0483/U+0489 marks are Cyrillic-block)
     assert(scriptId("ab҂҃҉") == "latin")
