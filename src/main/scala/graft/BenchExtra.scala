@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Auxiliary measurement harness for optimization work (guide §1.4):
+  * times a SELECTED subset of `SparkEntry.queries` with N repeats each
+  * and optionally dumps `.explain("formatted")` per query. The official
+  * `graft.Bench` is frozen for measurement; this main exists so drill-down
+  * runs (single query, more repeats, plan capture) never touch it.
+  *
+  * Env knobs:
+  *  - SPARK_GRAFT_SF_DIR   data dir (default /root/testdata/sf0.1)
+  *  - SPARK_GRAFT_CPUS     core count / shuffle partitions (default 32)
+  *  - SPARK_GRAFT_QUERIES  comma list of query names, or "all"
+  *  - SPARK_GRAFT_REPS     timed repeats per query (default 3)
+  *  - SPARK_GRAFT_PLANDIR  if set, write <dir>/<query>.txt explain output
+  *  - SPARK_GRAFT_WARMUP   "1" (default) to run each selected query once
+  *                         on sf0.001 before timing
+  *
+  * Prints one JSON line: {"queries":{"name":[s1,s2,...]},...}.
+  */
+object BenchExtra {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val planDir = sys.env.get("SPARK_GRAFT_PLANDIR")
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1"
+    val sel = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "all")
+    val names =
+      if (sel == "all") SparkEntry.queries.keys.toSeq.sorted
+      else sel.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-extra-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (warmup) names.foreach { n =>
+      try SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")
+        .queryExecution.toRdd.count()
+      catch { case _: Throwable => }
+    }
+
+    planDir.foreach { dir =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      names.foreach { n =>
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, s"$n.txt"),
+          plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
+
+    // job/stage/task accounting per timed run, for attribution: how many
+    // sequential driver actions a query construction+execution pays, and
+    // how much of the wall is actual task time vs scheduling gaps
+    val jobCount = new java.util.concurrent.atomic.AtomicLong
+    val stageCount = new java.util.concurrent.atomic.AtomicLong
+    val taskCount = new java.util.concurrent.atomic.AtomicLong
+    val taskTimeMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          stageCount.incrementAndGet()
+          taskCount.addAndGet(s.stageInfo.numTasks.toLong)
+          taskTimeMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
+        }
+      })
+    val results = names.map { n =>
+      spark.sparkContext.setJobDescription(n)
+      val secs = (1 to reps).map { _ =>
+        try timed(SparkEntry.queries(n)(spark, sfDir)
+          .queryExecution.toRdd.count())._2
+        catch { case t: Throwable =>
+          System.err.println(s"$n failed: $t"); Double.NaN }
+      }
+      val (j0, s0, t0, m0) = (jobCount.get, stageCount.get, taskCount.get,
+        taskTimeMs.get)
+      // one extra run isolating counters (listener events are async, so
+      // snapshot after a settle)
+      try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => }
+      Thread.sleep(300) // let async listener events drain
+      val prof = (jobCount.get - j0, stageCount.get - s0, taskCount.get - t0,
+        taskTimeMs.get - m0)
+      spark.sparkContext.setJobDescription(null)
+      (n, secs, prof)
+    }
+    val qJson = results.map { case (k, v, p) =>
+      s""""$k":{"secs":[${v.map(s => f"$s%.3f").mkString(",")}]""" +
+        s""","jobs":${p._1},"stages":${p._2},"tasks":${p._3},"task_ms":${p._4}}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).filterNot(_.isNaN).sum
+    println(s"""{"metric":"extra","best_total":${f"$total%.3f"},"reps":$reps,"queries":$qJson,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

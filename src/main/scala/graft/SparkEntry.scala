@@ -337,18 +337,22 @@ object SparkEntry {
     // on the partially-overlapping A/N orderkey sets (~58% Jaccard)
     "q_hll_setops" -> ((s, d) => {
       val li = t(s, d, "lineitem")
-      // synopses in one pass; exact counts in a separate distinct-only agg
-      // (mixing object + distinct aggs plans object partials per key)
-      val a = li.filter(col("l_returnflag") === "A")
-        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("sa"))
-      val b = li.filter(col("l_returnflag") === "N")
-        .agg(gf.hll_create_synopsis(col("l_orderkey"), p = 16).as("sb"))
+      // BOTH synopses in one pass (the aggregate skips null inputs, so
+      // hll_create_synopsis(when(flag=X, key)) is byte-identical to the
+      // filtered build — two scans fused into one, guide §1.2); exact
+      // counts stay a separate distinct-only agg (mixing object +
+      // distinct aggs plans object partials per key)
+      val ab = li.agg(
+        gf.hll_create_synopsis(
+          when(col("l_returnflag") === "A", col("l_orderkey")), p = 16).as("sa"),
+        gf.hll_create_synopsis(
+          when(col("l_returnflag") === "N", col("l_orderkey")), p = 16).as("sb"))
       val u = li.agg(
         countDistinct(when(col("l_returnflag") === "A", col("l_orderkey"))).as("exact_a"),
         countDistinct(when(col("l_returnflag") === "N", col("l_orderkey"))).as("exact_b"),
         countDistinct(when(col("l_returnflag").isin("A", "N"), col("l_orderkey")))
           .as("exact_union"))
-      a.crossJoin(b).crossJoin(u)
+      ab.crossJoin(u)
         .withColumn("exact_inter", col("exact_a") + col("exact_b") - col("exact_union"))
         .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
           withinBound(gf.hll_union_estimate(col("sa"), col("sb"), p = 16),
@@ -594,14 +598,20 @@ object SparkEntry {
     // false-positive rate on a disjoint key set stays under 5x target
     "q_bloom_users" -> ((s, d) => {
       val ev = t(s, d, "events")
-      val sk = ev.filter(col("event_type") === "click")
+      // collect the sketch once and probe it as a SketchLiteral (round-3
+      // gotcha: a ≥100 KB sketch through crossJoin(broadcast(...)) hands
+      // the probe a fresh byte copy per stage — the literal form is
+      // O(1)/row and drops the broadcast exchange from the plan)
+      val bfBytes = ev.filter(col("event_type") === "click")
         .agg(sketch.bloom_sketch(col("user_id")).as("bf"))
-      val present = ev.filter(col("event_type") === "click")
-        .crossJoin(broadcast(sk))
+        .first().getAs[Array[Byte]](0)
+      val bf = org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.spark.SketchLiteral(bfBytes))
+      ev.filter(col("event_type") === "click")
         .agg(count(lit(1)).as("n_clicks"),
-          sum(when(sketch.bloom_contains(col("bf"), col("user_id")), 0L).otherwise(1L))
+          sum(when(sketch.bloom_contains(bf, col("user_id")), 0L).otherwise(1L))
             .as("missing"))
-      present.select(col("n_clicks"), (col("missing") === 0L).as("no_false_negatives"))
+        .select(col("n_clicks"), (col("missing") === 0L).as("no_false_negatives"))
     }),
 
     // t-digest: the estimated quantile's exact rank stays within 2% of q
@@ -1268,8 +1278,12 @@ object SparkEntry {
           concat(lit("contact u"), col("doc_id"), lit("@ex.com for details")),
           translate(col("text"), "0123456789@A_", "").substr(lit(1), lit(50)))
           .as("text"))
-      val scrubbed = built.withColumn("text",
-        tf.pii_scrub(col("text")).getField("text"))
+      // materialize the scrub ONCE (localCheckpoint — recomputed from
+      // parquet on every fresh invocation): LineDedup consumes its input
+      // in three passes (frequency, resolution, removal) and each would
+      // otherwise re-run the pii_scrub kernel over the whole corpus
+      val scrubbed = graft.textops.Materialize(built.withColumn("text",
+        tf.pii_scrub(col("text")).getField("text")))
       graft.textops.LineDedup
         .removeRepeatedLines(scrubbed, "doc_id", "text", minDocs)
         .groupBy("lang")
@@ -1564,9 +1578,17 @@ object SparkEntry {
       // 3. repetition filter (planted spam ~1.0, everything else exactly 0)
       val unflagged = extracted
         .filter(tf.dup_ngram_char_fraction(col("text"), 5) < 0.5)
-      // 4. PII scrub (normalizes every contact line to one hot form)
-      val scrubbed = unflagged.select(col("doc_id"), col("source"),
-        tf.pii_scrub(col("text")).getField("text").as("text"))
+      // 4. PII scrub (normalizes every contact line to one hot form).
+      // MATERIALIZED (localCheckpoint — a fresh invocation recomputes from
+      // parquet, nothing survives across runs): the extract→filter→scrub
+      // prefix is the expensive kernel chain and its output is consumed
+      // by the count below, twice inside LineDedup's resolution, once by
+      // the removal projection, and again by every downstream driver
+      // action — without truncation each of those re-ran all four stages
+      // (measured: 68 sequential driver jobs for this gate, wall ~4.9 s).
+      val scrubbed = graft.textops.Materialize(
+        unflagged.select(col("doc_id"), col("source"),
+          tf.pii_scrub(col("text")).getField("text").as("text")))
       // 5. line dedup: banner + scrubbed contact are corpus-hot; the
       // role-3 shared body (1/12 of docs) stays safely below n/2
       val n2 = scrubbed.count()
@@ -1578,9 +1600,13 @@ object SparkEntry {
       val cleaned = graft.textops.Decontaminate.clean(
         deduped, "doc_id", "text",
         Seq(evalGram).toDF("etext"), "etext", n = 5)
-      // 8. per-source quota, deterministic id order
-      val quotad = graft.textops.Sampling.capPerKey(cleaned, "source", k = 5,
-        orderBy = col("doc_id").asc, tieBreak = col("doc_id"))
+      // 8. per-source quota, deterministic id order. MATERIALIZED:
+      // packByBudget runs two bounded driver actions over its input and
+      // the bench/oracle consumer executes the result once more — each
+      // would otherwise re-run the dedup→decontaminate→quota join chain
+      val quotad = graft.textops.Materialize(
+        graft.textops.Sampling.capPerKey(cleaned, "source", k = 5,
+          orderBy = col("doc_id").asc, tieBreak = col("doc_id")))
       // 9. token-budget packing of the released docs
       graft.pipeline.Packing.packByBudget(quotad, "doc_id",
           size(split(trim(col("text")), "\\s+")).cast("long"),
@@ -1608,11 +1634,14 @@ object SparkEntry {
       val tmp = s"/tmp/graft_q_resumable_${System.nanoTime()}"
       val (aborted, resumed) = try {
         t(s, d, "documents").write.partitionBy("source").parquet(s"$tmp/table")
+        // concurrency 16: the ~20 per-source partition jobs are tiny and
+        // share nothing — more in flight amortizes per-job scheduling
         val ab = graft.pipeline.SketchBuild.buildResumable(
           s, s"$tmp/table", s"$tmp/ck", valueCol = "text", p = 14,
-          maxPartitionsThisRun = 7)
+          maxPartitionsThisRun = 7, concurrency = 16)
         val re = graft.pipeline.SketchBuild.buildResumable(
-          s, s"$tmp/table", s"$tmp/ck", valueCol = "text", p = 14)
+          s, s"$tmp/table", s"$tmp/ck", valueCol = "text", p = 14,
+          concurrency = 16)
         (ab, re)
       } finally { // everything needed lives in the returned case classes
         def rm(f: java.io.File): Unit = {
@@ -1642,8 +1671,12 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.orderBy("vec_id").limit(20)
-      val exact = graft.textops.Similarity.bruteForceTopK(
-        emb, "vec_id", "embedding", queries, k = 10).select("query_id", "neighbor_id")
+      // brute-force ground truth is consumed twice (recall semi-join +
+      // total count) — materialize it once instead of re-running the
+      // crossJoin + rank window per consumer
+      val exact = graft.textops.Materialize(graft.textops.Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", queries, k = 10)
+        .select("query_id", "neighbor_id"))
       val approx = graft.textops.Similarity.lshTopK(
         emb, "vec_id", "embedding", queries, k = 10, tables = 32, bitsPerTable = 4)
         .select("query_id", "neighbor_id")
@@ -1660,8 +1693,12 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val queries = emb.orderBy("vec_id").limit(20)
-      val exact = graft.textops.Similarity.bruteForceTopK(
-        emb, "vec_id", "embedding", queries, k = 10).select("query_id", "neighbor_id")
+      // ground truth consumed three times (recall semi-join, total count,
+      // full-probe equality) and the full-probe result twice — both
+      // materialized once instead of re-running crossJoin/rerank windows
+      val exact = graft.textops.Materialize(graft.textops.Similarity
+        .bruteForceTopK(emb, "vec_id", "embedding", queries, k = 10)
+        .select("query_id", "neighbor_id"))
       val centroids = graft.textops.Similarity.trainIvfCentroids(
         emb, "vec_id", "embedding", nLists = 8)
       val ivf = graft.textops.Similarity.ivfTopKWithCentroids(
@@ -1669,9 +1706,10 @@ object SparkEntry {
         .select("query_id", "neighbor_id")
       val hits = exact.join(ivf, Seq("query_id", "neighbor_id"), "left_semi").count()
       val total = exact.count()
-      val full = graft.textops.Similarity.ivfTopKWithCentroids(
-        emb, "vec_id", "embedding", queries, centroids, k = 10, nProbe = 8)
-        .select("query_id", "neighbor_id")
+      val full = graft.textops.Materialize(graft.textops.Similarity
+        .ivfTopKWithCentroids(
+          emb, "vec_id", "embedding", queries, centroids, k = 10, nProbe = 8)
+        .select("query_id", "neighbor_id"))
       val fullExact = full.unionAll(exact).distinct().count() == total &&
         full.count() == total
       s.range(1).select(lit(20L).as("n_queries"),
@@ -1763,8 +1801,13 @@ object SparkEntry {
           docs.filter(col("doc_id") < 10), "doc_id", kind = 0)
         .select((col("doc_id") + 700000L).as("doc_id"), col("media"))
       val all = media.unionAll(planted)
-      val tensors = graft.multimodal.Multimodal.imageTensors(
-        s, all, "doc_id", "media", tw = 4, th = 4)
+      // materialize the decoded tensors ONCE: cosineNearDuplicates
+      // consumes its input four times (auto-bits count, banded scan, and
+      // both sides of the exact-cosine verify join) and each pass would
+      // otherwise re-run the ImageIO decode over every blob
+      val tensors = graft.textops.Materialize(
+        graft.multimodal.Multimodal.imageTensors(
+          s, all, "doc_id", "media", tw = 4, th = 4))
       val pairs = graft.textops.Similarity.cosineNearDuplicates(
         tensors, "doc_id", "image_tensor", threshold = 0.999)
       pairs.agg(

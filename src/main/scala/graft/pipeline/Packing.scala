@@ -42,21 +42,22 @@ object Packing {
 
   /** Sampled-quantile id split points: strictly increasing interior
     * boundaries (≤ buckets−1 of them) for [[RangeBucketExpr]] bucketing.
+    * (Standalone form for tests/diagnostics; [[packByBudget]] computes
+    * the same percentiles fused into its bounds pass.)
     */
   private[pipeline] def idQuantileBoundaries(
       ids: DataFrame, idCol: String, buckets: Int): Array[Long] = {
     if (buckets <= 1) return Array.empty
-    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    // rank error eps keeps the max bucket within ~2x the mean row count
+    val probs = (1 until buckets).map(_.toDouble / buckets)
     val eps = math.max(1.0 / (4.0 * buckets), 1e-5)
-    ids.select(col(idCol).cast("long").as("__pid"))
-      .stat.approxQuantile("__pid", probs, eps)
-      .map(Math.round) // split points: rounding never breaks monotonicity
-      .distinct.sorted
+    val accuracy = math.max(buckets + 1, math.round(1.0 / eps).toInt)
+    ids.select(percentile_approx(col(idCol).cast("long"), typedLit(probs),
+        lit(accuracy)).as("__q"))
+      .first().getSeq[Long](0).toArray.distinct.sorted
   }
 
   /** Adds a `shard` column. `idCol` values must be unique (they define
-    * the packing order); `weight` must be non-negative. Runs three
+    * the packing order); `weight` must be non-negative. Runs two
     * bounded driver actions over `df` — persist upstream frames that are
     * expensive to recompute.
     */
@@ -71,13 +72,27 @@ object Packing {
     // null weights (e.g. token counts of null texts) count as 0 so every
     // row still gets a deterministic shard and running sums stay total
     val w = df.withColumn("__w", coalesce(weight.cast("long"), lit(0L)))
+    // id bounds AND sampled-quantile split points in ONE pass (guide
+    // §1.2: every driver action here re-executes the caller's whole
+    // upstream plan — two passes were pure waste). approx_percentile's
+    // accuracy is 1/eps where the rank error eps keeps the max bucket
+    // within ~2x the mean row count. Split points only shape the
+    // parallel decomposition, never the output (see object scaladoc).
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val eps = math.max(1.0 / (4.0 * buckets), 1e-5)
+    val accuracy = math.max(buckets + 1, math.round(1.0 / eps).toInt)
+    val idL = col(idCol).cast("long")
     val bounds = w.agg(
-      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).first()
+      min(idL), max(idL),
+      (if (buckets <= 1) lit(null).cast("array<bigint>")
+       else percentile_approx(idL, typedLit(probs), lit(accuracy))).as("__q"))
+      .first()
     if (bounds.isNullAt(0)) return df.withColumn("shard", lit(null).cast("long"))
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val boundaries =
-      if (mn == mx) Array.empty[Long]
-      else idQuantileBoundaries(w, idCol, buckets).filter(b => b > mn && b <= mx)
+      if (mn == mx || buckets <= 1) Array.empty[Long]
+      else bounds.getSeq[Long](2).toArray
+        .distinct.sorted.filter(b => b > mn && b <= mx)
     val bridge = org.apache.spark.sql.graftbridge.Bridge
     val b = w.withColumn("__pid", col(idCol).cast("long"))
       .withColumn("__b", bridge.column(graft.spark.RangeBucketExpr(

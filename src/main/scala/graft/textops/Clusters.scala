@@ -61,12 +61,48 @@ object Clusters {
     // table is static across rounds, so hash-partitioning it once means
     // every round's hop join only shuffles the (much smaller, changing)
     // label table — Catalyst recognizes the cached HashPartitioning and
-    // plans a one-sided shuffle
-    val sym = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
-      .repartition(col("u"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // plans a one-sided shuffle.
+    //
+    // The partition COUNT is scale-adaptive (guide §2.2/§2.5): a fixed
+    // spark.sql.shuffle.partitions-sized layout pays per-task scheduling
+    // overhead on EVERY round's joins against the cached table — at a few
+    // thousand edges that overhead dominates the whole resolution
+    // (measured: 970 tasks / 47 s cumulative task time for a 5k-node
+    // graph at 32 partitions), while at billions of edges 32 partitions
+    // would be far too few. Auto mode targets ~250k symmetrized edge rows
+    // per partition (16-byte rows → ~4 MB), clamped to 8× the cluster's
+    // default parallelism; `spark.graft.cc.partitions` overrides.
+    val lvl0 = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val symRaw = edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      .persist(lvl0)
+    val symRows = symRaw.count()
+    val spark = pairs.sparkSession
+    val nParts = spark.conf.getOption("spark.graft.cc.partitions")
+      .map(_.toInt).getOrElse {
+        val cap = 8L * spark.sparkContext.defaultParallelism
+        math.max(1L, math.min(cap, (symRows + 249999) / 250000)).toInt
+      }
+    // sortWithinPartitions: the hop join is a sort-merge join every
+    // round, and without a cached sort order it re-sorts the (static)
+    // 2|E|-row edge table each time — caching the table pre-sorted lets
+    // the planner drop that side's per-round Sort entirely
+    val sym = symRaw.repartition(nParts, col("u")).sortWithinPartitions("u")
+      .persist(lvl0)
+    // CONF WINDOW for the whole iterative loop: every eager action below
+    // (label init, per-round convergence sum, per-round checkpoint) runs
+    // through persist/localCheckpoint materialization, which plans WITHOUT
+    // AQE — so the session's fixed spark.sql.shuffle.partitions governs
+    // every internal exchange, uncorrected. Pin shuffle partitions to the
+    // same scale-adaptive nParts for the loop's own queries (measured at
+    // 32 fixed: 2367 tasks / 430 s cumulative task time for a 2^20-node
+    // chain, ~40 ms overhead per mostly-empty task; the returned label
+    // table is already materialized, so no caller plan sees this conf).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", nParts)
+    try {
     var labels = Materialize(sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label")))
+    symRaw.unpersist() // sym's cache is populated by the labels action
     // decimal sum: a 64-bit sum of 10^12 ~2^40 ids overflows and could
     // alias the strictly-decreasing convergence invariant; null ⇒ no nodes
     def labelSum(df: DataFrame): java.math.BigDecimal = {
@@ -136,6 +172,7 @@ object Clusters {
         s"connectedComponents did not converge within $maxIters rounds; " +
           "raise maxIters (rounds needed ~ log2 of the largest component diameter)")
     labels.select(col("node"), col("label").as("component"))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   /** Full cluster-dedup: generate verified near-dup pairs, resolve

@@ -52,9 +52,13 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val v = vectors.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vv"))
+    // project the vector payloads OUT before the rank exchange (guide
+    // §2.3): the window shuffles by query_id, and carrying both embedding
+    // arrays through it multiplies the exchange bytes by the vector size
     val scored = broadcast(q).crossJoin(v)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__vv")))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__vv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -96,10 +100,13 @@ object Similarity {
       .join(cands.select("neighbor_id").distinct(), Seq("neighbor_id"), "left_semi")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    // drop both vector payloads before the rank exchange (guide §2.3):
+    // only (query_id, neighbor_id, cosine) rides the window shuffle
     cands
       .join(qv, "query_id")
       .join(nv, "neighbor_id")
-      .withColumn("cosine", cosine(col("__qv"), col("__nv")))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__nv")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
