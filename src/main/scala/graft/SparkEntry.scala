@@ -1723,8 +1723,14 @@ object SparkEntry {
       val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
       val planted = emb.orderBy("vec_id").limit(10).select(
         (col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+      // derive the auto signature width from the parquet metadata count
+      // (+10 planted) instead of letting the operator count the union —
+      // same bits value, but a metadata-only job instead of a full
+      // scan + sort + union pass
+      val bits = graft.textops.Similarity.autoBitsPerTable(emb.count() + 10)
       graft.textops.Similarity.cosineNearDuplicates(
-          emb.unionAll(planted), "vec_id", "embedding", threshold = 0.999)
+          emb.unionAll(planted), "vec_id", "embedding", threshold = 0.999,
+          bitsPerTable = bits)
         .agg(sum(when(col("id_b") === col("id_a") + 900000L, 1L).otherwise(0L))
           .as("n_planted_found"),
           (min(col("cosine")) >= 0.999).as("all_above_threshold"))

@@ -85,6 +85,13 @@ object Dedup {
       banded0: DataFrame, extra: Seq[String], maxBucket: Int,
       persistBanded: Boolean = false): (DataFrame, () => Unit) = {
     require(maxBucket >= 2, "maxBucket must be >= 2")
+    // NOTE (r8 measurement): pre-partitioning the banded cache by
+    // (__band, __key) to share one exchange across stats/tag/self-join
+    // was tried and REVERTED — the repartition pins the cache at the
+    // session's fixed shuffle partition count (persist materialization
+    // plans without AQE), turning every downstream cache read into that
+    // many tasks; at typical banded sizes the extra task overhead cost
+    // more than the saved exchanges (q_image_neardup 1.0 s → 1.5 s).
     val banded =
       if (persistBanded)
         banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -44,17 +44,37 @@ object Materialize {
   /** Session-conf key selecting the materialization mode. */
   final val ConfKey = "spark.graft.checkpoint"
 
+  /** Cached-plan AQE knob: persisted subtrees referenced by the
+    * materialized plan compile, by default, WITHOUT adaptive execution
+    * (`spark.sql.optimizer.canChangeCachedPlanOutputPartitioning` is
+    * false so cache partitioning stays reuse-stable), which pins every
+    * exchange inside them at the session's fixed shuffle partition
+    * count. The eager action below is exactly where those caches get
+    * built, so allow AQE for its duration and restore after — output
+    * rows are identical either way, only the partition layout adapts.
+    */
+  private val CachedAqeKey =
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+
   def apply(df: DataFrame): DataFrame = {
-    val mode = df.sparkSession.conf.get(ConfKey, "auto")
-    mode match {
-      case "local" => df.localCheckpoint(true)
-      case "reliable" => df.checkpoint(true)
-      case "auto" =>
-        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-          df.checkpoint(true)
-        else df.localCheckpoint(true)
-      case other => throw new IllegalArgumentException(
-        s"$ConfKey must be one of auto|local|reliable, got '$other'")
+    val conf = df.sparkSession.conf
+    val prevCachedAqe = conf.getOption(CachedAqeKey)
+    conf.set(CachedAqeKey, "true")
+    try {
+      val mode = conf.get(ConfKey, "auto")
+      mode match {
+        case "local" => df.localCheckpoint(true)
+        case "reliable" => df.checkpoint(true)
+        case "auto" =>
+          if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+            df.checkpoint(true)
+          else df.localCheckpoint(true)
+        case other => throw new IllegalArgumentException(
+          s"$ConfKey must be one of auto|local|reliable, got '$other'")
+      }
+    } finally prevCachedAqe match {
+      case Some(v) => conf.set(CachedAqeKey, v)
+      case None => conf.unset(CachedAqeKey)
     }
   }
 }
