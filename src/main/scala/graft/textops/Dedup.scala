@@ -96,10 +96,22 @@ object Dedup {
       if (persistBanded)
         banded0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else banded0
-    val stats = banded.groupBy("__band", "__key")
-      .agg(count(lit(1)).as("__bs"),
-        min(struct((col("__id") +: extra.map(col)): _*)).as("__rep"))
-    val tagged = banded.join(stats, Seq("__band", "__key"))
+    // Bucket size + representative as WINDOW aggregates over (__band,
+    // __key) rather than a groupBy + join-back (guide §2.4): the window
+    // shuffles the banded rows ONCE and sorts them by the bucket key —
+    // exactly the shuffle+sort the join-back's sort-merge join paid
+    // anyway — but drops the separate stats aggregation pipeline, and
+    // both self-join sides below consume the SAME windowed subtree, so
+    // exchange reuse dedupes their scans. A partitionBy-only window has
+    // no intra-bucket ordering; a pathological hot bucket buffers its
+    // rows in one (spillable) window group, the same single-reducer
+    // locality the join-back shape already had.
+    val wBucket = org.apache.spark.sql.expressions.Window
+      .partitionBy("__band", "__key")
+    val tagged = banded
+      .withColumn("__bs", count(lit(1)).over(wBucket))
+      .withColumn("__rep",
+        min(struct((col("__id") +: extra.map(col)): _*)).over(wBucket))
     val cold = tagged.filter(col("__bs") <= maxBucket)
       .select((Seq("__band", "__key", "__id") ++ extra).map(col): _*)
     def side(s: String, suffix: String): Seq[Column] =
@@ -193,12 +205,18 @@ object Dedup {
     val candIds = cands.select(col("id_a").as("__jid"))
       .unionAll(cands.select(col("id_b").as("__jid")))
       .distinct()
-    // semi-prefilter, THEN shingle: only candidate docs pay tokenization
-    val sh = df.select(col(idCol).as("__jid"), col(textCol).as("__jtext"))
+    // semi-prefilter, THEN shingle: only candidate docs pay tokenization.
+    // MATERIALIZED: the shingled payload feeds BOTH sides of the verify
+    // join below, and the two subtrees differ by alias so the planner
+    // cannot reuse one exchange between them — without materialization
+    // the corpus scan + semi join + shingle kernel all run twice. The
+    // checkpointed table is candidate-sized, never corpus-sized.
+    val sh = Materialize(df
+      .select(col(idCol).as("__jid"), col(textCol).as("__jtext"))
       .join(candIds, Seq("__jid"), "left_semi")
       .select(col("__jid"),
         (if (charGrams) charShingles(col("__jtext"), shingleSize)
-         else shingles(col("__jtext"), shingleSize)).as("__sh"))
+         else shingles(col("__jtext"), shingleSize)).as("__sh")))
     cands
       .join(sh.withColumnRenamed("__jid", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
       .join(sh.withColumnRenamed("__jid", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")

@@ -314,9 +314,13 @@ object Similarity {
       .unionAll(cands.select(col("id_b").as("__vid")))
       .distinct()
     // semi-prefilter the vector payloads by candidate ids so the exact-
-    // cosine verify shuffles candidate vectors only, never the corpus
-    val v = vectors.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
-      .join(candIds, Seq("__vid"), "left_semi")
+    // cosine verify shuffles candidate vectors only, never the corpus.
+    // MATERIALIZED (candidate-sized): both sides of the verify join
+    // consume it and alias-renamed subtrees defeat exchange reuse —
+    // without this the corpus scan + semi join run twice.
+    val v = Materialize(vectors
+      .select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .join(candIds, Seq("__vid"), "left_semi"))
     cands
       .join(v.withColumnRenamed("__vid", "id_a").withColumnRenamed("__v", "__va"), "id_a")
       .join(v.withColumnRenamed("__vid", "id_b").withColumnRenamed("__v", "__vb"), "id_b")
