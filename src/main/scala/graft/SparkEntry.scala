@@ -287,8 +287,13 @@ object SparkEntry {
     // independent error sample across the LC/bias/raw estimator regimes.
     "q_hll_sweep" -> ((s, d) => {
       val ks = 2 to 18
+      // size each range's partition count to its rows (~64k rows/task):
+      // the default gives every one of the 17 ranges the full session
+      // parallelism, i.e. 544 mostly-empty tasks each paying the 16 KB
+      // HLL partial-buffer setup (measured 23 s cumulative task time)
       val data = ks.map { k =>
-        s.range(1L << k).select(lit(k).as("k"),
+        val parts = math.max(1L, math.min(32L, (1L << k) >> 16)).toInt
+        s.range(0L, 1L << k, 1L, parts).select(lit(k).as("k"),
           (col("id") + (k.toLong << 40)).as("v"))
       }.reduce(_ unionAll _)
       // one aggregation pass: collect the 17 per-k errors and derive both
@@ -347,11 +352,19 @@ object SparkEntry {
           when(col("l_returnflag") === "A", col("l_orderkey")), p = 16).as("sa"),
         gf.hll_create_synopsis(
           when(col("l_returnflag") === "N", col("l_orderkey")), p = 16).as("sb"))
-      val u = li.agg(
-        countDistinct(when(col("l_returnflag") === "A", col("l_orderkey"))).as("exact_a"),
-        countDistinct(when(col("l_returnflag") === "N", col("l_orderkey"))).as("exact_b"),
-        countDistinct(when(col("l_returnflag").isin("A", "N"), col("l_orderkey")))
-          .as("exact_union"))
+      // three countDistincts over different children would plan a 3-way
+      // Expand (every row tripled before the distinct shuffle); the
+      // distinct (flag, key) pair table gives the same three exact
+      // counts from one dedup + one key-grouped pass
+      val u = li.filter(col("l_returnflag").isin("A", "N"))
+        .select(col("l_returnflag").as("__f"), col("l_orderkey").as("__k"))
+        .distinct()
+        .groupBy("__k").agg(
+          max(when(col("__f") === "A", 1L).otherwise(0L)).as("__a"),
+          max(when(col("__f") === "N", 1L).otherwise(0L)).as("__b"))
+        .agg(sum("__a").cast("long").as("exact_a"),
+          sum("__b").cast("long").as("exact_b"),
+          count(lit(1)).as("exact_union"))
       ab.crossJoin(u)
         .withColumn("exact_inter", col("exact_a") + col("exact_b") - col("exact_union"))
         .select(col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"),
@@ -1325,14 +1338,18 @@ object SparkEntry {
         s"rsd=$rsd must derive p=16")
       // the rewritten agg, the exact counts, and the library agg run as
       // three separate aggregations (see q_hll_orders scale note) over
-      // ONE cached 2-column projection. Only the REWRITTEN aggregation
-      // needs the rule's conf window (the rule reads its conf at
-      // OPTIMIZATION time, so it runs eagerly inside it); the exact and
-      // library aggregations use stock planning and run after the conf
-      // is restored — the window holds exactly one eager scan.
+      // the same 2-column projection. Re-scanning the column-pruned
+      // parquet three times beats caching it (r8 measurement: the
+      // persist materialization alone cost more than all three scans —
+      // 1.0 s vs 3×~0.2 s; the same holds at scale, where a pruned
+      // columnar scan is cheaper than materializing the projection).
+      // Only the REWRITTEN aggregation needs the rule's conf window (the
+      // rule reads its conf at OPTIMIZATION time, so it runs eagerly
+      // inside it); the exact and library aggregations use stock
+      // planning and run after the conf is restored — the window holds
+      // exactly one eager scan.
       val li = t(s, d, "lineitem").select("l_returnflag", "l_orderkey")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val rows = try {
+      val rows = {
         val prior = s.conf.getOption(confKey) // restore, don't clobber
         s.conf.set(confKey, "true")
         val (rewRows, fired) = try {
@@ -1360,7 +1377,7 @@ object SparkEntry {
           .collect().toSeq
           .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
             r.getBoolean(3), r.getBoolean(4)))
-      } finally li.unpersist()
+      }
       import s.implicits._
       rows.toDF("l_returnflag", "exact_dc", "rewrite_fired",
         "estimates_equal", "within_bound")
