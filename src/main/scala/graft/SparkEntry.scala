@@ -579,19 +579,33 @@ object SparkEntry {
       val prof = graft.pipeline.Profile.profile(
           docs, Seq("lang", "source", "source_nullable"), Seq("n_chars")).collect()
         .map(r => r.getString(0) -> r).toMap
-      val n = docs.count()
-      def exactTop1(c: String): String = docs.filter(col(c).isNotNull)
-        .groupBy(c).count()
-        .orderBy(col("count").desc, col(c).asc).first().getString(0)
-      def exactDc(c: String): Long =
-        docs.agg(countDistinct(c)).first().getLong(0)
+      // exact reference values in TWO passes instead of seven: one agg
+      // carries the row count and all three exact distinct counts; one
+      // melted (column, value) frequency pass yields every column's
+      // exact argmax (ties by value asc, resolved on ≤ ~50 driver rows)
+      val strCols = Seq("lang", "source", "source_nullable")
+      val exactRow = docs.agg(count(lit(1)).as("__n"),
+        countDistinct("lang").as("__dc_lang"),
+        countDistinct("source").as("__dc_source"),
+        countDistinct("source_nullable").as("__dc_source_nullable")).first()
+      val n = exactRow.getLong(0)
+      val exactDcs = strCols.zipWithIndex
+        .map { case (c, i) => c -> exactRow.getLong(i + 1) }.toMap
+      val freqRows = docs.select(explode(array(strCols.map(c =>
+          struct(lit(c).as("__c"), col(c).as("__v"))): _*)).as("__cv"))
+        .filter(col("__cv.__v").isNotNull)
+        .groupBy(col("__cv.__c").as("__c"), col("__cv.__v").as("__v"))
+        .agg(count(lit(1)).as("__cnt")).collect()
+      val exactTop1s = strCols.map { c =>
+        c -> freqRows.filter(_.getString(0) == c)
+          .minBy(r => (-r.getLong(2), r.getString(1))).getString(1)
+      }.toMap
       def stringGate(c: String): (String, Long, Long, Boolean) = {
         val r = prof(c)
         val est = r.getLong(r.fieldIndex("distinct_est"))
-        val dc = exactDc(c)
-        val ok = lcWithinP14(est, dc) &&
+        val ok = lcWithinP14(est, exactDcs(c)) &&
           r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("top_items"))
-            .head.getString(0) == exactTop1(c) &&
+            .head.getString(0) == exactTop1s(c) &&
           r.getLong(r.fieldIndex("n_rows")) == n
         (c, n, r.getLong(r.fieldIndex("n_nulls")), ok)
       }
@@ -787,10 +801,13 @@ object SparkEntry {
         sum(when(col("matching_bits") === 64 &&
           col("id_b") === col("id_a") + 50000L, 1L).otherwise(0L))
           .as("n_identical_found"))
-      // (2) brute-force HD≤3 ground truth on a bounded sample
-      val sample = docs.orderBy("doc_id").limit(300).unionAll(planted)
-        .select(col("doc_id"),
-          tf.simhash64(col("text")).as("__sim"))
+      // (2) brute-force HD≤3 ground truth on a bounded sample —
+      // materialized once: the self-join consumes it on both sides and
+      // each would otherwise re-run the sort + limit + simhash kernel
+      val sample = graft.textops.Materialize(
+        docs.orderBy("doc_id").limit(300).unionAll(planted)
+          .select(col("doc_id"),
+            tf.simhash64(col("text")).as("__sim")))
       val brute = sample.as("a").join(sample.as("b"),
           col("a.doc_id") < col("b.doc_id") &&
           bit_count(col("a.__sim").bitwiseXOR(col("b.__sim"))) <= 3)
@@ -1613,10 +1630,14 @@ object SparkEntry {
         scrubbed, "doc_id", "text", minDocs = math.max(2L, n2 / 2))
       // 6. exact dedup, min id wins
       val deduped = graft.textops.Dedup.exactDedup(lineDeduped, "doc_id", "text")
-      // 7. decontaminate against the eval set (5-gram hit)
+      // 7. decontaminate against the eval set (5-gram hit). Explicit
+      // filter sizing: the eval set is ONE known gram, so auto-sizing
+      // would count it and clamp to the same 2^20-bit floor — the
+      // explicit value skips both sizing jobs for an identical filter
       val cleaned = graft.textops.Decontaminate.clean(
         deduped, "doc_id", "text",
-        Seq(evalGram).toDF("etext"), "etext", n = 5)
+        Seq(evalGram).toDF("etext"), "etext", n = 5,
+        exactNumBits = 1L << 20, ngramNumBits = 1L << 20)
       // 8. per-source quota, deterministic id order. MATERIALIZED:
       // packByBudget runs two bounded driver actions over its input and
       // the bench/oracle consumer executes the result once more — each
