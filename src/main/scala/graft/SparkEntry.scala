@@ -1628,8 +1628,12 @@ object SparkEntry {
       val n2 = scrubbed.count()
       val lineDeduped = graft.textops.LineDedup.removeRepeatedLines(
         scrubbed, "doc_id", "text", minDocs = math.max(2L, n2 / 2))
-      // 6. exact dedup, min id wins
-      val deduped = graft.textops.Dedup.exactDedup(lineDeduped, "doc_id", "text")
+      // 6. exact dedup, min id wins. MATERIALIZED: the decontaminate
+      // stage consumes it three times (exact detector scan, n-gram
+      // detector scan, final anti-join) and each would re-run the
+      // line-removal projection + dedup window
+      val deduped = graft.textops.Materialize(
+        graft.textops.Dedup.exactDedup(lineDeduped, "doc_id", "text"))
       // 7. decontaminate against the eval set (5-gram hit). Explicit
       // filter sizing: the eval set is ONE known gram, so auto-sizing
       // would count it and clamp to the same 2^20-bit floor — the
