@@ -792,7 +792,11 @@ object SparkEntry {
     // the candidate set; (3) the hot-bucket quarantine still connects a
     // planted 31-row duplicate cluster via star-linking at maxBucket=5
     "q_simhash_dedup" -> ((s, d) => {
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      // checkpoint the 2-column corpus once: the gate scans it five ways
+      // (cands pipeline, planted subset, brute-force sample, hot base,
+      // hotPairs pipeline) and each re-read the parquet text column
+      val docs = graft.textops.Materialize(
+        t(s, d, "documents").select(col("doc_id"), col("text")))
       val planted = docs.limit(20).select(
         (col("doc_id") + 50000L).as("doc_id"), col("text"))
       val all = docs.unionAll(planted)
